@@ -1,0 +1,268 @@
+"""CdcEngine — checkpointed, exactly-once epoch replay of a change feed.
+
+Re-expresses the reference job lifecycle (Engine → JobContainer → split →
+schedule → reader/channel/writer, SURVEY.md §3) as: one *epoch* = one
+micro-batch = read change events → validate/quarantine → schema-evolve the
+table if events carry new columns → latest-wins dedupe → copy-on-write MERGE
+into the lake table → atomically record a commit manifest.
+
+Exactly-once layering (ports the change-stream reader's per-shard checkpoint
+design, otsstreamreader ShardCheckpoint.java:8-75 / RecordProcessor.java:201-235,
+onto Spark):
+- the lake table commit is ACID (snapshot publish) and carries
+  ``engine_epoch`` + ``max_applied_seq`` in snapshot properties;
+- a commit manifest ``<ckpt>/commits/epoch-K.json`` is written AFTER the
+  snapshot, keyed by (epoch, bucket-partition) with per-partition lineage
+  (min/max seq + event count applied);
+- on restart: epochs with a manifest are skipped (no-op replay); an epoch whose
+  snapshot landed but whose manifest write crashed is detected via the snapshot
+  property and only the manifest is re-emitted — the data is never re-applied.
+  (The MERGE itself is also idempotent — latest-wins re-apply of the same epoch
+  yields an identical table — so correctness never depends on the fast path.)
+
+Error governance: malformed events are quarantined to parquet, counted, and the
+job aborts when count/fraction exceed the configured limit — the semantics of
+the reference's ErrorRecordChecker.java:18-82 + dirty-record collector.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datax_spark.cdc import merge as M
+from datax_spark.cdc.schema import KEY_COLS, OP_COL, SEQ_COL
+from datax_spark.lake.table import LakeTable
+
+
+class DirtyLimitExceeded(Exception):
+    pass
+
+
+@dataclass
+class EngineConfig:
+    table_root: str
+    feed_dir: str
+    checkpoint_dir: str
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx")
+    seq_col: str = SEQ_COL
+    op_col: str = OP_COL
+    error_limit_count: int | None = None     # None = unlimited (no abort)
+    error_limit_fraction: float | None = None
+    metrics: list = field(default_factory=list)
+
+
+def _atomic_write_json(path: str, payload: dict) -> None:
+    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, path)
+
+
+class CdcEngine:
+    def __init__(self, spark: SparkSession, cfg: EngineConfig):
+        self.spark = spark
+        self.cfg = cfg
+        self.table = LakeTable(spark, cfg.table_root)
+        self.commits_dir = os.path.join(cfg.checkpoint_dir, "commits")
+        self.quarantine_dir = os.path.join(cfg.checkpoint_dir, "quarantine")
+        os.makedirs(self.commits_dir, exist_ok=True)
+
+    # ------------------------------------------------------------- feed access
+
+    def feed_epochs(self) -> list[int]:
+        return sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(self.cfg.feed_dir)
+            if d.startswith("epoch=")
+        )
+
+    def committed_epochs(self) -> list[int]:
+        return sorted(
+            int(n[len("epoch-"):-len(".json")])
+            for n in os.listdir(self.commits_dir)
+            if n.startswith("epoch-") and n.endswith(".json")
+        )
+
+    def read_epoch(self, epoch: int) -> DataFrame:
+        path = os.path.join(self.cfg.feed_dir, f"epoch={epoch}")
+        # mergeSchema=true: an upstream DDL means files inside/after an epoch can
+        # carry new columns; we must see the union schema to detect evolution.
+        return self.spark.read.option("mergeSchema", "true").parquet(path)
+
+    # -------------------------------------------------------- schema evolution
+
+    def _evolve_schema(self, batch: DataFrame) -> None:
+        """Propagate new event payload columns to the table (DDL before DML)."""
+        snap = self.table.snapshot()
+        table_cols = {f.name for f in snap.schema.fields}
+        meta_cols = {self.cfg.seq_col, self.cfg.op_col, "epoch_hint", "epoch"}
+        new = [
+            f for f in batch.schema.fields
+            if f.name not in table_cols and f.name not in meta_cols
+        ]
+        if new:
+            nullable = [T.StructField(f.name, f.dataType, True) for f in new]
+            self.table.add_columns(nullable, properties={"evolved_by": "cdc-engine"})
+
+    # ----------------------------------------------------------------- metrics
+
+    def _emit(self, metric: dict) -> None:
+        self.cfg.metrics.append(metric)
+        _atomic_write_json(
+            os.path.join(self.cfg.checkpoint_dir, "metrics-latest.json"), metric
+        )
+        with open(os.path.join(self.cfg.checkpoint_dir, "metrics.jsonl"), "a") as f:
+            f.write(json.dumps(metric) + "\n")
+
+    # ------------------------------------------------------------------- apply
+
+    def apply_epoch(self, epoch: int) -> dict:
+        manifest_path = os.path.join(self.commits_dir, f"epoch-{epoch}.json")
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                return json.load(f)  # exactly-once: replay is a no-op
+
+        snap = self.table.snapshot()
+        already = int(snap.properties.get("engine_epoch", -1))
+        t0 = time.time()
+        batch = self.read_epoch(epoch)
+        self._evolve_schema(batch)
+        snap = self.table.snapshot()
+
+        valid, dirty = M.split_valid_dirty(batch)
+        # one pass over the batch computes dirty/valid/lineage via cached split
+        valid = valid.persist()
+        dirty_rows = dirty.count()
+        if dirty_rows:
+            dirty.write.mode("append").parquet(os.path.join(self.quarantine_dir, f"epoch={epoch}"))
+
+        # per-partition lineage: event seq ranges applied, keyed by table bucket
+        bucket = self.table._bucket_expr(snap)
+        lineage_rows = (
+            valid.withColumn("_b", bucket)
+            .groupBy("_b")
+            .agg(
+                F.min(self.cfg.seq_col).alias("min_seq"),
+                F.max(self.cfg.seq_col).alias("max_seq"),
+                F.count("*").alias("events"),
+            )
+            .collect()
+        )
+        lineage = {
+            str(r["_b"]): {"min_seq": r["min_seq"], "max_seq": r["max_seq"], "events": int(r["events"])}
+            for r in lineage_rows
+        }
+        n_valid = sum(v["events"] for v in lineage.values())
+        total = n_valid + dirty_rows
+        self._check_error_limit(dirty_rows, total, epoch)
+
+        max_seq = max((v["max_seq"] for v in lineage.values()), default=None)
+
+        if already >= epoch:
+            # snapshot landed previously but manifest write crashed: emit manifest only
+            new_version = snap.version
+        else:
+            table_cols = [f.name for f in self.table.snapshot().schema.fields]
+            source = valid.select(
+                *[F.col(c) for c in self.cfg.key_cols],
+                F.col(self.cfg.op_col),
+                F.col(self.cfg.seq_col),
+                *[
+                    (F.col(c) if c in valid.columns else F.lit(None).cast(dict(
+                        (f.name, f.dataType) for f in self.table.snapshot().schema.fields
+                    )[c])).alias(c)
+                    for c in table_cols
+                    if c not in self.cfg.key_cols
+                ],
+            )
+            deduped = M.dedupe_latest(source, list(self.cfg.key_cols), self.cfg.seq_col)
+            merge_src = deduped.drop(self.cfg.seq_col)
+            new_snap = self.table.merge(
+                merge_src,
+                key_cols=list(self.cfg.key_cols),
+                op_col=self.cfg.op_col,
+                properties={
+                    "engine_epoch": epoch,
+                    "max_applied_seq": max_seq,
+                },
+            )
+            new_version = new_snap.version
+        valid.unpersist()
+
+        dt = time.time() - t0
+        manifest = {
+            "epoch": epoch,
+            "snapshot_version": new_version,
+            "events": n_valid,
+            "dirty": dirty_rows,
+            "max_applied_seq": max_seq,
+            "partitions": lineage,
+            "duration_s": round(dt, 3),
+            "events_per_sec": round(n_valid / dt, 1) if dt > 0 else None,
+        }
+        _atomic_write_json(manifest_path, manifest)
+        self._emit(
+            {
+                "kind": "epoch_commit",
+                "epoch": epoch,
+                "events": n_valid,
+                "dirty": dirty_rows,
+                "events_per_sec": manifest["events_per_sec"],
+                "duration_s": manifest["duration_s"],
+                "max_applied_seq": max_seq,
+            }
+        )
+        return manifest
+
+    def _check_error_limit(self, dirty: int, total: int, epoch: int) -> None:
+        c = self.cfg.error_limit_count
+        frac = self.cfg.error_limit_fraction
+        if c is not None and dirty > c:
+            raise DirtyLimitExceeded(f"epoch {epoch}: {dirty} dirty events > limit {c}")
+        if frac is not None and total > 0 and dirty / total > frac:
+            raise DirtyLimitExceeded(
+                f"epoch {epoch}: dirty fraction {dirty / total:.4f} > limit {frac}"
+            )
+
+    # --------------------------------------------------------------------- run
+
+    def run(self, through_epoch: int | None = None) -> dict:
+        """Replay all (or up to ``through_epoch``) uncommitted epochs; resumable."""
+        done = set(self.committed_epochs())
+        feed = self.feed_epochs()
+        t0 = time.time()
+        applied = 0
+        n_events = 0
+        for epoch in feed:
+            if through_epoch is not None and epoch > through_epoch:
+                break
+            if epoch in done:
+                continue
+            m = self.apply_epoch(epoch)
+            applied += 1
+            n_events += m["events"]
+            self._emit(
+                {
+                    "kind": "lag",
+                    "epoch": epoch,
+                    "feed_epochs_remaining": len([e for e in feed if e > epoch]),
+                }
+            )
+        dt = time.time() - t0
+        summary = {
+            "epochs_applied": applied,
+            "events_applied": n_events,
+            "duration_s": round(dt, 3),
+            "events_per_sec": round(n_events / dt, 1) if dt > 0 and n_events else 0.0,
+            "table_version": self.table.current_version(),
+        }
+        self._emit({"kind": "run_summary", **summary})
+        return summary

@@ -1,0 +1,1 @@
+from datax_spark.lake.table import LakeTable  # noqa: F401

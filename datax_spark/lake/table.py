@@ -1,0 +1,356 @@
+"""LakeTable — snapshot-committed ACID parquet table with Iceberg semantics.
+
+The target runtime format for the engine is Apache Iceberg (the baked-in Spark
+distribution in this sandbox ships no Iceberg runtime jar, so this module
+implements the same contract natively — the CDC engine only talks to this
+interface, so swapping in ``MERGE INTO`` against a real Iceberg catalog is a
+sink-level change).
+
+Semantics provided (mirrors what the reference gets from its two-phase
+tmp-dir+rename writer commit, hdfswriter HdfsWriter.java:194-252, upgraded to
+real table ACID):
+
+- **Snapshot isolation / atomic commit**: every mutation writes new data files
+  then atomically publishes a new versioned snapshot JSON (hard-link create is
+  atomic and fails on collision → optimistic concurrency). Readers resolve the
+  newest snapshot and read exactly its file list. Old snapshots remain → time
+  travel.
+- **Bucket partitioning**: rows are hash-bucketed on a key column
+  (``bucket(n, conv_id)``), files are grouped per bucket, and MERGE rewrites
+  only the buckets the source touches (copy-on-write at partition granularity —
+  at 10^10-row scale an epoch that touches 3% of buckets rewrites 3% of data).
+- **Keyed MERGE**: insert/update/delete apply equivalent to
+  ``MERGE INTO t USING s ON t.k = s.k WHEN MATCHED AND op='D' THEN DELETE
+  WHEN MATCHED THEN UPDATE * WHEN NOT MATCHED AND op<>'D' THEN INSERT *``
+  (the upsert taxonomy of the reference's keyed writers: otswriter
+  PUT/UPDATE/DELETE_ROW, OTSOpType.java:3-8; mysqlwriter ON DUPLICATE KEY
+  UPDATE, WriterUtil.java:111-168).
+- **Schema evolution without rewrite**: adding a column only updates the
+  snapshot schema; old files are read with the evolved schema and yield NULLs
+  (Iceberg add-column semantics).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_META = "_meta"
+_DATA = "data"
+_BUCKET_COL = "_dsx_bucket"
+
+
+def _snapshot_name(version: int) -> str:
+    return f"v{version:012d}.json"
+
+
+@dataclass
+class Snapshot:
+    version: int
+    schema: T.StructType
+    bucket_key: str
+    n_buckets: int
+    # bucket id (str) -> list of {"path": rel_path, "rows": int}
+    files: dict[str, list[dict]]
+    properties: dict
+
+    def total_rows(self) -> int:
+        return sum(f["rows"] for fl in self.files.values() for f in fl)
+
+    def to_json(self) -> dict:
+        return {
+            "version": self.version,
+            "schema": self.schema.jsonValue(),
+            "partition": {"kind": "bucket", "key": self.bucket_key, "n": self.n_buckets},
+            "files": self.files,
+            "properties": self.properties,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "Snapshot":
+        return Snapshot(
+            version=d["version"],
+            schema=T.StructType.fromJson(d["schema"]),
+            bucket_key=d["partition"]["key"],
+            n_buckets=d["partition"]["n"],
+            files=d["files"],
+            properties=d.get("properties", {}),
+        )
+
+
+class CommitConflict(Exception):
+    """Another writer published this snapshot version first (optimistic concurrency)."""
+
+
+class LakeTable:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    # ---------------------------------------------------------------- catalog
+
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        root: str,
+        schema: T.StructType,
+        bucket_key: str,
+        n_buckets: int = 32,
+        properties: dict | None = None,
+    ) -> "LakeTable":
+        os.makedirs(os.path.join(root, _META), exist_ok=True)
+        os.makedirs(os.path.join(root, _DATA), exist_ok=True)
+        t = LakeTable(spark, root)
+        if t.current_version() is not None:
+            raise ValueError(f"table already exists at {root}")
+        snap = Snapshot(
+            version=0,
+            schema=schema,
+            bucket_key=bucket_key,
+            n_buckets=n_buckets,
+            files={},
+            properties=properties or {},
+        )
+        t._publish(snap)
+        return t
+
+    @staticmethod
+    def exists(root: str) -> bool:
+        meta = os.path.join(root, _META)
+        return os.path.isdir(meta) and any(n.endswith(".json") for n in os.listdir(meta))
+
+    def current_version(self) -> int | None:
+        meta = os.path.join(self.root, _META)
+        if not os.path.isdir(meta):
+            return None
+        versions = [
+            int(n[1:-5]) for n in os.listdir(meta) if n.startswith("v") and n.endswith(".json")
+        ]
+        return max(versions) if versions else None
+
+    def snapshot(self, version: int | None = None) -> Snapshot:
+        v = self.current_version() if version is None else version
+        if v is None:
+            raise ValueError(f"no snapshot at {self.root}")
+        with open(os.path.join(self.root, _META, _snapshot_name(v))) as f:
+            return Snapshot.from_json(json.load(f))
+
+    def _publish(self, snap: Snapshot) -> None:
+        """Atomic publish: hard-link create fails if the version already exists."""
+        meta = os.path.join(self.root, _META)
+        tmp = os.path.join(meta, f".tmp-{uuid.uuid4().hex}.json")
+        final = os.path.join(meta, _snapshot_name(snap.version))
+        with open(tmp, "w") as f:
+            json.dump(snap.to_json(), f)
+        try:
+            os.link(tmp, final)
+        except FileExistsError as e:
+            raise CommitConflict(f"snapshot v{snap.version} already committed") from e
+        finally:
+            os.unlink(tmp)
+
+    # ------------------------------------------------------------------ reads
+
+    def _bucket_expr(self, snap: Snapshot, col_name: str | None = None):
+        key = F.col(col_name or snap.bucket_key)
+        return F.pmod(F.xxhash64(key.cast("string")), F.lit(snap.n_buckets)).cast("int")
+
+    def read(self, version: int | None = None, buckets: Iterable[int] | None = None) -> DataFrame:
+        """Read the table at a snapshot; ``buckets`` prunes at the file-list level
+
+        (manifest-driven partition pruning — the scan never opens files of
+        untouched buckets, the lake-table analog of Catalyst partition pruning).
+        """
+        snap = self.snapshot(version)
+        wanted = None if buckets is None else {str(b) for b in buckets}
+        paths = [
+            os.path.join(self.root, f["path"])
+            for b, fl in snap.files.items()
+            if wanted is None or b in wanted
+            for f in fl
+        ]
+        if not paths:
+            return self.spark.createDataFrame([], snap.schema)
+        # Explicit evolved schema: files written pre-evolution lack new columns
+        # and read as NULL — schema evolution without rewrite.
+        return self.spark.read.schema(snap.schema).parquet(*paths)
+
+    # ----------------------------------------------------------------- writes
+
+    def _write_data_files(self, df: DataFrame, snap: Snapshot) -> dict[str, list[dict]]:
+        """Write df (must carry _dsx_bucket) partitioned by bucket; return manifest entries."""
+        staging = os.path.join(self.root, _DATA, f"stage-{uuid.uuid4().hex}")
+        (
+            df.repartition(_BUCKET_COL)
+            .write.mode("overwrite")
+            .partitionBy(_BUCKET_COL)
+            .parquet(staging)
+        )
+        out: dict[str, list[dict]] = {}
+        con = None
+        for entry in sorted(os.listdir(staging)):
+            if not entry.startswith(f"{_BUCKET_COL}="):
+                continue
+            bucket = entry.split("=", 1)[1]
+            bdir = os.path.join(staging, entry)
+            files = []
+            for fn in sorted(os.listdir(bdir)):
+                if not fn.endswith(".parquet"):
+                    continue
+                rel = os.path.relpath(os.path.join(bdir, fn), self.root)
+                if con is None:
+                    import pyarrow.parquet as pq
+
+                    con = pq
+                rows = con.ParquetFile(os.path.join(bdir, fn)).metadata.num_rows
+                if rows == 0:
+                    continue
+                files.append({"path": rel, "rows": rows})
+            if files:
+                out[bucket] = files
+        return out
+
+    def append(self, df: DataFrame, properties: dict | None = None) -> Snapshot:
+        snap = self.snapshot()
+        dfb = df.withColumn(_BUCKET_COL, self._bucket_expr(snap))
+        new_files = self._write_data_files(dfb, snap)
+        files = {b: list(fl) for b, fl in snap.files.items()}
+        for b, fl in new_files.items():
+            files.setdefault(b, []).extend(fl)
+        return self._commit(snap, files, properties)
+
+    def overwrite(self, df: DataFrame, properties: dict | None = None) -> Snapshot:
+        snap = self.snapshot()
+        dfb = df.withColumn(_BUCKET_COL, self._bucket_expr(snap))
+        new_files = self._write_data_files(dfb, snap)
+        return self._commit(snap, new_files, properties)
+
+    def _commit(
+        self,
+        parent: Snapshot,
+        files: dict[str, list[dict]],
+        properties: dict | None = None,
+        schema: T.StructType | None = None,
+    ) -> Snapshot:
+        props = dict(parent.properties)
+        props.update(properties or {})
+        props["committed_at"] = time.time()
+        new = Snapshot(
+            version=parent.version + 1,
+            schema=schema or parent.schema,
+            bucket_key=parent.bucket_key,
+            n_buckets=parent.n_buckets,
+            files=files,
+            properties=props,
+        )
+        self._publish(new)
+        return new
+
+    # ------------------------------------------------------------------ MERGE
+
+    def merge(
+        self,
+        source: DataFrame,
+        key_cols: list[str],
+        op_col: str = "op",
+        delete_op: str = "D",
+        properties: dict | None = None,
+    ) -> Snapshot:
+        """Copy-on-write MERGE: ``source`` must hold ONE row per key (pre-deduped,
+        latest-wins — see datax_spark.cdc.merge) with an op column.
+
+        Plan shape (scale notes):
+        - source bucket ids are computed with the table's bucket function; the
+          distinct-bucket collect is bounded by ``n_buckets`` (small).
+        - only affected buckets are scanned (file-list pruning) and rewritten;
+          untouched buckets' files carry over into the new snapshot unchanged.
+        - survivor selection is a left-anti join target⟕source-keys — shuffled
+          hash / broadcast chosen by AQE at runtime; both sides are already
+          bucket-restricted so the shuffle is proportional to the touched data,
+          not the table.
+        """
+        snap = self.snapshot()
+        payload_cols = [f.name for f in snap.schema.fields]
+        src = source.withColumn(_BUCKET_COL, self._bucket_expr(snap))
+        affected = [r[0] for r in src.select(_BUCKET_COL).distinct().collect()]
+        if not affected:
+            return self._commit(snap, dict(snap.files), properties)
+
+        target = self.read(buckets=affected).withColumn(_BUCKET_COL, self._bucket_expr(snap))
+        keys = src.select(*key_cols).distinct()
+        kept = target.join(keys, on=key_cols, how="left_anti")
+        upserts = src.filter(F.col(op_col) != F.lit(delete_op)).select(
+            *payload_cols, _BUCKET_COL
+        )
+        merged = kept.unionByName(upserts)
+        new_files = self._write_data_files(merged, snap)
+
+        files = {b: list(fl) for b, fl in snap.files.items() if int(b) not in set(affected)}
+        for b, fl in new_files.items():
+            files[b] = fl
+        return self._commit(snap, files, properties)
+
+    # --------------------------------------------------------- schema evolution
+
+    def add_columns(self, new_fields: list[T.StructField], properties: dict | None = None) -> Snapshot:
+        """Add columns without rewriting any data file (metadata-only commit)."""
+        snap = self.snapshot()
+        existing = {f.name for f in snap.schema.fields}
+        added = [f for f in new_fields if f.name not in existing]
+        if not added:
+            return snap
+        schema = T.StructType(list(snap.schema.fields) + added)
+        return self._commit(snap, dict(snap.files), properties, schema=schema)
+
+    # ------------------------------------------------------------- maintenance
+
+    def history(self) -> list[dict]:
+        meta = os.path.join(self.root, _META)
+        out = []
+        for n in sorted(os.listdir(meta)):
+            if n.startswith("v") and n.endswith(".json"):
+                with open(os.path.join(meta, n)) as f:
+                    d = json.load(f)
+                out.append(
+                    {
+                        "version": d["version"],
+                        "properties": d.get("properties", {}),
+                        "rows": sum(x["rows"] for fl in d["files"].values() for x in fl),
+                        "files": sum(len(fl) for fl in d["files"].values()),
+                    }
+                )
+        return out
+
+    def vacuum(self, keep_last: int = 2) -> int:
+        """Delete data files referenced only by expired snapshots. Returns count."""
+        versions = sorted(
+            int(n[1:-5])
+            for n in os.listdir(os.path.join(self.root, _META))
+            if n.startswith("v") and n.endswith(".json")
+        )
+        keep = set(versions[-keep_last:])
+        live: set[str] = set()
+        for v in keep:
+            s = self.snapshot(v)
+            live |= {f["path"] for fl in s.files.values() for f in fl}
+        removed = 0
+        data_root = os.path.join(self.root, _DATA)
+        for dirpath, _dirs, fns in os.walk(data_root):
+            for fn in fns:
+                full = os.path.join(dirpath, fn)
+                rel = os.path.relpath(full, self.root)
+                if fn.endswith(".parquet") and rel not in live:
+                    os.unlink(full)
+                    removed += 1
+        for v in versions:
+            if v not in keep:
+                os.unlink(os.path.join(self.root, _META, _snapshot_name(v)))
+        return removed

@@ -1,0 +1,64 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference engine derives its parallelism from a channel count computed out
+of byte/record speed limits (core JobContainer.adjustChannelNumber, see
+SURVEY.md §2.5); here parallelism is Spark's, and we set the knobs that matter
+at scale: AQE (runtime re-plan, skew-join splitting, partition coalescing),
+Arrow for every pandas-UDF boundary, and shuffle partitions proportional to
+cores (overridable per job from input size via ``tuned_shuffle_partitions``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS_PER_CORE = 2
+
+
+def _cores() -> int:
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env:
+        return int(env)
+    return os.cpu_count() or 8
+
+
+def get_spark(
+    app_name: str = "datax-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cores = _cores()
+    master = master or f"local[{cores}]"
+    shuffle_partitions = shuffle_partitions or cores * DEFAULT_SHUFFLE_PARTITIONS_PER_CORE
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def tuned_shuffle_partitions(spark: SparkSession, approx_input_bytes: int,
+                             target_partition_bytes: int = 64 * 1024 * 1024) -> int:
+    """Derive shuffle partitions from input size (floor = default parallelism).
+
+    At 100 TB this keeps post-shuffle partitions near ``target_partition_bytes``
+    instead of the static default; AQE then coalesces small ones at runtime.
+    """
+    floor = spark.sparkContext.defaultParallelism
+    n = max(floor, approx_input_bytes // target_partition_bytes)
+    return int(min(n, 200_000))

@@ -1,0 +1,125 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datax_spark.cdc.schema import TRANSCRIPTS_SCHEMA_V1, TOOL_FIELD
+from datax_spark.lake.table import CommitConflict, LakeTable
+
+
+def _mk(spark, tmp_path, n_buckets=4):
+    return LakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPTS_SCHEMA_V1, bucket_key="conv_id", n_buckets=n_buckets
+    )
+
+
+def _rows(spark, items):
+    return spark.createDataFrame(items, TRANSCRIPTS_SCHEMA_V1)
+
+
+def test_create_read_empty(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    assert t.read().count() == 0
+    assert t.current_version() == 0
+
+
+def test_append_and_read(spark, tmp_path):
+    import datetime as dt
+
+    t = _mk(spark, tmp_path)
+    ts = dt.datetime(2025, 1, 1)
+    df = _rows(spark, [("c1", 0, "user", "hello", ts), ("c2", 0, "user", "hi", ts)])
+    t.append(df)
+    out = t.read().orderBy("conv_id").collect()
+    assert [r.conv_id for r in out] == ["c1", "c2"]
+    assert t.snapshot().total_rows() == 2
+
+
+def test_merge_upsert_delete(spark, tmp_path):
+    import datetime as dt
+
+    ts = dt.datetime(2025, 1, 1)
+    t = _mk(spark, tmp_path)
+    t.append(_rows(spark, [("c1", 0, "user", "old", ts), ("c1", 1, "assistant", "keep", ts),
+                           ("c2", 0, "user", "bye", ts)]))
+    src_schema = T.StructType(list(TRANSCRIPTS_SCHEMA_V1.fields) + [T.StructField("op", T.StringType())])
+    src = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "new", ts, "U"),       # update existing
+            ("c2", 0, None, None, ts, "D"),          # delete existing
+            ("c3", 5, "assistant", "insert", ts, "I"),  # fresh insert
+        ],
+        src_schema,
+    )
+    t.merge(src, key_cols=["conv_id", "turn_idx"])
+    out = {(r.conv_id, r.turn_idx): r.text for r in t.read().collect()}
+    assert out == {("c1", 0): "new", ("c1", 1): "keep", ("c3", 5): "insert"}
+
+
+def test_merge_only_rewrites_affected_buckets(spark, tmp_path):
+    import datetime as dt
+
+    ts = dt.datetime(2025, 1, 1)
+    t = _mk(spark, tmp_path, n_buckets=8)
+    base = _rows(spark, [(f"c{i}", 0, "user", f"t{i}", ts) for i in range(40)])
+    t.append(base)
+    before = t.snapshot()
+    src_schema = T.StructType(list(TRANSCRIPTS_SCHEMA_V1.fields) + [T.StructField("op", T.StringType())])
+    src = spark.createDataFrame([("c1", 0, "user", "upd", ts, "U")], src_schema)
+    t.merge(src, key_cols=["conv_id", "turn_idx"])
+    after = t.snapshot()
+    changed = [b for b in after.files if after.files[b] != before.files.get(b)]
+    unchanged = [b for b in after.files if after.files[b] == before.files.get(b)]
+    assert len(changed) == 1  # copy-on-write: only the touched bucket rewritten
+    assert unchanged, "untouched buckets must carry over identical files"
+    assert t.read().filter("conv_id='c1'").first().text == "upd"
+
+
+def test_schema_evolution_no_rewrite(spark, tmp_path):
+    import datetime as dt
+
+    ts = dt.datetime(2025, 1, 1)
+    t = _mk(spark, tmp_path)
+    t.append(_rows(spark, [("c1", 0, "assistant", "x", ts)]))
+    files_before = t.snapshot().files
+    t.add_columns([TOOL_FIELD])
+    snap = t.snapshot()
+    assert snap.files == files_before  # metadata-only commit
+    row = t.read().first()
+    assert row.tool is None  # old files read NULL for the new column
+    assert "tool" in t.read().columns
+
+
+def test_time_travel_and_history(spark, tmp_path):
+    import datetime as dt
+
+    ts = dt.datetime(2025, 1, 1)
+    t = _mk(spark, tmp_path)
+    t.append(_rows(spark, [("c1", 0, "user", "v1", ts)]))
+    v1 = t.current_version()
+    t.overwrite(_rows(spark, [("c1", 0, "user", "v2", ts)]))
+    assert t.read().first().text == "v2"
+    assert t.read(version=v1).first().text == "v1"
+    assert len(t.history()) == 3
+
+
+def test_commit_conflict(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    snap = t.snapshot()
+    t._commit(snap, {})
+    with pytest.raises(CommitConflict):
+        t._commit(snap, {})  # same parent → same version → conflict
+
+
+def test_vacuum(spark, tmp_path):
+    import datetime as dt
+
+    ts = dt.datetime(2025, 1, 1)
+    t = _mk(spark, tmp_path)
+    t.append(_rows(spark, [("c1", 0, "user", "v1", ts)]))
+    t.overwrite(_rows(spark, [("c1", 0, "user", "v2", ts)]))
+    t.overwrite(_rows(spark, [("c1", 0, "user", "v3", ts)]))
+    removed = t.vacuum(keep_last=1)
+    assert removed >= 1
+    assert t.read().first().text == "v3"
