@@ -1,0 +1,102 @@
+"""Benchmark harness — prints ONE JSON line the driver records as BENCH_r{N}.json.
+
+Headline metric: wall-clock of a full CDC replay (synthetic transcript change
+feed → exactly-once epoch MERGE-apply into the lake table), plus sustained
+events/sec, plus per-query timings of every __spark_entry__ query at
+$SPARK_GRAFT_SF_DIR.
+
+Scale knobs (env):
+  SPARK_GRAFT_SF_DIR   testdata dir for queries (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     cores for local master (default: all)
+  DSX_BENCH_CONVS      synthetic conversations for the CDC replay (default 30000)
+  DSX_BENCH_EPOCHS     feed epochs (default 4)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from datax_spark.cdc.engine import CdcEngine, EngineConfig
+from datax_spark.cdc.generator import ChangeFeedSpec, generate_change_feed
+from datax_spark.cdc.schema import TRANSCRIPTS_SCHEMA_V1
+from datax_spark.lake.table import LakeTable
+from datax_spark.session import get_spark
+
+import __spark_entry__ as entry_mod
+
+
+def run_cdc_bench(spark, workdir: str, n_convs: int, n_epochs: int) -> dict:
+    feed = os.path.join(workdir, "feed")
+    spec = ChangeFeedSpec(
+        seed=42, n_convs=n_convs, n_epochs=n_epochs, evolve_frac=0.5,
+        update_rate=0.45, hot_cap=500,
+    )
+    t0 = time.time()
+    stats = generate_change_feed(spark, feed, spec)
+    gen_s = time.time() - t0
+
+    LakeTable.create(spark, os.path.join(workdir, "table"), TRANSCRIPTS_SCHEMA_V1,
+                     bucket_key="conv_id", n_buckets=64)
+    engine = CdcEngine(
+        spark,
+        EngineConfig(
+            table_root=os.path.join(workdir, "table"),
+            feed_dir=feed,
+            checkpoint_dir=os.path.join(workdir, "ckpt"),
+        ),
+    )
+    t0 = time.time()
+    summary = engine.run()
+    replay_s = time.time() - t0
+    return {
+        "events": stats["total_events"],
+        "generate_sec": round(gen_s, 2),
+        "replay_sec": round(replay_s, 2),
+        "events_per_sec": round(stats["total_events"] / replay_s, 1),
+        "epochs": summary["epochs_applied"],
+        "final_rows": engine.table.snapshot().total_rows(),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
+    n_convs = int(os.environ.get("DSX_BENCH_CONVS", "30000"))
+    n_epochs = int(os.environ.get("DSX_BENCH_EPOCHS", "4"))
+    spark = get_spark(app_name="datax-spark-bench")
+
+    workdir = f"/tmp/dsx-bench-{os.getpid()}"
+    shutil.rmtree(workdir, ignore_errors=True)
+    os.makedirs(workdir)
+    try:
+        cdc = run_cdc_bench(spark, workdir, n_convs, n_epochs)
+
+        query_secs: dict[str, float] = {}
+        for name, fn in entry_mod.queries().items():
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            query_secs[name] = round(time.time() - t0, 3)
+
+        out = {
+            "metric": "cdc_replay_sec",
+            "value": cdc["replay_sec"],
+            "unit": "sec",
+            "queries": query_secs,
+            "sf": float(sf),
+            "cdc": cdc,
+            "cores": spark.sparkContext.defaultParallelism,
+        }
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
