@@ -138,17 +138,15 @@ class CdcEngine:
         snap = self.table.snapshot()
 
         valid, dirty = M.split_valid_dirty(batch)
-        # one pass over the batch computes dirty/valid/lineage via cached split
-        valid = valid.persist()
-        dirty_rows = dirty.count()
-        if dirty_rows:
-            dirty.write.mode("append").parquet(os.path.join(self.quarantine_dir, f"epoch={epoch}"))
 
-        # per-partition lineage: event seq ranges applied, keyed by table bucket
+        # ONE aggregation pass over the epoch batch yields dirty counts AND
+        # per-bucket lineage (min/max seq + events applied) — no caching needed;
+        # the later apply re-scans the (column-pruned, cheap) parquet epoch.
         bucket = self.table._bucket_expr(snap)
-        lineage_rows = (
-            valid.withColumn("_b", bucket)
-            .groupBy("_b")
+        stats_rows = (
+            batch.withColumn("_dirty_reason", M.dirty_reason_expr())
+            .withColumn("_b", F.when(F.col("_dirty_reason").isNull(), bucket))
+            .groupBy("_dirty_reason", "_b")
             .agg(
                 F.min(self.cfg.seq_col).alias("min_seq"),
                 F.max(self.cfg.seq_col).alias("max_seq"),
@@ -156,10 +154,20 @@ class CdcEngine:
             )
             .collect()
         )
-        lineage = {
-            str(r["_b"]): {"min_seq": r["min_seq"], "max_seq": r["max_seq"], "events": int(r["events"])}
-            for r in lineage_rows
-        }
+        lineage: dict[str, dict] = {}
+        dirty_rows = 0
+        for r in stats_rows:
+            if r["_dirty_reason"] is not None:
+                dirty_rows += int(r["events"])
+            else:
+                lineage[str(r["_b"])] = {
+                    "min_seq": r["min_seq"],
+                    "max_seq": r["max_seq"],
+                    "events": int(r["events"]),
+                }
+        if dirty_rows:
+            dirty.write.mode("append").parquet(os.path.join(self.quarantine_dir, f"epoch={epoch}"))
+
         n_valid = sum(v["events"] for v in lineage.values())
         total = n_valid + dirty_rows
         self._check_error_limit(dirty_rows, total, epoch)
@@ -170,32 +178,18 @@ class CdcEngine:
             # snapshot landed previously but manifest write crashed: emit manifest only
             new_version = snap.version
         else:
-            table_cols = [f.name for f in self.table.snapshot().schema.fields]
-            source = valid.select(
-                *[F.col(c) for c in self.cfg.key_cols],
-                F.col(self.cfg.op_col),
-                F.col(self.cfg.seq_col),
-                *[
-                    (F.col(c) if c in valid.columns else F.lit(None).cast(dict(
-                        (f.name, f.dataType) for f in self.table.snapshot().schema.fields
-                    )[c])).alias(c)
-                    for c in table_cols
-                    if c not in self.cfg.key_cols
-                ],
-            )
-            deduped = M.dedupe_latest(source, list(self.cfg.key_cols), self.cfg.seq_col)
-            merge_src = deduped.drop(self.cfg.seq_col)
-            new_snap = self.table.merge(
-                merge_src,
+            new_snap = self.table.apply_cdc(
+                valid,
                 key_cols=list(self.cfg.key_cols),
                 op_col=self.cfg.op_col,
+                seq_col=self.cfg.seq_col,
+                affected_buckets=[int(b) for b in lineage],
                 properties={
                     "engine_epoch": epoch,
                     "max_applied_seq": max_seq,
                 },
             )
             new_version = new_snap.version
-        valid.unpersist()
 
         dt = time.time() - t0
         manifest = {

@@ -21,20 +21,21 @@ from pyspark.sql import functions as F
 from datax_spark.cdc.schema import KEY_COLS, OP_COL, SEQ_COL, VALID_OPS_SQL
 
 
-def split_valid_dirty(batch: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Validate events; returns (valid, dirty-with-reason).
-
-    Malformation rules (ErrorRecordChecker.java:18-82 semantics — bad records
+def dirty_reason_expr():
+    """Malformation rules (ErrorRecordChecker.java:18-82 semantics — bad records
     are quarantined, never applied, and counted against an error limit):
-    null/empty key parts, negative turn_idx, unknown op.
-    """
-    reason = (
+    null/empty key parts, negative turn_idx, unknown op, null payload."""
+    return (
         F.when(F.col("conv_id").isNull() | (F.col("conv_id") == ""), F.lit("null_key"))
         .when(F.col("turn_idx").isNull() | (F.col("turn_idx") < 0), F.lit("bad_turn_idx"))
         .when(~F.col(OP_COL).isin(*VALID_OPS_SQL), F.lit("bad_op"))
         .when((F.col(OP_COL) != "D") & F.col("text").isNull(), F.lit("null_payload"))
     )
-    tagged = batch.withColumn("_dirty_reason", reason)
+
+
+def split_valid_dirty(batch: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Validate events; returns (valid, dirty-with-reason)."""
+    tagged = batch.withColumn("_dirty_reason", dirty_reason_expr())
     valid = tagged.filter(F.col("_dirty_reason").isNull()).drop("_dirty_reason")
     dirty = tagged.filter(F.col("_dirty_reason").isNotNull())
     return valid, dirty

@@ -256,6 +256,80 @@ class LakeTable:
 
     # ------------------------------------------------------------------ MERGE
 
+    def apply_cdc(
+        self,
+        source: DataFrame,
+        key_cols: list[str],
+        op_col: str = "op",
+        seq_col: str | None = "seq",
+        delete_op: str = "D",
+        affected_buckets: list[int] | None = None,
+        properties: dict | None = None,
+    ) -> Snapshot:
+        """Keyed CDC apply: MERGE semantics in ONE aggregation pass.
+
+        ``source`` is a raw change batch (may hold many events per key). The
+        whole MERGE — dedupe-latest per key, update/insert, delete — is a
+        single last-writer-wins fold over ``target ∪ source``: existing table
+        rows enter with seq = -1, events with their real seq, and
+        ``groupBy(key).agg(max(struct(seq, op, payload)))`` keeps the newest
+        version of every key; rows whose winning op is a delete are dropped.
+
+        Scale notes:
+        - equivalent to ``MERGE INTO`` (WHEN MATCHED UPDATE / DELETE, WHEN NOT
+          MATCHED INSERT) but costs ONE shuffle for the fold (hash aggregate
+          with map-side partial combine — a hot key with 10^4 events in the
+          batch is pre-collapsed on every input partition) plus one bucket
+          repartition for the write, instead of anti-join + dedupe + write
+          shuffles.
+        - copy-on-write at bucket granularity: only buckets present in the
+          source are scanned (manifest file pruning) and rewritten; untouched
+          buckets carry their files into the new snapshot unchanged.
+        - ``affected_buckets`` can be passed in when the caller already
+          computed them (the engine gets them free from its lineage pass).
+        """
+        snap = self.snapshot()
+        payload_cols = [f.name for f in snap.schema.fields]
+        src = source.withColumn(_BUCKET_COL, self._bucket_expr(snap))
+        if seq_col is None:
+            seq_col = "_dsx_seq"
+            src = src.withColumn(seq_col, F.lit(0).cast("long"))
+        if affected_buckets is None:
+            affected_buckets = [r[0] for r in src.select(_BUCKET_COL).distinct().collect()]
+        affected = sorted(int(b) for b in affected_buckets)
+        if not affected:
+            return self._commit(snap, dict(snap.files), properties)
+
+        target = (
+            self.read(buckets=affected)
+            .withColumn(_BUCKET_COL, self._bucket_expr(snap))
+            .withColumn(seq_col, F.lit(-1).cast("long"))
+            .withColumn(op_col, F.lit("U"))
+        )
+        src_aligned = src.select(
+            *[
+                (F.col(c) if c in src.columns else F.lit(None).cast(f.dataType)).alias(c)
+                for c, f in ((f.name, f) for f in snap.schema.fields)
+            ],
+            F.col(seq_col).cast("long").alias(seq_col),
+            F.col(op_col),
+            F.col(_BUCKET_COL),
+        )
+        unioned = target.unionByName(src_aligned)
+        non_key = [seq_col, op_col, _BUCKET_COL] + [c for c in payload_cols if c not in key_cols]
+        latest = (
+            unioned.groupBy(*key_cols)
+            .agg(F.max(F.struct(*non_key)).alias("_w"))
+            .select(*key_cols, *[F.col(f"_w.{c}").alias(c) for c in non_key])
+        )
+        merged = latest.filter(F.col(op_col) != F.lit(delete_op)).select(*payload_cols, _BUCKET_COL)
+        new_files = self._write_data_files(merged, snap)
+
+        files = {b: list(fl) for b, fl in snap.files.items() if int(b) not in set(affected)}
+        for b, fl in new_files.items():
+            files[b] = fl
+        return self._commit(snap, files, properties)
+
     def merge(
         self,
         source: DataFrame,
@@ -264,39 +338,16 @@ class LakeTable:
         delete_op: str = "D",
         properties: dict | None = None,
     ) -> Snapshot:
-        """Copy-on-write MERGE: ``source`` must hold ONE row per key (pre-deduped,
-        latest-wins — see datax_spark.cdc.merge) with an op column.
+        """Classic MERGE API: ``source`` holds ONE row per key with an op column
 
-        Plan shape (scale notes):
-        - source bucket ids are computed with the table's bucket function; the
-          distinct-bucket collect is bounded by ``n_buckets`` (small).
-        - only affected buckets are scanned (file-list pruning) and rewritten;
-          untouched buckets' files carry over into the new snapshot unchanged.
-        - survivor selection is a left-anti join target⟕source-keys — shuffled
-          hash / broadcast chosen by AQE at runtime; both sides are already
-          bucket-restricted so the shuffle is proportional to the touched data,
-          not the table.
+        (the pre-deduped form — datax_spark.cdc.merge.dedupe_latest). Runs on
+        the same single-pass union-LWW plan as ``apply_cdc``.
         """
-        snap = self.snapshot()
-        payload_cols = [f.name for f in snap.schema.fields]
-        src = source.withColumn(_BUCKET_COL, self._bucket_expr(snap))
-        affected = [r[0] for r in src.select(_BUCKET_COL).distinct().collect()]
-        if not affected:
-            return self._commit(snap, dict(snap.files), properties)
-
-        target = self.read(buckets=affected).withColumn(_BUCKET_COL, self._bucket_expr(snap))
-        keys = src.select(*key_cols).distinct()
-        kept = target.join(keys, on=key_cols, how="left_anti")
-        upserts = src.filter(F.col(op_col) != F.lit(delete_op)).select(
-            *payload_cols, _BUCKET_COL
+        seq = "seq" if "seq" in source.columns else None
+        return self.apply_cdc(
+            source, key_cols, op_col=op_col, seq_col=seq, delete_op=delete_op,
+            properties=properties,
         )
-        merged = kept.unionByName(upserts)
-        new_files = self._write_data_files(merged, snap)
-
-        files = {b: list(fl) for b, fl in snap.files.items() if int(b) not in set(affected)}
-        for b, fl in new_files.items():
-            files[b] = fl
-        return self._commit(snap, files, properties)
 
     # --------------------------------------------------------- schema evolution
 
