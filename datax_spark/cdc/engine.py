@@ -129,11 +129,20 @@ class CdcEngine:
         if os.path.exists(manifest_path):
             with open(manifest_path) as f:
                 return json.load(f)  # exactly-once: replay is a no-op
+        return self.apply_batch(self.read_epoch(epoch), epoch)
+
+    def apply_batch(self, batch: DataFrame, epoch: int) -> dict:
+        """Apply one micro-batch (used by both the epoch loop and the
+        Structured Streaming foreachBatch sink — ``epoch`` is the streaming
+        batch id there). Idempotent per epoch id."""
+        manifest_path = os.path.join(self.commits_dir, f"epoch-{epoch}.json")
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                return json.load(f)
 
         snap = self.table.snapshot()
         already = int(snap.properties.get("engine_epoch", -1))
         t0 = time.time()
-        batch = self.read_epoch(epoch)
         self._evolve_schema(batch)
         snap = self.table.snapshot()
 
