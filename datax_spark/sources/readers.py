@@ -1,0 +1,140 @@
+"""Reader factories — the reference's reader-plugin surface on Spark sources.
+
+Every reader accepts the common pushdown knobs of the reference's RDBMS/file
+readers (SURVEY.md §2.1/§2.2): ``columns`` (projection → Catalyst column
+pruning), ``where`` (predicate → pushdown into the scan). Parallel-split
+parity: file formats split by file/row-group natively; JDBC exposes the same
+min/max range-split design (splitPk → partitionColumn/lowerBound/upperBound/
+numPartitions, CommonRdbmsReader/SingleTableSplitUtil).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+READERS: dict[str, Callable] = {}
+
+
+def reader(name: str):
+    def deco(fn):
+        READERS[name] = fn
+        return fn
+
+    return deco
+
+
+def _apply_pushdown(df: DataFrame, p: dict) -> DataFrame:
+    if p.get("where"):
+        df = df.filter(p["where"])
+    cols = p.get("columns") or p.get("column")
+    if cols and cols != ["*"]:
+        df = df.select(*cols)
+    return df
+
+
+@reader("parquetreader")
+def parquet_reader(spark: SparkSession, p: dict) -> DataFrame:
+    df = spark.read.options(**p.get("options", {})).parquet(*_paths(p))
+    return _apply_pushdown(df, p)
+
+
+@reader("orcreader")
+def orc_reader(spark: SparkSession, p: dict) -> DataFrame:
+    df = spark.read.options(**p.get("options", {})).orc(*_paths(p))
+    return _apply_pushdown(df, p)
+
+
+@reader("jsonreader")
+def json_reader(spark: SparkSession, p: dict) -> DataFrame:
+    df = spark.read.options(**p.get("options", {})).json(*_paths(p))
+    return _apply_pushdown(df, p)
+
+
+@reader("txtfilereader")
+@reader("csvreader")
+def csv_reader(spark: SparkSession, p: dict) -> DataFrame:
+    """txtfilereader/ftpreader/ossreader CSV surface
+    (UnstructuredStorageReaderUtil: fieldDelimiter/encoding/compress/
+    skipHeader/nullFormat). Compression is inferred natively by Spark."""
+    opts = {
+        "sep": p.get("fieldDelimiter", ","),
+        "encoding": p.get("encoding", "UTF-8"),
+        "header": str(p.get("skipHeader", False)).lower(),
+        "nullValue": p.get("nullFormat", "\\N"),
+    }
+    opts.update(p.get("options", {}))
+    df = spark.read.options(**opts).csv(*_paths(p))
+    return _apply_pushdown(df, p)
+
+
+@reader("jdbcreader")
+def jdbc_reader(spark: SparkSession, p: dict) -> DataFrame:
+    """RDBMS reader surface: table or querySql; splitPk → partitioned range
+    scan (Spark JDBC mirrors SingleTableSplitUtil's min/max+range design)."""
+    opts = {"url": p["jdbcUrl"], "driver": p.get("driver")}
+    if p.get("querySql"):
+        opts["query"] = p["querySql"]
+    else:
+        opts["dbtable"] = p["table"]
+    if p.get("splitPk"):
+        opts.update(
+            partitionColumn=p["splitPk"],
+            lowerBound=str(p["lowerBound"]),
+            upperBound=str(p["upperBound"]),
+            numPartitions=str(p.get("numPartitions", 8)),
+        )
+    for k in ("user", "password", "fetchsize"):
+        if p.get(k):
+            opts[k] = str(p[k])
+    df = spark.read.format("jdbc").options(**{k: v for k, v in opts.items() if v}).load()
+    return _apply_pushdown(df, p)
+
+
+@reader("streamreader")
+def stream_reader(spark: SparkSession, p: dict) -> DataFrame:
+    """Synthetic source (streamreader StreamReader.java:175-301): N rows from
+    per-column {value|random} specs — deterministic hash randomness, columnar."""
+    n = int(p.get("sliceRecordCount", p.get("count", 100)))
+    df = spark.range(n)
+    exprs = []
+    for i, spec in enumerate(p.get("column", [])):
+        name = spec.get("name", f"c{i}")
+        typ = spec.get("type", "string")
+        if "random" in spec:
+            lo, hi = (int(x) for x in str(spec["random"]).split(","))
+            col = (F.lit(lo) + F.pmod(F.xxhash64(F.lit(f"sr:{i}"), F.col("id")), F.lit(max(hi - lo, 1) + 1))).cast("long")
+            if typ == "string":
+                col = F.hex(F.xxhash64(col))
+            elif typ == "double":
+                col = col.cast("double")
+        else:
+            col = F.lit(spec.get("value"))
+            col = col.cast({"long": "long", "double": "double", "string": "string",
+                            "bool": "boolean", "date": "timestamp"}.get(typ, "string"))
+        exprs.append(col.alias(name))
+    return df.select(*exprs) if exprs else df
+
+
+@reader("lakereader")
+def lake_reader(spark: SparkSession, p: dict) -> DataFrame:
+    from datax_spark.lake.table import LakeTable
+
+    t = LakeTable(spark, p["root"])
+    df = t.read(version=p.get("version"), buckets=p.get("buckets"))
+    return _apply_pushdown(df, p)
+
+
+def _paths(p: dict) -> list[str]:
+    path = p.get("path")
+    if isinstance(path, str):
+        return [path]
+    return list(path)
+
+
+def build_reader(spark: SparkSession, name: str, parameter: dict) -> DataFrame:
+    if name not in READERS:
+        raise KeyError(f"unknown reader {name!r}; available: {sorted(READERS)}")
+    return READERS[name](spark, parameter)
