@@ -160,6 +160,156 @@ def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------ training-data ops (datax_spark.ops.*)
+
+def q_doc_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup fingerprint groups (normalized-md5; ops.dedup)."""
+    from datax_spark.ops.dedup import exact_dedup_groups
+
+    d = _t(spark, sf_dir, "documents")
+    return exact_dedup_groups(d).select("fp", "keep_id", "dup_count")
+
+
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-heuristic language ID (ops.text.language_scores)."""
+    from datax_spark.ops.text import language_scores
+
+    d = _t(spark, sf_dir, "documents")
+    return language_scores(d).select(
+        "doc_id", "score_en", "score_fr", "score_de", "score_es", "lang_guess"
+    )
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring features + composite score (ops.text.quality_score)."""
+    from datax_spark.ops.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    return quality_score(d).select(
+        "doc_id",
+        "n_tokens",
+        F.round("alpha_ratio", 6).alias("alpha_ratio"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("mean_token_len", 6).alias("mean_token_len"),
+        "quality_score",
+    )
+
+
+def q_doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive polynomial rolling-hash fingerprint (ops.text)."""
+    from datax_spark.ops.text import rolling_hash_expr
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", rolling_hash_expr().alias("rhash"))
+
+
+def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-5-shingle Jaccard pairs >= 0.2, blocked by lang (ops.dedup)."""
+    from datax_spark.ops.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, w=5, threshold=0.2, block_col="lang")
+
+
+def q_doc_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidates verified by exact Jaccard (ops.dedup) — the
+    10^9-doc scale path. No SQL oracle (xxhash64 minhashes are not portable);
+    validated against pure-Python Jaccard in tests/test_ops.py."""
+    from datax_spark.ops.dedup import minhash_near_dupes
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_near_dupes(d, w=5, threshold=0.2, n_bands=32)
+
+
+def q_doc_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded near-dup pairs (ops.dedup); pytest-validated."""
+    from datax_spark.ops.dedup import simhash_near_dupes
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_dupes(d, max_hamming=8)
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 for probe vectors (ops.similarity)."""
+    from datax_spark.ops.similarity import cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.filter(F.pmod(F.col("vec_id"), F.lit(97)) == 0)
+    return cosine_topk(probes, e, k=5)
+
+
+def q_emb_label_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact high-similarity vector pairs (cos >= 0.3) blocked by label.
+
+    (The synthetic embeddings hold no true near-dups — same-label max cosine
+    is ~0.47 — so the threshold selects the top ~1% most-similar pairs; the
+    near-dup case with planted duplicates is covered in tests/test_ops.py.)"""
+    from datax_spark.ops.similarity import cosine_expr
+
+    e = _t(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"), "label")
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"), "label")
+    return (
+        a.join(b, "label")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine_expr(F.col("_va"), F.col("_vb")), 6))
+        .where(F.col("cos") >= 0.3)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def q_emb_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed near-dup pairs (ops.similarity) — the scale path; no SQL
+    oracle (hyperplanes from xxhash64); recall vs exact is pytest-checked."""
+    from datax_spark.ops.similarity import embedding_near_dupes
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dupes(e, threshold=0.3, dim=64)
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload column -> Arrow-batched feature
+    extraction (ops.multimodal, mapInPandas; decode stubbed by design)."""
+    from datax_spark.ops.multimodal import extract_features, synth_media
+
+    d = _t(spark, sf_dir, "documents")
+    return extract_features(synth_media(d))
+
+
+_DOC_TOKS = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
+
+
+def _lang_score_sql(words: tuple[str, ...]) -> str:
+    arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    return f"len(list_filter({_DOC_TOKS}, t -> list_contains({arr}, t)))"
+
+
+_SHINGLE_SQL = """
+    WITH toks AS (
+        SELECT doc_id, lang,
+               list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+        FROM documents
+    ), sh0 AS (
+        SELECT doc_id, lang, ts,
+               unnest(range(1, greatest(len(ts) - 4, 1) + 1)) AS i
+        FROM toks
+    ), sh AS (
+        SELECT DISTINCT doc_id, lang,
+               concat_ws(' ', ts[i], ts[i+1], ts[i+2], ts[i+3], ts[i+4]) AS shingle
+        FROM sh0
+    ), shf AS (
+        SELECT * FROM sh WHERE shingle <> ''
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY 1
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.lang = b.lang
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_fold_latest": q_cdc_fold_latest,
     "cdc_op_mix": q_cdc_op_mix,
@@ -169,6 +319,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "region_customers": q_region_customers,
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_token_stats": q_doc_token_stats,
+    "doc_fingerprint_groups": q_doc_fingerprint_groups,
+    "doc_lang_id": q_doc_lang_id,
+    "doc_quality": q_doc_quality,
+    "doc_rolling_hash": q_doc_rolling_hash,
+    "doc_ngram_jaccard": q_doc_ngram_jaccard,
+    "doc_minhash_near_dup": q_doc_minhash_near_dup,
+    "doc_simhash_near_dup": q_doc_simhash_near_dup,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "emb_label_near_dup": q_emb_label_near_dup,
+    "emb_lsh_near_dup": q_emb_lsh_near_dup,
+    "media_features": q_media_features,
 }
 
 ORACLES: dict[str, str] = {
@@ -222,6 +383,102 @@ ORACLES: dict[str, str] = {
                length(text) AS n_chars_actual,
                CAST(length(text) < 100 AS INT) AS is_short
         FROM documents
+    """,
+    "doc_fingerprint_groups": """
+        SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+                                       ' +', ' ', 'g'))) AS fp,
+               min(doc_id) AS keep_id, count(*) AS dup_count
+        FROM documents GROUP BY 1
+    """,
+    "doc_lang_id": f"""
+        WITH s AS (
+            SELECT doc_id,
+                   CAST({_lang_score_sql(("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"))} AS INTEGER) AS score_en,
+                   CAST({_lang_score_sql(("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"))} AS INTEGER) AS score_fr,
+                   CAST({_lang_score_sql(("der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von"))} AS INTEGER) AS score_de,
+                   CAST({_lang_score_sql(("el", "la", "los", "de", "y", "un", "una", "es", "que", "para"))} AS INTEGER) AS score_es
+            FROM documents
+        )
+        SELECT doc_id, score_en, score_fr, score_de, score_es,
+               CASE WHEN greatest(score_en, score_fr, score_de, score_es) = 0 THEN 'und'
+                    WHEN score_en = greatest(score_en, score_fr, score_de, score_es) THEN 'en'
+                    WHEN score_fr = greatest(score_en, score_fr, score_de, score_es) THEN 'fr'
+                    WHEN score_de = greatest(score_en, score_fr, score_de, score_es) THEN 'de'
+                    ELSE 'es' END AS lang_guess
+        FROM s
+    """,
+    "doc_quality": f"""
+        WITH f AS (
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   CAST(len({_DOC_TOKS}) AS INTEGER) AS n_tokens,
+                   length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                   length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS n_punct,
+                   length(regexp_replace(text, '[^ ]', '', 'g')) AS n_space
+            FROM documents
+        ), g AS (
+            SELECT doc_id, n_tokens,
+                   CAST(n_alpha AS DOUBLE) / greatest(n_chars, 1) AS alpha_ratio,
+                   CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) AS punct_ratio,
+                   CASE WHEN n_tokens > 0
+                        THEN CAST(n_chars - n_space AS DOUBLE) / n_tokens END AS mean_token_len,
+                   n_chars
+            FROM f
+        )
+        SELECT doc_id, n_tokens,
+               round(alpha_ratio, 6) AS alpha_ratio,
+               round(punct_ratio, 6) AS punct_ratio,
+               round(mean_token_len, 6) AS mean_token_len,
+               round(CAST(n_chars >= 50 AND n_chars <= 10000 AS INTEGER) * 0.4
+                     + CAST(mean_token_len >= 2.0 AND mean_token_len <= 12.0 AS INTEGER) * 0.2
+                     + least(alpha_ratio * 0.5, 0.4), 4) AS quality_score
+        FROM g
+    """,
+    "doc_rolling_hash": """
+        SELECT doc_id,
+               CASE WHEN length(text) = 0 THEN 0
+                    ELSE list_reduce(
+                        list_transform(range(1, length(text) + 1),
+                                       i -> CAST(ascii(text[i]) AS BIGINT)),
+                        (acc, x) -> (acc * 31 + x) % 1000000007)
+               END AS rhash
+        FROM documents
+    """,
+    "doc_ngram_jaccard": _SHINGLE_SQL + """
+        SELECT id_a, id_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+               round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.2
+    """,
+    "ann_cosine_topk": """
+        WITH p AS (
+            SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
+            FROM embeddings WHERE vec_id % 97 = 0
+        ), c AS (
+            SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+        ), s AS (
+            SELECT probe_id, neighbor_id,
+                   round(list_cosine_similarity(pv, cv), 6) AS cos
+            FROM p, c WHERE probe_id <> neighbor_id
+        ), r AS (
+            SELECT probe_id, neighbor_id, cos,
+                   CAST(row_number() OVER (PARTITION BY probe_id
+                                           ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+            FROM s
+        )
+        SELECT probe_id, neighbor_id, rank, cos FROM r WHERE rank <= 5
+    """,
+    "emb_label_near_dup": """
+        WITH s AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 6) AS cos
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b, cos FROM s WHERE cos >= 0.3
     """,
 }
 

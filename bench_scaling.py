@@ -1,0 +1,147 @@
+"""Scaling-evidence benchmark: identical CDC replay at N and 4N cores.
+
+The target criterion (BASELINE.json north_rule) is throughput scaling
+efficiency >= 0.8 between N and 4N executor *clusters*; this sandbox has no
+real cluster, so per the BASELINE.md protocol we run the IDENTICAL job and
+IDENTICAL input at two local parallelism levels — ``local[8]`` vs
+``local[32]`` with shuffle partitions scaled proportionally — in separate
+JVMs, and report
+
+    efficiency = throughput(4N) / (4 * throughput(N))
+
+Usage:
+    python bench_scaling.py                 # orchestrate: generate once, run 8 then 32
+    python bench_scaling.py --cpus 8 ...    # (internal) one measured worker run
+
+Knobs (env): DSX_SCALE_CONVS (default 120000), DSX_SCALE_EPOCHS (default 4),
+DSX_SCALE_N (default 8), DSX_SCALE_4N (default 32).
+
+Writes BENCH_SCALING.json at the repo root and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def worker(cpus: int, feed: str, workdir: str, out: str) -> None:
+    """One measured run: fresh table + checkpoint, replay the shared feed."""
+    from datax_spark.cdc.engine import CdcEngine, EngineConfig
+    from datax_spark.cdc.schema import TRANSCRIPTS_SCHEMA_V1
+    from datax_spark.lake.table import LakeTable
+    from datax_spark.session import get_spark
+
+    # Memory scales with parallelism — a 4N-executor cluster has 4x the
+    # aggregate heap of an N-executor one; emulate that or the 4N run just
+    # measures GC thrash at the same fixed heap.
+    mem_gb = int(os.environ.get("DSX_SCALE_MEM_PER_CORE_GB", "2")) * cpus
+    spark = get_spark(
+        app_name=f"dsx-scale-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus * 2,
+        extra_conf={"spark.driver.memory": f"{mem_gb}g"},
+    )
+    table_root = os.path.join(workdir, f"table-{cpus}")
+    ckpt = os.path.join(workdir, f"ckpt-{cpus}")
+    shutil.rmtree(table_root, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    LakeTable.create(spark, table_root, TRANSCRIPTS_SCHEMA_V1, bucket_key="conv_id", n_buckets=64)
+    engine = CdcEngine(
+        spark,
+        EngineConfig(table_root=table_root, feed_dir=feed, checkpoint_dir=ckpt),
+    )
+    t0 = time.time()
+    summary = engine.run()
+    dt = time.time() - t0
+    res = {
+        "cpus": cpus,
+        "shuffle_partitions": cpus * 2,
+        "replay_sec": round(dt, 2),
+        "events": summary["events_applied"],
+        "events_per_sec": round(summary["events_applied"] / dt, 1),
+        "epochs": summary["epochs_applied"],
+        "final_rows": engine.table.snapshot().total_rows(),
+        "epoch_secs": [
+            m["duration_s"] for m in engine.cfg.metrics if m.get("kind") == "epoch_commit"
+        ],
+    }
+    with open(out, "w") as f:
+        json.dump(res, f)
+    spark.stop()
+
+
+def orchestrate() -> None:
+    n_convs = int(os.environ.get("DSX_SCALE_CONVS", "120000"))
+    n_epochs = int(os.environ.get("DSX_SCALE_EPOCHS", "4"))
+    lo = int(os.environ.get("DSX_SCALE_N", "8"))
+    hi = int(os.environ.get("DSX_SCALE_4N", "32"))
+    workdir = os.environ.get("DSX_SCALE_DIR", "/tmp/dsx-scale")
+    shutil.rmtree(workdir, ignore_errors=True)
+    os.makedirs(workdir)
+    feed = os.path.join(workdir, "feed")
+
+    # Generate the shared input once (not part of the measurement).
+    from datax_spark.cdc.generator import ChangeFeedSpec, generate_change_feed
+    from datax_spark.session import get_spark
+
+    spark = get_spark(app_name="dsx-scale-gen", master=f"local[{hi}]", shuffle_partitions=hi * 2)
+    spec = ChangeFeedSpec(seed=42, n_convs=n_convs, n_epochs=n_epochs,
+                          evolve_frac=0.5, update_rate=0.45, hot_cap=500)
+    stats = generate_change_feed(spark, feed, spec)
+    spark.stop()
+
+    results = {}
+    for cpus in (lo, hi):
+        out = os.path.join(workdir, f"result-{cpus}.json")
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--cpus", str(cpus),
+             "--feed", feed, "--workdir", workdir, "--out", out],
+            check=True, cwd=REPO,
+        )
+        with open(out) as f:
+            results[cpus] = json.load(f)
+
+    tp_lo, tp_hi = results[lo]["events_per_sec"], results[hi]["events_per_sec"]
+    ratio = hi / lo
+    eff = tp_hi / (ratio * tp_lo)
+    out = {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": f"throughput({hi})/({ratio:g}*throughput({lo}))",
+        "target": 0.8,
+        "pass": eff >= 0.8,
+        "total_events": stats["total_events"],
+        "epochs": n_epochs,
+        "runs": results,
+    }
+    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+    shutil.rmtree(workdir, ignore_errors=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int)
+    ap.add_argument("--feed")
+    ap.add_argument("--workdir")
+    ap.add_argument("--out")
+    args = ap.parse_args()
+    if args.cpus:
+        worker(args.cpus, args.feed, args.workdir, args.out)
+    else:
+        orchestrate()
+
+
+if __name__ == "__main__":
+    main()

@@ -56,6 +56,15 @@ class EngineConfig:
     op_col: str = OP_COL
     error_limit_count: int | None = None     # None = unlimited (no abort)
     error_limit_fraction: float | None = None
+    # skew governance (datax_spark.cdc.skew): report keys with >= this many
+    # events in an epoch into the manifest; None disables the extra pass.
+    hot_key_min_count: int | None = None
+    # two-phase salted MERGE fold for feeds where single keys defeat the
+    # map-side combine (hot key spread over very many input partitions).
+    merge_salts: int | None = None
+    # "colocated": shuffle only events, per-bucket Arrow merge (default);
+    # "shuffle": single-pass union-LWW Catalyst fold (see LakeTable.apply_cdc).
+    merge_strategy: str = "colocated"
     metrics: list = field(default_factory=list)
 
 
@@ -183,6 +192,14 @@ class CdcEngine:
 
         max_seq = max((v["max_seq"] for v in lineage.values()), default=None)
 
+        hot_keys: list[dict] = []
+        if self.cfg.hot_key_min_count is not None:
+            from datax_spark.cdc import skew
+
+            hot_keys = skew.detect_hot_keys(
+                valid, key_cols=[self.cfg.key_cols[0]], min_count=self.cfg.hot_key_min_count
+            )
+
         if already >= epoch:
             # snapshot landed previously but manifest write crashed: emit manifest only
             new_version = snap.version
@@ -197,6 +214,8 @@ class CdcEngine:
                     "engine_epoch": epoch,
                     "max_applied_seq": max_seq,
                 },
+                n_salts=self.cfg.merge_salts,
+                strategy=self.cfg.merge_strategy,
             )
             new_version = new_snap.version
 
@@ -211,6 +230,8 @@ class CdcEngine:
             "duration_s": round(dt, 3),
             "events_per_sec": round(n_valid / dt, 1) if dt > 0 else None,
         }
+        if hot_keys:
+            manifest["hot_keys"] = hot_keys
         _atomic_write_json(manifest_path, manifest)
         self._emit(
             {

@@ -1,0 +1,175 @@
+"""Training-data ops: dedup (exact/minhash/simhash/jaccard), similarity
+search, text analysis, multimodal plumbing — validated against independent
+pure-Python/numpy computations."""
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from datax_spark.ops import dedup as D
+from datax_spark.ops import multimodal as MM
+from datax_spark.ops import similarity as S
+from datax_spark.ops import text as TX
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "near the warm fire and the dog dreams of bones"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE, "en"),
+        (1, BASE, "en"),                                   # exact dup of 0
+        (2, BASE.replace("lazy", "sleepy"), "en"),          # near dup of 0
+        (3, BASE.replace("dog", "wolf").replace("cat", "owl"), "en"),  # nearish
+        (4, "le chat est sur la table et le chien est dans le jardin pour la nuit", "fr"),
+        (5, "der hund ist ein gutes tier und die katze ist auch ein gutes tier", "de"),
+        (6, "completely different words about spark engines and parquet files here", "en"),
+        (7, "  The   QUICK brown fox jumps over the lazy dog while the cat sleeps "
+            "near the warm fire and the dog dreams of bones!! ", "en"),  # normalized dup of 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def _shingles(text, w=5):
+    toks = [t for t in text.lower().split(" ") if t]
+    if len(toks) <= w:
+        return {" ".join(toks[:w])}
+    return {" ".join(toks[i:i + w]) for i in range(len(toks) - w + 1)}
+
+
+def _jaccard(a, b, w=5):
+    sa, sb = _shingles(a, w), _shingles(b, w)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_exact_dedup(docs):
+    groups = {r["keep_id"]: r["dup_count"] for r in D.exact_dedup_groups(docs).collect()}
+    assert groups[0] == 3  # 0, 1, and 7 (same after normalization)
+    kept = {r["doc_id"] for r in D.exact_dedup(docs).collect()}
+    assert 0 in kept and 1 not in kept and 7 not in kept
+    assert {2, 3, 4, 5, 6} <= kept
+
+
+def test_ngram_jaccard_pairs(docs):
+    rows = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in D.ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert (0, 1) in rows and rows[(0, 1)] == 1.0
+    assert (0, 2) in rows
+    for (a, b), j in rows.items():
+        assert abs(j - _jaccard(texts[a], texts[b])) < 1e-6
+
+
+def test_minhash_near_dupes(docs):
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in D.minhash_near_dupes(docs, threshold=0.3, n_bands=32).collect()}
+    # 32 bands x 2 rows: LSH threshold (1/32)^(1/2) ~ 0.18 -> recall ~1 at j>=0.3
+    assert (0, 1) in got and got[(0, 1)] == 1.0
+    assert (0, 2) in got
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for (a, b), j in got.items():
+        assert abs(j - _jaccard(texts[a], texts[b])) < 1e-6  # verified, not approximated
+
+
+def test_simhash(docs):
+    sigs = {r["doc_id"]: r["simhash"] for r in D.simhash_signatures(docs).collect()}
+    assert sigs[0] == sigs[1]  # identical text -> identical signature
+    ham02 = bin(sigs[0] ^ sigs[2]).count("1")
+    ham06 = bin(sigs[0] ^ sigs[6]).count("1")
+    assert ham02 < ham06  # near-dup closer than unrelated
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in D.simhash_near_dupes(docs, max_hamming=8).collect()}
+    assert pairs.get((0, 1)) == 0
+
+
+def test_text_quality_and_lang(docs):
+    q = {r["doc_id"]: r for r in TX.quality_score(docs).collect()}
+    assert q[0]["n_tokens"] == len(BASE.split())
+    assert 0.0 <= q[0]["quality_score"] <= 1.0
+    assert q[0]["alpha_ratio"] > 0.7
+    lang = {r["doc_id"]: r["lang_guess"] for r in TX.language_scores(docs).collect()}
+    assert lang[0] == "en" and lang[4] == "fr" and lang[5] == "de"
+
+
+def test_fingerprint_and_rolling_hash(docs, spark):
+    fp = {r["doc_id"]: r["fp"] for r in docs.select("doc_id", TX.fingerprint_expr().alias("fp")).collect()}
+    assert fp[0] == fp[7] != fp[2]
+    norm = " ".join(BASE.lower().split())
+    assert fp[0] == hashlib.md5(norm.encode()).hexdigest()
+    rh = {r["doc_id"]: r["rh"] for r in docs.select("doc_id", TX.rolling_hash_expr().alias("rh")).collect()}
+    expect = 0
+    for ch in BASE:
+        expect = (expect * 31 + ord(ch)) % 1_000_000_007
+    assert rh[0] == expect
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.RandomState(7)
+    centers = rng.randn(4, 16)
+    rows = []
+    for i in range(60):
+        c = centers[i % 4]
+        v = c + 0.05 * rng.randn(16)
+        rows.append((i, [float(x) for x in v]))
+    v0 = np.array(rows[0][1])
+    rows.append((60, [float(x) for x in v0 + 1e-4 * rng.randn(16)]))  # near-dup of vec 0
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), rows
+
+
+def test_cosine_topk_matches_numpy(vectors):
+    df, rows = vectors
+    probes = df.where(F.col("vec_id") < 3)
+    got = S.cosine_topk(probes, df, k=5).collect()
+    mat = np.array([r[1] for r in rows])
+    ids = np.array([r[0] for r in rows])
+    normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for pid in range(3):
+        cos = normed @ normed[pid]
+        order = sorted(
+            [(round(float(cos[j]), 6), int(ids[j])) for j in range(len(ids)) if ids[j] != pid],
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        mine = sorted(
+            [(r["cos"], r["neighbor_id"]) for r in got if r["probe_id"] == pid],
+            key=lambda t: (-t[0], t[1]),
+        )
+        assert [t[1] for t in mine] == [t[1] for t in order]
+
+
+def test_lsh_ann_recall(vectors):
+    df, _ = vectors
+    probes = df.where(F.col("vec_id") < 8)
+    exact = {(r["probe_id"], r["neighbor_id"]) for r in S.cosine_topk(probes, df, k=3).collect()}
+    approx = {(r["probe_id"], r["neighbor_id"]) for r in S.lsh_ann_topk(probes, df, k=3, dim=16).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6  # same-cluster vectors share hyperplane buckets
+
+
+def test_embedding_near_dupes(vectors):
+    df, _ = vectors
+    pairs = {(r["id_a"], r["id_b"]): r["cos"]
+             for r in S.embedding_near_dupes(df, threshold=0.999, dim=16).collect()}
+    assert (0, 60) in pairs  # the planted near-duplicate
+
+
+def test_multimodal_plumbing(docs):
+    media = MM.synth_media(docs)
+    r = media.where(F.col("doc_id") == 0).collect()[0]
+    assert bytes(r["payload"]).decode() == BASE
+    assert r["media_meta"]["n_bytes"] == len(BASE)
+
+    feats = {r["doc_id"]: r["features"] for r in MM.extract_features(media).collect()}
+    assert len(feats[0]) == 8 and feats[0] == feats[1]  # deterministic, equal for dup text
+    assert all(0.0 <= x <= 1.0 for x in feats[0])
+
+    with pytest.raises(NotImplementedError):
+        MM.decode_image(media)
+
+    plan = MM.frame_sample_plan(media, every_n=1)
+    assert plan.count() >= media.count()
