@@ -108,6 +108,68 @@ def q_dx_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
 
 
+def q_dx_cast_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColumnCast format-fallback chain (transforms.cast): mixed-format date
+    strings parsed by one coalesce(try_to_timestamp...) expression."""
+    from datax_spark.transforms.cast import CastFormats, parse_timestamp_expr
+
+    ev = _t(spark, sf_dir, "events")
+    raw = (
+        F.when(F.pmod(F.col("event_id"), F.lit(3)) == 0,
+               F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))
+        .when(F.pmod(F.col("event_id"), F.lit(3)) == 1,
+              F.date_format("ts", "dd/MM/yyyy"))
+        .otherwise(F.date_format("ts", "yyyy-MM-dd"))
+    )
+    fmts = CastFormats(extra_formats=["dd/MM/yyyy"])
+    return ev.select(
+        "event_id",
+        raw.alias("raw"),
+        parse_timestamp_expr(raw, fmts).alias("parsed"),
+    )
+
+
+def q_nested_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dotted-path flatten + array join (transforms.nested; Mongo-reader edge
+    semantics) over a constructed nested shape."""
+    from datax_spark.transforms.nested import flatten
+
+    o = _t(spark, sf_dir, "orders")
+    nested = o.select(
+        F.col("o_orderkey"),
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.struct(F.col("o_totalprice").alias("total")).alias("amt"),
+        ).alias("doc"),
+        F.array(F.col("o_orderkey").cast("string"), F.col("o_custkey").cast("string")).alias("keys"),
+    )
+    return flatten(
+        nested,
+        {"o_orderkey": "o_orderkey", "status": "doc.status",
+         "total": "doc.amt.total", "key_list": "keys"},
+    )
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min) per user: lag + cumulative-sum window."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.withColumn("session_id", F.sum(new_sess).over(w))
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .select("user_id", "session_id", "n_events", "session_start", "session_end")
+    )
+
+
 # --------------------------------------------------------- analytic queries
 
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -315,6 +377,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_op_mix": q_cdc_op_mix,
     "dx_transform_chain": q_dx_transform_chain,
     "dx_filter": q_dx_filter,
+    "dx_cast_chain": q_dx_cast_chain,
+    "nested_flatten": q_nested_flatten,
+    "events_sessionize": q_events_sessionize,
     "events_hourly": q_events_hourly,
     "region_customers": q_region_customers,
     "doc_exact_dedup": q_doc_exact_dedup,
@@ -360,6 +425,38 @@ ORACLES: dict[str, str] = {
         FROM lineitem
         WHERE l_quantity >= 30 AND l_returnflag <> 'A'
           AND l_shipdate > TIMESTAMP '1995-01-01 00:00:00'
+    """,
+    "dx_cast_chain": """
+        SELECT event_id,
+               CASE WHEN event_id % 3 = 0 THEN strftime(ts, '%Y-%m-%d %H:%M:%S')
+                    WHEN event_id % 3 = 1 THEN strftime(ts, '%d/%m/%Y')
+                    ELSE strftime(ts, '%Y-%m-%d') END AS raw,
+               CASE WHEN event_id % 3 = 0 THEN date_trunc('second', ts)
+                    ELSE date_trunc('day', ts) END AS parsed
+        FROM events
+    """,
+    "nested_flatten": """
+        SELECT o_orderkey, o_orderstatus AS status, o_totalprice AS total,
+               CAST(o_orderkey AS VARCHAR) || ',' || CAST(o_custkey AS VARCHAR) AS key_list
+        FROM orders
+    """,
+    "events_sessionize": """
+        WITH g AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+            SELECT user_id, ts,
+                   CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+            FROM g
+        )
+        SELECT user_id, session_id, count(*) AS n_events,
+               min(ts) AS session_start, max(ts) AS session_end
+        FROM s GROUP BY user_id, session_id
     """,
     "events_hourly": """
         SELECT event_type, date_trunc('hour', ts) AS hour,

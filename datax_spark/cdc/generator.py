@@ -52,6 +52,11 @@ class ChangeFeedSpec:
     evolve_frac: float = 0.5       # tool column appears at this fraction of epochs
     dirty_frac: float = 0.0        # fraction of extra malformed events
     max_text_chars: int = 2000
+    # Files per epoch dir. A real binlog/WAL feed arrives as per-shard files
+    # (otsstreamreader shards, loghub cursors); one fat file per epoch caps the
+    # consumer's scan parallelism at 1 task — shard by conv_id so each shard
+    # carries whole conversation streams, like a key-partitioned binlog.
+    shards_per_epoch: int = 32
 
     @property
     def evolve_epoch(self) -> int:
@@ -224,9 +229,12 @@ def generate_change_feed(spark: SparkSession, feed_dir: str, spec: ChangeFeedSpe
             continue
         if part == "v2" and ev_epoch >= spec.n_epochs:
             continue
+        shard = F.pmod(F.xxhash64(F.col("conv_id")), F.lit(spec.shards_per_epoch))
         (
-            dfp.repartition("epoch_hint")
-            .sortWithinPartitions("seq")
+            # deterministic conv_id-hash sharding; partitionBy(epoch) then
+            # splits each shard task's output into one file per epoch present
+            dfp.repartition(spec.shards_per_epoch, shard)
+            .sortWithinPartitions("epoch_hint", "seq")
             .withColumnRenamed("epoch_hint", "epoch")
             .write.mode("append")
             .partitionBy("epoch")

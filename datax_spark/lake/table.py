@@ -46,10 +46,84 @@ from pyspark.sql import types as T
 _META = "_meta"
 _DATA = "data"
 _BUCKET_COL = "_dsx_bucket"
+_PID_COL = "_dsx_pid"
 
 
 def _snapshot_name(version: int) -> str:
     return f"v{version:012d}.json"
+
+
+# --------------------------------------------------------------- task steering
+#
+# ``df.repartition(n, col)`` places rows by pmod(murmur3(col), n): with B
+# buckets steered onto ~B partitions, balls-in-bins collisions put 2-4 buckets
+# on some tasks and none on others, and the workaround of 4x over-partitioning
+# trades balance for hundreds of near-empty Python tasks whose fixed cost
+# (worker round-trip + Arrow setup, measured ~100-250 ms each) dominates the
+# stage. Instead we make placement EXACT: assign buckets to
+# min(defaultParallelism, B) tasks with size-aware greedy LPT packing, then
+# steer each bucket to its task through a precomputed "magic" integer whose
+# Murmur3 hash lands on exactly that partition. One balanced wave of tasks, no
+# collisions, no empties — the same trick works at 4 or 4000 cores.
+
+
+def _murmur3_int32(x: int, seed: int = 42) -> int:
+    """Spark's ``hash()`` for a non-null IntegerType column (Murmur3_x86_32,
+    seed 42) — used to invert HashPartitioning driver-side."""
+    x &= 0xFFFFFFFF
+    k1 = (x * 0xCC9E2D51) & 0xFFFFFFFF
+    k1 = ((k1 << 15) | (k1 >> 17)) & 0xFFFFFFFF
+    k1 = (k1 * 0x1B873593) & 0xFFFFFFFF
+    h1 = (seed ^ k1) & 0xFFFFFFFF
+    h1 = ((h1 << 13) | (h1 >> 19)) & 0xFFFFFFFF
+    h1 = (h1 * 5 + 0xE6546B64) & 0xFFFFFFFF
+    h1 ^= 4  # fmix, input length 4 bytes
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & 0xFFFFFFFF
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & 0xFFFFFFFF
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+_MAGIC_CACHE: dict[int, list[int]] = {}
+
+
+def _partition_magic(n_tasks: int) -> list[int]:
+    """magic[t] = smallest int v with pmod(murmur3(v), n_tasks) == t."""
+    vals = _MAGIC_CACHE.get(n_tasks)
+    if vals is None:
+        found: dict[int, int] = {}
+        v = 0
+        while len(found) < n_tasks:
+            p = _murmur3_int32(v) % n_tasks
+            if p not in found:
+                found[p] = v
+            v += 1
+        vals = _MAGIC_CACHE[n_tasks] = [found[t] for t in range(n_tasks)]
+    return vals
+
+
+def _assign_buckets_lpt(buckets: list[int], sizes: dict[int, int] | None,
+                        n_tasks: int) -> dict[int, int]:
+    """bucket -> task via longest-processing-time-first greedy packing."""
+    import heapq
+
+    sizes = sizes or {}
+    heap = [(0, t) for t in range(n_tasks)]
+    heapq.heapify(heap)
+    assign: dict[int, int] = {}
+    for b in sorted(buckets, key=lambda b: (-sizes.get(b, 1), b)):
+        load, t = heapq.heappop(heap)
+        assign[b] = t
+        heapq.heappush(heap, (load + sizes.get(b, 1), t))
+    return assign
+
+
+def _steer_expr(assign: dict[int, int], magic: list[int]) -> F.Column:
+    """Map the bucket column to its task's magic partition-steering value."""
+    pairs = [x for b, t in assign.items() for x in (F.lit(b), F.lit(magic[t]))]
+    return F.element_at(F.create_map(*pairs), F.col(_BUCKET_COL)).cast("int")
 
 
 @dataclass
@@ -259,8 +333,13 @@ class LakeTable:
                     ),
                 )
 
+        all_buckets = list(range(snap.n_buckets))
+        n_tasks = min(snap.n_buckets, max(self.spark.sparkContext.defaultParallelism, 1))
+        assign = _assign_buckets_lpt(all_buckets, None, n_tasks)
         entries = (
-            df.repartition(_BUCKET_COL)
+            df.withColumn(_PID_COL, _steer_expr(assign, _partition_magic(n_tasks)))
+            .repartition(n_tasks, F.col(_PID_COL))
+            .drop(_PID_COL)
             .mapInArrow(write_partition, schema="bucket int, path string, rows long")
             .collect()
         )
@@ -458,10 +537,16 @@ class LakeTable:
             F.col(op_col),
             F.col(_BUCKET_COL),
         )
-        # 4x buckets: hash-partitioning buckets->partitions collides (Poisson);
-        # over-partitioning keeps at most ~1 bucket per task without a custom
-        # partitioner. Empty tasks cost microseconds.
-        n_part = max(4 * len(affected), 8)
+        # Exact bucket->task steering (see module header): task count = one
+        # balanced wave over the cores; per-task cost model = existing bucket
+        # rows (to read+rewrite) — LPT keeps the hottest bucket from sharing a
+        # task with other big ones.
+        sizes = {
+            b: sum(f["rows"] for f in snap.files.get(str(b), ())) + 1 for b in affected
+        }
+        n_tasks = min(len(affected), max(self.spark.sparkContext.defaultParallelism, 1))
+        assign = _assign_buckets_lpt(affected, sizes, n_tasks)
+        magic = _partition_magic(n_tasks)
 
         def merge_partition(batches):
             import os as _os
@@ -560,7 +645,9 @@ class LakeTable:
                 )
 
         entries = (
-            src_aligned.repartition(n_part, F.col(_BUCKET_COL))
+            src_aligned.withColumn(_PID_COL, _steer_expr(assign, magic))
+            .repartition(n_tasks, F.col(_PID_COL))
+            .drop(_PID_COL)
             .mapInArrow(merge_partition, schema="bucket int, path string, rows long")
             .collect()
         )

@@ -45,6 +45,11 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Default openCost (4 MiB) packs small shard files into ~4 MiB bins,
+        # capping scan parallelism on sharded change feeds far below the core
+        # count; on local SSD/page-cache (and at scale, on object stores with
+        # ranged reads) per-file open cost is nowhere near 4 MiB of scan.
+        .config("spark.sql.files.openCostInBytes", str(512 * 1024))
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
     )
     for k, v in (extra_conf or {}).items():
