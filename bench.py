@@ -49,16 +49,25 @@ def run_cdc_bench(spark, workdir: str, n_convs: int, n_epochs: int) -> dict:
             table_root=os.path.join(workdir, "table"),
             feed_dir=feed,
             checkpoint_dir=os.path.join(workdir, "ckpt"),
+            # include amortized compaction inside the measured replay window
+            compact_threshold=int(os.environ.get("DSX_BENCH_COMPACT", "3")),
         ),
     )
     t0 = time.time()
     summary = engine.run()
     replay_s = time.time() - t0
+    commits = [m for m in engine.cfg.metrics if m.get("kind") == "epoch_commit"]
+    warm = commits[1:] if len(commits) > 1 else commits  # drop JIT/warmup epoch
+    warm_secs = sum(m["duration_s"] for m in warm)
     return {
         "events": stats["total_events"],
         "generate_sec": round(gen_s, 2),
         "replay_sec": round(replay_s, 2),
         "events_per_sec": round(stats["total_events"] / replay_s, 1),
+        "sustained_events_per_sec": (
+            round(sum(m["events"] for m in warm) / warm_secs, 1) if warm_secs else None
+        ),
+        "epoch_secs": [m["duration_s"] for m in commits],
         "epochs": summary["epochs_applied"],
         "final_rows": engine.table.snapshot().total_rows(),
     }
@@ -67,7 +76,7 @@ def run_cdc_bench(spark, workdir: str, n_convs: int, n_epochs: int) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
-    n_convs = int(os.environ.get("DSX_BENCH_CONVS", "30000"))
+    n_convs = int(os.environ.get("DSX_BENCH_CONVS", "150000"))
     n_epochs = int(os.environ.get("DSX_BENCH_EPOCHS", "4"))
     spark = get_spark(app_name="datax-spark-bench")
 
@@ -84,9 +93,11 @@ def main() -> None:
             query_secs[name] = round(time.time() - t0, 3)
 
         out = {
-            "metric": "cdc_replay_sec",
-            "value": cdc["replay_sec"],
-            "unit": "sec",
+            # headline = the north-rule metric: sustained MERGE-apply
+            # change-events/sec into the lake table (higher is better)
+            "metric": "cdc_merge_apply_sustained_events_per_sec",
+            "value": cdc["sustained_events_per_sec"] or cdc["events_per_sec"],
+            "unit": "events/sec",
             "queries": query_secs,
             "sf": float(sf),
             "cdc": cdc,

@@ -65,6 +65,13 @@ class EngineConfig:
     # "colocated": shuffle only events, per-bucket Arrow merge (default);
     # "shuffle": single-pass union-LWW Catalyst fold (see LakeTable.apply_cdc).
     merge_strategy: str = "colocated"
+    # "mor" (default): each epoch lands as per-bucket DELTA files
+    # (latest-per-key upserts+deletes, Iceberg-v2-equality-delete style) and
+    # buckets compact into a new base every ``compact_threshold`` layers —
+    # per-epoch write cost is O(epoch events), not O(table). "cow": classic
+    # copy-on-write bucket rewrite every epoch.
+    write_mode: str = "mor"
+    compact_threshold: int = 8
     metrics: list = field(default_factory=list)
 
 
@@ -143,7 +150,12 @@ class CdcEngine:
     def apply_batch(self, batch: DataFrame, epoch: int) -> dict:
         """Apply one micro-batch (used by both the epoch loop and the
         Structured Streaming foreachBatch sink — ``epoch`` is the streaming
-        batch id there). Idempotent per epoch id."""
+        batch id there). Idempotent per epoch id.
+
+        Colocated strategy runs the FUSED single-pass path: merge + lineage +
+        quarantine + error accounting in one job (one scan of the epoch). The
+        shuffle strategy and the crashed-manifest rebuild keep the two-pass
+        path (stats job, then apply)."""
         manifest_path = os.path.join(self.commits_dir, f"epoch-{epoch}.json")
         if os.path.exists(manifest_path):
             with open(manifest_path) as f:
@@ -154,6 +166,9 @@ class CdcEngine:
         t0 = time.time()
         self._evolve_schema(batch)
         snap = self.table.snapshot()
+
+        if self.cfg.merge_strategy == "colocated" and already < epoch:
+            return self._apply_batch_fused(batch, epoch, manifest_path, t0)
 
         valid, dirty = M.split_valid_dirty(batch)
 
@@ -242,6 +257,73 @@ class CdcEngine:
                 "events_per_sec": manifest["events_per_sec"],
                 "duration_s": manifest["duration_s"],
                 "max_applied_seq": max_seq,
+            }
+        )
+        return manifest
+
+    def _apply_batch_fused(self, batch: DataFrame, epoch: int,
+                           manifest_path: str, t0: float) -> dict:
+        tagged = batch.withColumn("_dsx_dirty_reason", M.dirty_reason_expr())
+
+        hot_keys: list[dict] = []
+        if self.cfg.hot_key_min_count is not None:  # optional diagnostic pass
+            from datax_spark.cdc import skew
+
+            valid = tagged.filter(F.col("_dsx_dirty_reason").isNull())
+            hot_keys = skew.detect_hot_keys(
+                valid, key_cols=[self.cfg.key_cols[0]],
+                min_count=self.cfg.hot_key_min_count,
+            )
+
+        def pre_commit(stats: dict) -> dict:
+            # abort BEFORE the snapshot commit: table is never half-applied
+            self._check_error_limit(
+                stats["dirty_total"],
+                stats["dirty_total"] + stats["events_total"],
+                epoch,
+            )
+            return {
+                "engine_epoch": epoch,
+                "max_applied_seq": stats["max_applied_seq"],
+            }
+
+        new_snap, stats = self.table.apply_cdc_stats(
+            tagged,
+            key_cols=list(self.cfg.key_cols),
+            op_col=self.cfg.op_col,
+            seq_col=self.cfg.seq_col,
+            dirty_reason_col="_dsx_dirty_reason",
+            quarantine_dir=os.path.join(self.quarantine_dir, f"epoch={epoch}"),
+            pre_commit=pre_commit,
+            write_mode=self.cfg.write_mode,
+            compact_threshold=self.cfg.compact_threshold,
+        )
+
+        dt = time.time() - t0
+        n_valid = stats["events_total"]
+        manifest = {
+            "epoch": epoch,
+            "snapshot_version": new_snap.version,
+            "events": n_valid,
+            "dirty": stats["dirty_total"],
+            "dirty_reasons": stats["dirty"],
+            "max_applied_seq": stats["max_applied_seq"],
+            "partitions": stats["lineage"],
+            "duration_s": round(dt, 3),
+            "events_per_sec": round(n_valid / dt, 1) if dt > 0 else None,
+        }
+        if hot_keys:
+            manifest["hot_keys"] = hot_keys
+        _atomic_write_json(manifest_path, manifest)
+        self._emit(
+            {
+                "kind": "epoch_commit",
+                "epoch": epoch,
+                "events": n_valid,
+                "dirty": stats["dirty_total"],
+                "events_per_sec": manifest["events_per_sec"],
+                "duration_s": manifest["duration_s"],
+                "max_applied_seq": stats["max_applied_seq"],
             }
         )
         return manifest

@@ -217,8 +217,17 @@ def _assign_seq(df: DataFrame, spec: ChangeFeedSpec, n_range_buckets: int = 64) 
 
 def generate_change_feed(spark: SparkSession, feed_dir: str, spec: ChangeFeedSpec) -> dict:
     """Materialize the feed as ``feed_dir/epoch=K/`` parquet dirs; returns stats."""
-    events = _assign_seq(_events_df(spark, spec), spec)
-    events = events.persist()
+    # bound the per-group pandas batch in _assign_seq: ~events/bucket stays
+    # small enough that 32 concurrent Python workers don't blow the RAM at
+    # tens of millions of events (text columns are ~1 KB/row)
+    n_range_buckets = max(64, min(4096, spec.n_convs // 2000))
+    events = _assign_seq(_events_df(spark, spec), spec, n_range_buckets=n_range_buckets)
+    # DISK_ONLY: the feed is consumed by two writes + a count; the in-memory
+    # columnar cache of tens of millions of ~1 KB text rows OOMs small heaps,
+    # and generation is never the measured path.
+    from pyspark import StorageLevel
+
+    events = events.persist(StorageLevel.DISK_ONLY)
     total = events.count()
     ev_epoch = spec.evolve_epoch
 

@@ -126,18 +126,68 @@ def _steer_expr(assign: dict[int, int], magic: list[int]) -> F.Column:
     return F.element_at(F.create_map(*pairs), F.col(_BUCKET_COL)).cast("int")
 
 
+def _arrow_schema_for(schema: T.StructType):
+    """Arrow schema matching what mapInArrow exchanges for a Spark schema
+    (UTC session timezone — see session.py)."""
+    import pyarrow as pa
+
+    def conv(dt):
+        if isinstance(dt, T.StringType):
+            return pa.string()
+        if isinstance(dt, T.LongType):
+            return pa.int64()
+        if isinstance(dt, T.IntegerType):
+            return pa.int32()
+        if isinstance(dt, T.ShortType):
+            return pa.int16()
+        if isinstance(dt, T.ByteType):
+            return pa.int8()
+        if isinstance(dt, T.DoubleType):
+            return pa.float64()
+        if isinstance(dt, T.FloatType):
+            return pa.float32()
+        if isinstance(dt, T.BooleanType):
+            return pa.bool_()
+        if isinstance(dt, T.BinaryType):
+            return pa.binary()
+        if isinstance(dt, T.DateType):
+            return pa.date32()
+        if isinstance(dt, T.TimestampType):
+            return pa.timestamp("us", tz="UTC")
+        if isinstance(dt, T.DecimalType):
+            return pa.decimal128(dt.precision, dt.scale)
+        if isinstance(dt, T.ArrayType):
+            return pa.list_(conv(dt.elementType))
+        raise TypeError(f"unsupported type for arrow mapping: {dt}")
+
+    return pa.schema([pa.field(f.name, conv(f.dataType), True) for f in schema.fields])
+
+
 @dataclass
 class Snapshot:
     version: int
     schema: T.StructType
     bucket_key: str
     n_buckets: int
-    # bucket id (str) -> list of {"path": rel_path, "rows": int}
+    # bucket id (str) -> list of {"path": rel_path, "rows": int,
+    #                             "kind": "base"|"delta", "gen": int}
+    # kind/gen absent => base/0 (pre-MoR snapshots). A "delta" file holds the
+    # latest-per-key upserts+deletes of one apply (Iceberg-v2-equality-delete
+    # style); readers/compaction resolve newest-gen-wins per key.
     files: dict[str, list[dict]]
     properties: dict
 
     def total_rows(self) -> int:
         return sum(f["rows"] for fl in self.files.values() for f in fl)
+
+    def has_deltas(self, buckets=None) -> bool:
+        wanted = None if buckets is None else {str(b) for b in buckets}
+        return any(
+            f.get("kind", "base") == "delta"
+            for b, fl in self.files.items()
+            if wanted is None or b in wanted
+            for f in fl
+        )
 
     def to_json(self) -> dict:
         return {
@@ -242,8 +292,13 @@ class LakeTable:
 
         (manifest-driven partition pruning — the scan never opens files of
         untouched buckets, the lake-table analog of Catalyst partition pruning).
+        Snapshots holding MoR delta layers are resolved per bucket at scan time
+        (newest-gen-wins, deletes applied) — the merge-on-read half of the
+        Iceberg v2 equality-delete design.
         """
         snap = self.snapshot(version)
+        if snap.has_deltas(buckets):
+            return self._read_merged(snap, buckets)
         wanted = None if buckets is None else {str(b) for b in buckets}
         paths = [
             os.path.join(self.root, f["path"])
@@ -256,6 +311,91 @@ class LakeTable:
         # Explicit evolved schema: files written pre-evolution lack new columns
         # and read as NULL — schema evolution without rewrite.
         return self.spark.read.schema(snap.schema).parquet(*paths)
+
+    def _read_merged(self, snap: Snapshot, buckets: Iterable[int] | None) -> DataFrame:
+        """Distributed merge-on-read: one steered task set resolves each
+        bucket's base ∪ delta layers (newest-gen-wins cascade, deletes
+        dropped) and streams the live rows back as the snapshot schema."""
+        key_cols = [k for k in snap.properties.get("merge_keys", "").split(",") if k]
+        if not key_cols:
+            raise ValueError("snapshot has delta layers but no merge_keys property")
+        op_col = snap.properties.get("merge_op_col", "op")
+        delete_op = snap.properties.get("merge_delete_op", "D")
+        items = (
+            sorted(int(b) for b in snap.files if snap.files[b])
+            if buckets is None else sorted({int(b) for b in buckets})
+        )
+        items = [b for b in items if snap.files.get(str(b))]
+        if not items:
+            return self.spark.createDataFrame([], snap.schema)
+        table_root = self.root
+        file_map = {
+            b: [
+                (os.path.join(table_root, f["path"]), f.get("kind", "base"),
+                 f.get("gen", 0))
+                for f in snap.files[str(b)]
+            ]
+            for b in items
+        }
+        sizes = {
+            b: sum(f["rows"] for f in snap.files[str(b)]) + 1 for b in items
+        }
+        n_tasks = min(len(items), max(self.spark.sparkContext.defaultParallelism, 1))
+        assign = _assign_buckets_lpt(items, sizes, n_tasks)
+        magic = _partition_magic(n_tasks)
+        target = _arrow_schema_for(snap.schema)
+        payload_cols = [f.name for f in snap.schema.fields]
+
+        def read_merge(batches):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
+
+            my_buckets = []
+            for batch in batches:
+                my_buckets.extend(batch.column(0).to_pylist())
+            for b in my_buckets:
+                pieces = []
+                seen: list = []
+                for path, kind, _gen in sorted(file_map[b], key=lambda x: -x[2]):
+                    t = pq.read_table(path)
+                    cols = []
+                    for f in target:
+                        if t.schema.get_field_index(f.name) >= 0:
+                            cols.append(t.column(f.name).cast(f.type))
+                        else:
+                            cols.append(pa.nulls(t.num_rows, f.type))
+                    aligned = pa.table(cols, names=payload_cols)
+                    keys = [
+                        pc.cast(aligned.column(k).combine_chunks(), pa.string())
+                        for k in key_cols
+                    ]
+                    keys_t = (
+                        keys[0] if len(keys) == 1
+                        else pc.binary_join_element_wise(*keys, "\x1f")
+                    )
+                    mask = (
+                        pc.invert(pc.is_in(keys_t, value_set=pa.chunked_array(seen)))
+                        if seen else None
+                    )
+                    if kind == "delta":
+                        not_del = pc.not_equal(
+                            t.column(op_col).combine_chunks(), pa.scalar(delete_op)
+                        )
+                        mask = not_del if mask is None else pc.and_(mask, not_del)
+                    pieces.append(aligned if mask is None else aligned.filter(mask))
+                    seen.append(keys_t)
+                merged = pa.concat_tables(pieces).cast(target)
+                if merged.num_rows:
+                    yield from merged.to_batches()
+
+        seed = self.spark.createDataFrame(
+            [(b, magic[assign[b]]) for b in items], "b int, pid int"
+        )
+        return (
+            seed.repartition(n_tasks, F.col("pid"))
+            .mapInArrow(read_merge, schema=snap.schema)
+        )
 
     # ----------------------------------------------------------------- writes
 
@@ -343,10 +483,13 @@ class LakeTable:
             .mapInArrow(write_partition, schema="bucket int, path string, rows long")
             .collect()
         )
+        gen = snap.version + 1
         out: dict[str, list[dict]] = {}
         for r in sorted(entries, key=lambda r: (r["bucket"], r["path"])):
             if r["rows"]:
-                out.setdefault(str(r["bucket"]), []).append({"path": r["path"], "rows": r["rows"]})
+                out.setdefault(str(r["bucket"]), []).append(
+                    {"path": r["path"], "rows": r["rows"], "kind": "base", "gen": gen}
+                )
         return out
 
     def append(self, df: DataFrame, properties: dict | None = None) -> Snapshot:
@@ -446,7 +589,7 @@ class LakeTable:
             return self._commit(snap, dict(snap.files), properties)
 
         if strategy == "colocated":
-            new_files = self._merge_colocated(
+            new_files, _stats = self._merge_colocated(
                 src, snap, key_cols, op_col, seq_col, delete_op, affected
             )
             files = {b: list(fl) for b, fl in snap.files.items() if int(b) not in set(affected)}
@@ -508,7 +651,11 @@ class LakeTable:
         seq_col: str,
         delete_op: str,
         affected: list[int],
-    ) -> dict[str, list[dict]]:
+        dirty_reason_col: str | None = None,
+        quarantine_dir: str | None = None,
+        write_mode: str = "cow",
+        compact_threshold: int = 8,
+    ) -> tuple[dict[str, list[dict]], dict]:
         """Per-bucket LWW merge in Arrow tasks; only events cross the shuffle.
 
         Events are repartitioned by bucket id; each task buffers its buckets'
@@ -516,18 +663,35 @@ class LakeTable:
         (manifest-pruned — untouched buckets are never opened), merges
         old ∪ events with a sort + last-per-key pass, drops delete winners,
         and writes replacement files, returning DataFile entries.
+
+        The SAME tasks also compute per-bucket lineage (events applied,
+        min/max seq) and — when ``dirty_reason_col`` is set — quarantine
+        malformed events (steered to pseudo-bucket -1) and count them per
+        reason, so one job yields merge + manifest + error accounting: the
+        epoch feed is scanned once, not once per concern.
         """
         table_root = self.root
         staging_rel = os.path.join(_DATA, f"stage-{uuid.uuid4().hex}")
         staging = os.path.join(self.root, staging_rel)
         os.makedirs(staging, exist_ok=True)
+        if quarantine_dir:
+            os.makedirs(quarantine_dir, exist_ok=True)
 
         payload_cols = [f.name for f in snap.schema.fields]
         bucket_files = {
-            int(b): [os.path.join(table_root, f["path"]) for f in fl]
+            int(b): [
+                (
+                    os.path.join(table_root, f["path"]),
+                    f.get("kind", "base"),
+                    f.get("gen", 0),
+                )
+                for f in fl
+            ]
             for b, fl in snap.files.items()
             if int(b) in set(affected)
         }
+        next_gen = snap.version + 1
+        extra_cols = [F.col(dirty_reason_col)] if dirty_reason_col else []
         src_aligned = src.select(
             *[
                 (F.col(f.name) if f.name in src.columns else F.lit(None).cast(f.dataType)).alias(f.name)
@@ -536,6 +700,7 @@ class LakeTable:
             F.col(seq_col).cast("long").alias(seq_col),
             F.col(op_col),
             F.col(_BUCKET_COL),
+            *extra_cols,
         )
         # Exact bucket->task steering (see module header): task count = one
         # balanced wave over the cores; per-task cost model = existing bucket
@@ -544,8 +709,21 @@ class LakeTable:
         sizes = {
             b: sum(f["rows"] for f in snap.files.get(str(b), ())) + 1 for b in affected
         }
-        n_tasks = min(len(affected), max(self.spark.sparkContext.defaultParallelism, 1))
-        assign = _assign_buckets_lpt(affected, sizes, n_tasks)
+        steered = list(affected)
+        if dirty_reason_col:
+            steered.append(-1)
+            sizes[-1] = 1
+        n_tasks = int(
+            os.environ.get("DSX_MERGE_TASKS", 0)  # tuning override for benchmarks
+        ) or min(len(steered), max(self.spark.sparkContext.defaultParallelism, 1))
+        n_tasks = min(n_tasks, len(steered))
+        # Near-uniform buckets: ignore sizes so the assignment (and thus the
+        # steering map literal) is identical across epochs — the projected
+        # expression's codegen and plan fragments get cache hits instead of a
+        # recompile per epoch. Size-aware LPT only when real skew exists.
+        vals = [sizes[b] for b in affected] or [1]
+        balanced = max(vals) <= 2 * (sum(vals) / len(vals))
+        assign = _assign_buckets_lpt(steered, None if balanced else sizes, n_tasks)
         magic = _partition_magic(n_tasks)
 
         def merge_partition(batches):
@@ -572,6 +750,35 @@ class LakeTable:
             out = []
             for b, ev_batches in per_bucket.items():
                 events = pa.Table.from_batches(ev_batches)
+
+                if b == -1:
+                    # quarantine pseudo-bucket: persist + count per reason
+                    qcols = payload_cols + [seq_col, op_col, dirty_reason_col]
+                    qt = events.select(qcols).rename_columns(
+                        payload_cols + [seq_col, op_col, "_dirty_reason"]
+                    )
+                    pq.write_table(
+                        qt,
+                        _os.path.join(quarantine_dir, f"q-{_uuid.uuid4().hex}.parquet"),
+                        compression="snappy",
+                    )
+                    for gr in qt.group_by("_dirty_reason").aggregate(
+                        [("_dirty_reason", "count")]
+                    ).to_pylist():
+                        out.append(
+                            {
+                                "bucket": -1,
+                                "path": None,
+                                "rows": gr["_dirty_reason_count"],
+                                "events": 0,
+                                "min_seq": None,
+                                "max_seq": None,
+                                "reason": gr["_dirty_reason"],
+                                "kind": None,
+                            }
+                        )
+                    continue
+
                 ev_schema = events.schema
                 pay_fields = [ev_schema.field(c) for c in payload_cols]
                 # one normalized schema (nullable, no metadata) for concat
@@ -580,8 +787,85 @@ class LakeTable:
                     + [pa.field(seq_col, pa.int64()), pa.field(op_col, pa.string())]
                 )
 
-                olds = []
-                for path in bucket_files.get(b, []):
+                seq_minmax = pc.min_max(events.column(seq_col))
+                n_events = events.num_rows
+                ev = events.select(payload_cols + [seq_col, op_col]).cast(norm_schema)
+
+                entry = {
+                    "bucket": b,
+                    "path": None,
+                    "rows": 0,
+                    "events": n_events,
+                    "min_seq": seq_minmax["min"].as_py(),
+                    "max_seq": seq_minmax["max"].as_py(),
+                    "reason": None,
+                    "kind": "base",
+                }
+
+                def key_arr(t):
+                    cols = [
+                        pc.cast(t.column(k).combine_chunks(), pa.string())
+                        for k in key_cols
+                    ]
+                    if len(cols) == 1:
+                        return cols[0]
+                    return pc.binary_join_element_wise(*cols, "\x1f")
+
+                # LWW on EVENTS ONLY: sort (keys, seq), keep the last row of
+                # each key run. Old table rows never join the sort — they only
+                # take hash-membership filters (cascade below) — so the
+                # table's (large, string-heavy) payload is copied once, never
+                # sorted.
+                srt = ev.sort_by(
+                    [(k, "ascending") for k in key_cols] + [(seq_col, "ascending")]
+                )
+                n = srt.num_rows
+                changed = None
+                for k in key_cols:
+                    col = srt.column(k).combine_chunks()
+                    neq = pc.not_equal(col.slice(0, n - 1), col.slice(1))
+                    changed = neq if changed is None else pc.or_(changed, neq)
+                last_mask = (
+                    pa.concat_arrays([changed, pa.array([True])])
+                    if changed is not None else pa.array([True] * n)
+                )
+                ev_latest = srt.filter(last_mask)
+
+                files = bucket_files.get(b, [])
+                # per-bucket jitter staggers compaction across epochs — with a
+                # uniform feed every bucket would otherwise hit the threshold
+                # on the same epoch and the whole table would compact at once
+                if write_mode == "mor" and (
+                    len(files) + 1 < compact_threshold + (b % compact_threshold)
+                ):
+                    # merge-on-read fast path: persist this epoch's
+                    # latest-per-key upserts+deletes as a DELTA file (Iceberg
+                    # v2 equality-delete pattern) — no old file is read or
+                    # rewritten. Compaction folds deltas into a new base once
+                    # the bucket accumulates compact_threshold files.
+                    name = f"b{b:05d}-d{_uuid.uuid4().hex}.parquet"
+                    pq.write_table(
+                        ev_latest, _os.path.join(staging, name), compression="snappy"
+                    )
+                    entry["path"] = _os.path.join(staging_rel, name)
+                    entry["rows"] = ev_latest.num_rows
+                    entry["kind"] = "delta"
+                    out.append(entry)
+                    continue
+
+                # full merge / compaction: newest-gen-wins cascade. Walk
+                # layers newest→oldest; a layer's keys shadow everything
+                # older; delete winners shadow but don't emit.
+                winners = ev_latest.filter(
+                    pc.not_equal(
+                        ev_latest.column(op_col).combine_chunks(), pa.scalar(delete_op)
+                    )
+                ).select(payload_cols)
+                pieces = [winners]
+                seen = [key_arr(ev_latest)]
+                for path, kind, _gen in sorted(
+                    files, key=lambda x: -x[2]
+                ):
                     t = pq.read_table(path)
                     cols = []
                     for f in pay_fields:
@@ -589,58 +873,46 @@ class LakeTable:
                             cols.append(t.column(f.name).cast(f.type))
                         else:  # schema evolution: old file lacks the column
                             cols.append(pa.nulls(t.num_rows, f.type))
-                    cols.append(
-                        pc.fill_null(pa.nulls(t.num_rows, pa.int64()), -1)
+                    aligned = pa.table(
+                        cols, names=payload_cols
                     )
-                    cols.append(
-                        pc.fill_null(pa.nulls(t.num_rows, pa.string()), "U")
+                    keys_t = key_arr(aligned)
+                    live_mask = pc.invert(
+                        pc.is_in(keys_t, value_set=pa.chunked_array(seen))
                     )
-                    olds.append(
-                        pa.table(
-                            cols, names=payload_cols + [seq_col, op_col]
-                        ).cast(norm_schema)
+                    if kind == "delta":
+                        live_mask = pc.and_(
+                            live_mask,
+                            pc.not_equal(
+                                t.column(op_col).combine_chunks(),
+                                pa.scalar(delete_op),
+                            ),
+                        )
+                    pieces.append(aligned.filter(live_mask))
+                    seen.append(keys_t)
+                final = pa.concat_tables(pieces)
+                if final.num_rows:
+                    name = f"b{b:05d}-{_uuid.uuid4().hex}.parquet"
+                    pq.write_table(
+                        final, _os.path.join(staging, name), compression="snappy"
                     )
-                ev = events.select(payload_cols + [seq_col, op_col]).cast(norm_schema)
-                merged = pa.concat_tables(olds + [ev]) if olds else ev
-
-                # LWW: sort by (keys, seq), keep the last row of each key run.
-                srt = merged.sort_by(
-                    [(k, "ascending") for k in key_cols] + [(seq_col, "ascending")]
-                )
-                n = srt.num_rows
-                if n == 0:
-                    continue
-                changed = None
-                for k in key_cols:
-                    col = srt.column(k).combine_chunks()
-                    neq = pc.not_equal(col.slice(0, n - 1), col.slice(1))
-                    changed = neq if changed is None else pc.or_(changed, neq)
-                last_mask = pa.concat_arrays([changed, pa.array([True])])
-                keep = pc.and_(
-                    last_mask,
-                    pc.not_equal(
-                        srt.column(op_col).combine_chunks(), pa.scalar(delete_op)
-                    ),
-                )
-                final = srt.filter(keep).select(payload_cols)
-                if final.num_rows == 0:
-                    continue
-                name = f"b{b:05d}-{_uuid.uuid4().hex}.parquet"
-                pq.write_table(
-                    final, _os.path.join(staging, name), compression="snappy"
-                )
-                out.append(
-                    {
-                        "bucket": b,
-                        "path": _os.path.join(staging_rel, name),
-                        "rows": final.num_rows,
-                    }
-                )
+                    entry["path"] = _os.path.join(staging_rel, name)
+                    entry["rows"] = final.num_rows
+                out.append(entry)
             if out:
                 yield pa.RecordBatch.from_pylist(
                     out,
                     schema=pa.schema(
-                        [("bucket", pa.int32()), ("path", pa.string()), ("rows", pa.int64())]
+                        [
+                            ("bucket", pa.int32()),
+                            ("path", pa.string()),
+                            ("rows", pa.int64()),
+                            ("events", pa.int64()),
+                            ("min_seq", pa.int64()),
+                            ("max_seq", pa.int64()),
+                            ("reason", pa.string()),
+                            ("kind", pa.string()),
+                        ]
                     ),
                 )
 
@@ -648,16 +920,101 @@ class LakeTable:
             src_aligned.withColumn(_PID_COL, _steer_expr(assign, magic))
             .repartition(n_tasks, F.col(_PID_COL))
             .drop(_PID_COL)
-            .mapInArrow(merge_partition, schema="bucket int, path string, rows long")
+            .mapInArrow(
+                merge_partition,
+                schema="bucket int, path string, rows long, events long, "
+                       "min_seq long, max_seq long, reason string, kind string",
+            )
             .collect()
         )
         new_files: dict[str, list[dict]] = {}
-        for r in sorted(entries, key=lambda r: (r["bucket"], r["path"])):
-            if r["rows"]:
+        lineage: dict[str, dict] = {}
+        dirty: dict[str, int] = {}
+        for r in sorted(entries, key=lambda r: (r["bucket"], r["path"] or "")):
+            if r["bucket"] == -1:
+                dirty[r["reason"]] = dirty.get(r["reason"], 0) + int(r["rows"])
+                continue
+            lineage[str(r["bucket"])] = {
+                "min_seq": r["min_seq"],
+                "max_seq": r["max_seq"],
+                "events": int(r["events"]),
+                "kind": r["kind"],
+            }
+            if r["rows"] and r["path"]:
                 new_files.setdefault(str(r["bucket"]), []).append(
-                    {"path": r["path"], "rows": r["rows"]}
+                    {"path": r["path"], "rows": r["rows"],
+                     "kind": r["kind"], "gen": next_gen}
                 )
-        return new_files
+        stats = {
+            "lineage": lineage,
+            "dirty": dirty,
+            "dirty_total": sum(dirty.values()),
+            "events_total": sum(v["events"] for v in lineage.values()),
+            "max_applied_seq": max(
+                (v["max_seq"] for v in lineage.values() if v["max_seq"] is not None),
+                default=None,
+            ),
+        }
+        return new_files, stats
+
+    def apply_cdc_stats(
+        self,
+        source: DataFrame,
+        key_cols: list[str],
+        op_col: str = "op",
+        seq_col: str | None = "seq",
+        delete_op: str = "D",
+        dirty_reason_col: str | None = None,
+        quarantine_dir: str | None = None,
+        properties: dict | None = None,
+        pre_commit=None,
+        write_mode: str = "cow",
+        compact_threshold: int = 8,
+    ) -> tuple[Snapshot, dict]:
+        """Single-pass CDC apply (colocated): merge, per-bucket lineage, and
+        dirty-event quarantine in ONE job over the source — the epoch feed is
+        scanned once instead of once for stats and once for the merge.
+
+        ``source`` may carry malformed events tagged in ``dirty_reason_col``
+        (NULL = valid); they are steered to a quarantine pseudo-bucket, written
+        under ``quarantine_dir`` with a ``_dirty_reason`` column, counted per
+        reason, and never merged. ``pre_commit(stats)`` runs after the job but
+        BEFORE the snapshot commit — raise there to abort with no table
+        mutation (error-limit breaker), or return a dict of extra snapshot
+        properties (e.g. max_applied_seq). Returns (snapshot, stats).
+        """
+        snap = self.snapshot()
+        bucket = self._bucket_expr(snap)
+        if dirty_reason_col is not None:
+            bucket = F.when(F.col(dirty_reason_col).isNull(), bucket).otherwise(F.lit(-1))
+        src = source.withColumn(
+            _BUCKET_COL, F.coalesce(bucket, F.lit(-1)).cast("int")
+        )
+        if seq_col is None:
+            seq_col = "_dsx_seq"
+            src = src.withColumn(seq_col, F.lit(0).cast("long"))
+        # steer every table bucket: which are touched is only known post-job
+        all_buckets = list(range(snap.n_buckets))
+        new_files, stats = self._merge_colocated(
+            src, snap, key_cols, op_col, seq_col, delete_op, all_buckets,
+            dirty_reason_col=dirty_reason_col, quarantine_dir=quarantine_dir,
+            write_mode=write_mode, compact_threshold=compact_threshold,
+        )
+        extra = pre_commit(stats) if pre_commit is not None else None
+        props = dict(properties or {})
+        props.update(extra or {})
+        # identifier-field metadata so merge-on-read scans can resolve layers
+        props.setdefault("merge_keys", ",".join(key_cols))
+        props.setdefault("merge_op_col", op_col)
+        props.setdefault("merge_delete_op", delete_op)
+        files = {b: list(fl) for b, fl in snap.files.items()}
+        for b, info in stats["lineage"].items():
+            fl = new_files.get(b, [])
+            if info.get("kind") == "delta":
+                files.setdefault(b, []).extend(fl)  # MoR: append the delta layer
+            else:
+                files[b] = fl  # base rewrite/compaction replaces (may clear)
+        return self._commit(snap, files, props), stats
 
     def merge(
         self,
