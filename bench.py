@@ -35,7 +35,7 @@ def run_cdc_bench(spark, workdir: str, n_convs: int, n_epochs: int) -> dict:
     feed = os.path.join(workdir, "feed")
     spec = ChangeFeedSpec(
         seed=42, n_convs=n_convs, n_epochs=n_epochs, evolve_frac=0.5,
-        update_rate=0.45, hot_cap=500,
+        update_rate=0.45, hot_cap=500, shards_per_epoch=64,
     )
     t0 = time.time()
     stats = generate_change_feed(spark, feed, spec)

@@ -146,10 +146,18 @@ def orchestrate() -> None:
     results = {}
     for cpus in levels:
         out = os.path.join(workdir, f"result-{cpus}.json")
+        env = os.environ.copy()
+        # Arrow/numpy thread pools default to the MACHINE core count in every
+        # Python worker, silently borrowing idle cores beyond local[N] and
+        # corrupting the N-vs-4N comparison; pin the whole process tree to N
+        # CPUs (what an N-core executor actually gets) and give each worker a
+        # uniform small Arrow pool.
+        env["OMP_NUM_THREADS"] = "2"
         subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--cpus", str(cpus),
+            ["taskset", "-c", f"0-{cpus - 1}",
+             sys.executable, os.path.abspath(__file__), "--cpus", str(cpus),
              "--feed", feed, "--workdir", workdir, "--out", out],
-            check=True, cwd=REPO, env=os.environ.copy(),
+            check=True, cwd=REPO, env=env,
         )
         with open(out) as f:
             results[cpus] = json.load(f)

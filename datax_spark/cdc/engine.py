@@ -46,6 +46,31 @@ class DirtyLimitExceeded(Exception):
     pass
 
 
+def _spark_type_for(arrow_type) -> T.DataType:
+    """Inverse of lake.table._arrow_schema_for for evolution-detected columns."""
+    import pyarrow as pa
+
+    if pa.types.is_string(arrow_type) or pa.types.is_large_string(arrow_type):
+        return T.StringType()
+    if pa.types.is_int64(arrow_type):
+        return T.LongType()
+    if pa.types.is_int32(arrow_type):
+        return T.IntegerType()
+    if pa.types.is_float64(arrow_type):
+        return T.DoubleType()
+    if pa.types.is_float32(arrow_type):
+        return T.FloatType()
+    if pa.types.is_boolean(arrow_type):
+        return T.BooleanType()
+    if pa.types.is_binary(arrow_type) or pa.types.is_large_binary(arrow_type):
+        return T.BinaryType()
+    if pa.types.is_timestamp(arrow_type):
+        return T.TimestampType()
+    if pa.types.is_date(arrow_type):
+        return T.DateType()
+    raise TypeError(f"unsupported evolved column type: {arrow_type}")
+
+
 @dataclass
 class EngineConfig:
     table_root: str
@@ -72,6 +97,11 @@ class EngineConfig:
     # copy-on-write bucket rewrite every epoch.
     write_mode: str = "mor"
     compact_threshold: int = 8
+    # "auto": use the zero-shuffle aligned apply when the feed's _dsx_feed.json
+    # declares conv_id-hash sharding with modulus == the table's bucket count
+    # (storage-partitioned-join applied to MERGE). True forces (error if the
+    # contract is absent), False always uses the generic shuffle path.
+    aligned_feed: bool | str = "auto"
     metrics: list = field(default_factory=list)
 
 
@@ -119,7 +149,7 @@ class CdcEngine:
         """Propagate new event payload columns to the table (DDL before DML)."""
         snap = self.table.snapshot()
         table_cols = {f.name for f in snap.schema.fields}
-        meta_cols = {self.cfg.seq_col, self.cfg.op_col, "epoch_hint", "epoch"}
+        meta_cols = {self.cfg.seq_col, self.cfg.op_col, "epoch_hint", "epoch", "shard"}
         new = [
             f for f in batch.schema.fields
             if f.name not in table_cols and f.name not in meta_cols
@@ -127,6 +157,26 @@ class CdcEngine:
         if new:
             nullable = [T.StructField(f.name, f.dataType, True) for f in new]
             self.table.add_columns(nullable, properties={"evolved_by": "cdc-engine"})
+
+    def _evolve_schema_from_footers(self, files: list[str]) -> None:
+        """Footer-only twin of :meth:`_evolve_schema` for the aligned path."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        snap = self.table.snapshot()
+        table_cols = {f.name for f in snap.schema.fields}
+        meta_cols = {self.cfg.seq_col, self.cfg.op_col, "epoch_hint", "epoch", "shard"}
+        seen: dict[str, pa.DataType] = {}
+        for p in files:
+            for f in pq.read_schema(p):
+                if f.name not in table_cols and f.name not in meta_cols:
+                    seen.setdefault(f.name, f.type)
+        if seen:
+            new = [
+                T.StructField(name, _spark_type_for(typ), True)
+                for name, typ in seen.items()
+            ]
+            self.table.add_columns(new, properties={"evolved_by": "cdc-engine"})
 
     # ----------------------------------------------------------------- metrics
 
@@ -145,7 +195,104 @@ class CdcEngine:
         if os.path.exists(manifest_path):
             with open(manifest_path) as f:
                 return json.load(f)  # exactly-once: replay is a no-op
+        if self._feed_aligned() and self.cfg.merge_strategy == "colocated":
+            snap = self.table.snapshot()
+            if int(snap.properties.get("engine_epoch", -1)) < epoch:
+                return self._apply_epoch_aligned(epoch, manifest_path)
         return self.apply_batch(self.read_epoch(epoch), epoch)
+
+    def _feed_aligned(self) -> bool:
+        """Feed shards align with table buckets (same key hash + modulus)?"""
+        if self.cfg.aligned_feed is False:
+            return False
+        meta_path = os.path.join(self.cfg.feed_dir, "_dsx_feed.json")
+        ok = False
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            snap = self.table.snapshot()
+            ok = (
+                meta.get("shard_fn", "").startswith("pmod(xxhash64(conv_id)")
+                and int(meta.get("shards_per_epoch", -1)) == snap.n_buckets
+                and list(self.cfg.key_cols)[0] == "conv_id"
+            )
+        if self.cfg.aligned_feed is True and not ok:
+            raise ValueError(
+                "aligned_feed=True but the feed declares no compatible sharding"
+            )
+        return ok
+
+    def _epoch_shard_files(self, epoch: int) -> dict[int | None, list[str]]:
+        root = os.path.join(self.cfg.feed_dir, f"epoch={epoch}")
+        out: dict[int | None, list[str]] = {}
+        for d in sorted(os.listdir(root)):
+            sub = os.path.join(root, d)
+            if not os.path.isdir(sub):
+                continue
+            if d.startswith("shard="):
+                val = d.split("=", 1)[1]
+                key = None if val == "__HIVE_DEFAULT_PARTITION__" else int(val)
+            else:
+                continue
+            files = [
+                os.path.join(sub, f) for f in sorted(os.listdir(sub))
+                if f.endswith(".parquet")
+            ]
+            if files:
+                out.setdefault(key, []).extend(files)
+        return out
+
+    def _apply_epoch_aligned(self, epoch: int, manifest_path: str) -> dict:
+        """Zero-shuffle apply: per-bucket tasks read their feed shard files
+        directly (LakeTable.apply_cdc_files); validation/quarantine runs in
+        Arrow inside the same tasks. One stage, no exchange."""
+        t0 = time.time()
+        shard_files = self._epoch_shard_files(epoch)
+        # evolution detection needs the epoch's union schema: read parquet
+        # footers directly (driver-side, ~1 ms/file) — spinning up a Spark
+        # datasource scan for schema inference costs 100x more per epoch
+        self._evolve_schema_from_footers(
+            [p for fl in shard_files.values() for p in fl]
+        )
+
+        hot_keys: list[dict] = []
+        if self.cfg.hot_key_min_count is not None:
+            from datax_spark.cdc import skew
+
+            batch = self.read_epoch(epoch)
+            valid, _ = M.split_valid_dirty(batch)
+            hot_keys = skew.detect_hot_keys(
+                valid, key_cols=[self.cfg.key_cols[0]],
+                min_count=self.cfg.hot_key_min_count,
+            )
+
+        def pre_commit(stats: dict) -> dict:
+            self._check_error_limit(
+                stats["dirty_total"],
+                stats["dirty_total"] + stats["events_total"],
+                epoch,
+            )
+            return {
+                "engine_epoch": epoch,
+                "max_applied_seq": stats["max_applied_seq"],
+            }
+
+        new_snap, stats = self.table.apply_cdc_files(
+            shard_files,
+            key_cols=list(self.cfg.key_cols),
+            op_col=self.cfg.op_col,
+            seq_col=self.cfg.seq_col,
+            arrow_validator=M.make_arrow_validator(self.cfg.op_col),
+            quarantine_dir=os.path.join(self.quarantine_dir, f"epoch={epoch}"),
+            pre_commit=pre_commit,
+            write_mode=self.cfg.write_mode,
+            compact_threshold=self.cfg.compact_threshold,
+        )
+        manifest = self._emit_epoch_manifest(
+            epoch, new_snap, stats, time.time() - t0, manifest_path, hot_keys,
+            mode="aligned",
+        )
+        return manifest
 
     def apply_batch(self, batch: DataFrame, epoch: int) -> dict:
         """Apply one micro-batch (used by both the epoch loop and the
@@ -299,10 +446,17 @@ class CdcEngine:
             compact_threshold=self.cfg.compact_threshold,
         )
 
-        dt = time.time() - t0
+        return self._emit_epoch_manifest(
+            epoch, new_snap, stats, time.time() - t0, manifest_path, hot_keys,
+            mode="fused",
+        )
+
+    def _emit_epoch_manifest(self, epoch, new_snap, stats, dt, manifest_path,
+                             hot_keys, mode: str) -> dict:
         n_valid = stats["events_total"]
         manifest = {
             "epoch": epoch,
+            "mode": mode,
             "snapshot_version": new_snap.version,
             "events": n_valid,
             "dirty": stats["dirty_total"],
@@ -319,6 +473,7 @@ class CdcEngine:
             {
                 "kind": "epoch_commit",
                 "epoch": epoch,
+                "mode": mode,
                 "events": n_valid,
                 "dirty": stats["dirty_total"],
                 "events_per_sec": manifest["events_per_sec"],

@@ -23,6 +23,7 @@ two-pass scheme (no sampling, no zipWithIndex):
 
 from __future__ import annotations
 
+import json
 import math
 import os
 from dataclasses import dataclass, field
@@ -240,16 +241,31 @@ def generate_change_feed(spark: SparkSession, feed_dir: str, spec: ChangeFeedSpe
             continue
         shard = F.pmod(F.xxhash64(F.col("conv_id")), F.lit(spec.shards_per_epoch))
         (
-            # deterministic conv_id-hash sharding; partitionBy(epoch) then
-            # splits each shard task's output into one file per epoch present
-            dfp.repartition(spec.shards_per_epoch, shard)
+            # deterministic conv_id-hash sharding, written as explicit
+            # epoch=K/shard=S partition dirs — the layout of a key-partitioned
+            # binlog (Kafka keyed topic / OTS PK shards). Malformed events with
+            # NULL conv_id land in the hive default-partition dir.
+            dfp.withColumn("shard", shard)
+            .repartition(spec.shards_per_epoch, F.col("shard"))
             .sortWithinPartitions("epoch_hint", "seq")
             .withColumnRenamed("epoch_hint", "epoch")
             .write.mode("append")
-            .partitionBy("epoch")
+            .partitionBy("epoch", "shard")
             .parquet(feed_dir)
         )
     events.unpersist()
+    # feed metadata contract: consumers that bucket their table with the SAME
+    # key hash and modulus may use the zero-shuffle aligned apply path
+    with open(os.path.join(feed_dir, "_dsx_feed.json"), "w") as f:
+        json.dump(
+            {
+                "shards_per_epoch": spec.shards_per_epoch,
+                "shard_fn": "pmod(xxhash64(conv_id), shards_per_epoch)",
+                "key_cols": ["conv_id", "turn_idx"],
+                "seq_col": "seq",
+            },
+            f,
+        )
     epochs = sorted(
         int(d.split("=", 1)[1]) for d in os.listdir(feed_dir) if d.startswith("epoch=")
     )

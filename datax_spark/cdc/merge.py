@@ -41,6 +41,44 @@ def split_valid_dirty(batch: DataFrame) -> tuple[DataFrame, DataFrame]:
     return valid, dirty
 
 
+def make_arrow_validator(op_col: str = OP_COL):
+    """Arrow-side twin of :func:`dirty_reason_expr` for the zero-shuffle
+    aligned apply path, where events never pass through Catalyst. Returns a
+    picklable closure ``table -> StringArray`` (reason, NULL = valid). The
+    rule set and priority order MUST stay in sync with dirty_reason_expr."""
+    valid_ops = [s.strip("'") for s in VALID_OPS_SQL]
+
+    def validate(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        conv = t.column("conv_id").combine_chunks()
+        turn = t.column("turn_idx").combine_chunks()
+        op = t.column(op_col).combine_chunks()
+        text = t.column("text").combine_chunks()
+        null_key = pc.fill_null(
+            pc.or_kleene(pc.is_null(conv), pc.equal(conv, "")), True
+        )
+        bad_turn = pc.fill_null(
+            pc.or_kleene(pc.is_null(turn), pc.less(turn, 0)), True
+        )
+        bad_op = pc.fill_null(
+            pc.invert(pc.is_in(op, value_set=pa.array(valid_ops))), True
+        )
+        null_payload = pc.fill_null(
+            pc.and_kleene(pc.not_equal(op, "D"), pc.is_null(text)), False
+        )
+        reason = pc.if_else(
+            null_payload, pa.scalar("null_payload"), pa.nulls(len(conv), pa.string())
+        )
+        reason = pc.if_else(bad_op, pa.scalar("bad_op"), reason)
+        reason = pc.if_else(bad_turn, pa.scalar("bad_turn_idx"), reason)
+        reason = pc.if_else(null_key, pa.scalar("null_key"), reason)
+        return reason
+
+    return validate
+
+
 def dedupe_latest(batch: DataFrame, key_cols: list[str] | None = None, seq_col: str = SEQ_COL) -> DataFrame:
     """One row per key: the event with max seq (vectorized, map-side combined)."""
     key_cols = key_cols or KEY_COLS

@@ -55,7 +55,8 @@ def fold_feed(feed_dir: str, max_epoch: int | None = None) -> list[dict]:
         if max_epoch is not None and epoch > max_epoch:
             continue
         sub = os.path.join(feed_dir, d)
-        paths += [os.path.join(sub, f) for f in sorted(os.listdir(sub)) if f.endswith(".parquet")]
+        for dirpath, _dirs, fns in sorted(os.walk(sub)):
+            paths += [os.path.join(dirpath, f) for f in sorted(fns) if f.endswith(".parquet")]
     dataset = ds.dataset(paths, format="parquet", schema=ORACLE_ARROW_SCHEMA)
     tbl = dataset.to_table()
     df = tbl.to_pandas().sort_values("seq", kind="mergesort")

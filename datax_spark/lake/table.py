@@ -163,6 +163,122 @@ def _arrow_schema_for(schema: T.StructType):
     return pa.schema([pa.field(f.name, conv(f.dataType), True) for f in schema.fields])
 
 
+def _make_bucket_processor(payload_cols, key_cols, seq_col, op_col, delete_op,
+                           write_mode, compact_threshold, staging, staging_rel):
+    """Build the per-bucket merge kernel shared by the shuffled and the
+    aligned (zero-shuffle) apply paths. The returned closure runs inside
+    Python workers (pickled by value): given a bucket id, its deduplicatable
+    event table (payload + seq + op, normalized types) and its existing
+    [(path, kind, gen)] layers, it writes a delta or a compacted/merged base
+    file and returns the DataFile/lineage entries."""
+
+    def process(b, ev, files):
+        import os as _os
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        pay_fields = [ev.schema.field(c) for c in payload_cols]
+        seq_minmax = pc.min_max(ev.column(seq_col))
+        entry = {
+            "bucket": b,
+            "path": None,
+            "rows": 0,
+            "events": ev.num_rows,
+            "min_seq": seq_minmax["min"].as_py(),
+            "max_seq": seq_minmax["max"].as_py(),
+            "reason": None,
+            "kind": "base",
+        }
+
+        def key_arr(t):
+            cols = [
+                pc.cast(t.column(k).combine_chunks(), pa.string()) for k in key_cols
+            ]
+            if len(cols) == 1:
+                return cols[0]
+            return pc.binary_join_element_wise(*cols, "\x1f")
+
+        # LWW on EVENTS ONLY: sort (keys, seq), keep the last row of each key
+        # run. Old layers never join the sort — they only take hash-membership
+        # filters (cascade below) — so the table's (large, string-heavy)
+        # payload is copied once, never sorted.
+        srt = ev.sort_by(
+            [(k, "ascending") for k in key_cols] + [(seq_col, "ascending")]
+        )
+        n = srt.num_rows
+        changed = None
+        for k in key_cols:
+            col = srt.column(k).combine_chunks()
+            neq = pc.not_equal(col.slice(0, n - 1), col.slice(1))
+            changed = neq if changed is None else pc.or_(changed, neq)
+        last_mask = (
+            pa.concat_arrays([changed, pa.array([True])])
+            if changed is not None else pa.array([True] * n)
+        )
+        ev_latest = srt.filter(last_mask)
+
+        # per-bucket jitter staggers compaction across epochs — with a
+        # uniform feed every bucket would otherwise hit the threshold on the
+        # same epoch and the whole table would compact at once
+        if write_mode == "mor" and (
+            len(files) + 1 < compact_threshold + (b % compact_threshold)
+        ):
+            # merge-on-read fast path: persist this epoch's latest-per-key
+            # upserts+deletes as a DELTA layer (Iceberg v2 equality-delete
+            # pattern) — no old file is read or rewritten
+            name = f"b{b:05d}-d{_uuid.uuid4().hex}.parquet"
+            pq.write_table(ev_latest, _os.path.join(staging, name), compression="snappy")
+            entry["path"] = _os.path.join(staging_rel, name)
+            entry["rows"] = ev_latest.num_rows
+            entry["kind"] = "delta"
+            return [entry]
+
+        # full merge / compaction: newest-gen-wins cascade. Walk layers
+        # newest→oldest; a layer's keys shadow everything older; delete
+        # winners shadow but don't emit.
+        winners = ev_latest.filter(
+            pc.not_equal(
+                ev_latest.column(op_col).combine_chunks(), pa.scalar(delete_op)
+            )
+        ).select(payload_cols)
+        pieces = [winners]
+        seen = [key_arr(ev_latest)]
+        for path, kind, _gen in sorted(files, key=lambda x: -x[2]):
+            t = pq.read_table(path)
+            cols = []
+            for f in pay_fields:
+                if t.schema.get_field_index(f.name) >= 0:
+                    cols.append(t.column(f.name).cast(f.type))
+                else:  # schema evolution: old file lacks the column
+                    cols.append(pa.nulls(t.num_rows, f.type))
+            aligned = pa.table(cols, names=payload_cols)
+            keys_t = key_arr(aligned)
+            live_mask = pc.invert(
+                pc.is_in(keys_t, value_set=pa.chunked_array(seen))
+            )
+            if kind == "delta":
+                live_mask = pc.and_(
+                    live_mask,
+                    pc.not_equal(
+                        t.column(op_col).combine_chunks(), pa.scalar(delete_op)
+                    ),
+                )
+            pieces.append(aligned.filter(live_mask))
+            seen.append(keys_t)
+        final = pa.concat_tables(pieces)
+        if final.num_rows:
+            name = f"b{b:05d}-{_uuid.uuid4().hex}.parquet"
+            pq.write_table(final, _os.path.join(staging, name), compression="snappy")
+            entry["path"] = _os.path.join(staging_rel, name)
+            entry["rows"] = final.num_rows
+        return [entry]
+
+    return process
+
+
 @dataclass
 class Snapshot:
     version: int
@@ -208,6 +324,39 @@ class Snapshot:
             files=d["files"],
             properties=d.get("properties", {}),
         )
+
+
+def _collect_apply_entries(entries, next_gen: int) -> tuple[dict, dict]:
+    """Fold task-reported apply entries into (new_files, stats)."""
+    new_files: dict[str, list[dict]] = {}
+    lineage: dict[str, dict] = {}
+    dirty: dict[str, int] = {}
+    for r in sorted(entries, key=lambda r: (r["bucket"], r["path"] or "")):
+        if r["bucket"] == -1:
+            dirty[r["reason"]] = dirty.get(r["reason"], 0) + int(r["rows"])
+            continue
+        lineage[str(r["bucket"])] = {
+            "min_seq": r["min_seq"],
+            "max_seq": r["max_seq"],
+            "events": int(r["events"]),
+            "kind": r["kind"],
+        }
+        if r["rows"] and r["path"]:
+            new_files.setdefault(str(r["bucket"]), []).append(
+                {"path": r["path"], "rows": r["rows"],
+                 "kind": r["kind"], "gen": next_gen}
+            )
+    stats = {
+        "lineage": lineage,
+        "dirty": dirty,
+        "dirty_total": sum(dirty.values()),
+        "events_total": sum(v["events"] for v in lineage.values()),
+        "max_applied_seq": max(
+            (v["max_seq"] for v in lineage.values() if v["max_seq"] is not None),
+            default=None,
+        ),
+    }
+    return new_files, stats
 
 
 class CommitConflict(Exception):
@@ -717,6 +866,10 @@ class LakeTable:
             os.environ.get("DSX_MERGE_TASKS", 0)  # tuning override for benchmarks
         ) or min(len(steered), max(self.spark.sparkContext.defaultParallelism, 1))
         n_tasks = min(n_tasks, len(steered))
+        process_bucket = _make_bucket_processor(
+            payload_cols, key_cols, seq_col, op_col, delete_op,
+            write_mode, compact_threshold, staging, staging_rel,
+        )
         # Near-uniform buckets: ignore sizes so the assignment (and thus the
         # steering map literal) is identical across epochs — the projected
         # expression's codegen and plan fragments get cache hits instead of a
@@ -786,119 +939,8 @@ class LakeTable:
                     [pa.field(f.name, f.type) for f in pay_fields]
                     + [pa.field(seq_col, pa.int64()), pa.field(op_col, pa.string())]
                 )
-
-                seq_minmax = pc.min_max(events.column(seq_col))
-                n_events = events.num_rows
                 ev = events.select(payload_cols + [seq_col, op_col]).cast(norm_schema)
-
-                entry = {
-                    "bucket": b,
-                    "path": None,
-                    "rows": 0,
-                    "events": n_events,
-                    "min_seq": seq_minmax["min"].as_py(),
-                    "max_seq": seq_minmax["max"].as_py(),
-                    "reason": None,
-                    "kind": "base",
-                }
-
-                def key_arr(t):
-                    cols = [
-                        pc.cast(t.column(k).combine_chunks(), pa.string())
-                        for k in key_cols
-                    ]
-                    if len(cols) == 1:
-                        return cols[0]
-                    return pc.binary_join_element_wise(*cols, "\x1f")
-
-                # LWW on EVENTS ONLY: sort (keys, seq), keep the last row of
-                # each key run. Old table rows never join the sort — they only
-                # take hash-membership filters (cascade below) — so the
-                # table's (large, string-heavy) payload is copied once, never
-                # sorted.
-                srt = ev.sort_by(
-                    [(k, "ascending") for k in key_cols] + [(seq_col, "ascending")]
-                )
-                n = srt.num_rows
-                changed = None
-                for k in key_cols:
-                    col = srt.column(k).combine_chunks()
-                    neq = pc.not_equal(col.slice(0, n - 1), col.slice(1))
-                    changed = neq if changed is None else pc.or_(changed, neq)
-                last_mask = (
-                    pa.concat_arrays([changed, pa.array([True])])
-                    if changed is not None else pa.array([True] * n)
-                )
-                ev_latest = srt.filter(last_mask)
-
-                files = bucket_files.get(b, [])
-                # per-bucket jitter staggers compaction across epochs — with a
-                # uniform feed every bucket would otherwise hit the threshold
-                # on the same epoch and the whole table would compact at once
-                if write_mode == "mor" and (
-                    len(files) + 1 < compact_threshold + (b % compact_threshold)
-                ):
-                    # merge-on-read fast path: persist this epoch's
-                    # latest-per-key upserts+deletes as a DELTA file (Iceberg
-                    # v2 equality-delete pattern) — no old file is read or
-                    # rewritten. Compaction folds deltas into a new base once
-                    # the bucket accumulates compact_threshold files.
-                    name = f"b{b:05d}-d{_uuid.uuid4().hex}.parquet"
-                    pq.write_table(
-                        ev_latest, _os.path.join(staging, name), compression="snappy"
-                    )
-                    entry["path"] = _os.path.join(staging_rel, name)
-                    entry["rows"] = ev_latest.num_rows
-                    entry["kind"] = "delta"
-                    out.append(entry)
-                    continue
-
-                # full merge / compaction: newest-gen-wins cascade. Walk
-                # layers newest→oldest; a layer's keys shadow everything
-                # older; delete winners shadow but don't emit.
-                winners = ev_latest.filter(
-                    pc.not_equal(
-                        ev_latest.column(op_col).combine_chunks(), pa.scalar(delete_op)
-                    )
-                ).select(payload_cols)
-                pieces = [winners]
-                seen = [key_arr(ev_latest)]
-                for path, kind, _gen in sorted(
-                    files, key=lambda x: -x[2]
-                ):
-                    t = pq.read_table(path)
-                    cols = []
-                    for f in pay_fields:
-                        if t.schema.get_field_index(f.name) >= 0:
-                            cols.append(t.column(f.name).cast(f.type))
-                        else:  # schema evolution: old file lacks the column
-                            cols.append(pa.nulls(t.num_rows, f.type))
-                    aligned = pa.table(
-                        cols, names=payload_cols
-                    )
-                    keys_t = key_arr(aligned)
-                    live_mask = pc.invert(
-                        pc.is_in(keys_t, value_set=pa.chunked_array(seen))
-                    )
-                    if kind == "delta":
-                        live_mask = pc.and_(
-                            live_mask,
-                            pc.not_equal(
-                                t.column(op_col).combine_chunks(),
-                                pa.scalar(delete_op),
-                            ),
-                        )
-                    pieces.append(aligned.filter(live_mask))
-                    seen.append(keys_t)
-                final = pa.concat_tables(pieces)
-                if final.num_rows:
-                    name = f"b{b:05d}-{_uuid.uuid4().hex}.parquet"
-                    pq.write_table(
-                        final, _os.path.join(staging, name), compression="snappy"
-                    )
-                    entry["path"] = _os.path.join(staging_rel, name)
-                    entry["rows"] = final.num_rows
-                out.append(entry)
+                out.extend(process_bucket(b, ev, bucket_files.get(b, [])))
             if out:
                 yield pa.RecordBatch.from_pylist(
                     out,
@@ -927,35 +969,7 @@ class LakeTable:
             )
             .collect()
         )
-        new_files: dict[str, list[dict]] = {}
-        lineage: dict[str, dict] = {}
-        dirty: dict[str, int] = {}
-        for r in sorted(entries, key=lambda r: (r["bucket"], r["path"] or "")):
-            if r["bucket"] == -1:
-                dirty[r["reason"]] = dirty.get(r["reason"], 0) + int(r["rows"])
-                continue
-            lineage[str(r["bucket"])] = {
-                "min_seq": r["min_seq"],
-                "max_seq": r["max_seq"],
-                "events": int(r["events"]),
-                "kind": r["kind"],
-            }
-            if r["rows"] and r["path"]:
-                new_files.setdefault(str(r["bucket"]), []).append(
-                    {"path": r["path"], "rows": r["rows"],
-                     "kind": r["kind"], "gen": next_gen}
-                )
-        stats = {
-            "lineage": lineage,
-            "dirty": dirty,
-            "dirty_total": sum(dirty.values()),
-            "events_total": sum(v["events"] for v in lineage.values()),
-            "max_applied_seq": max(
-                (v["max_seq"] for v in lineage.values() if v["max_seq"] is not None),
-                default=None,
-            ),
-        }
-        return new_files, stats
+        return _collect_apply_entries(entries, next_gen)
 
     def apply_cdc_stats(
         self,
@@ -1000,6 +1014,178 @@ class LakeTable:
             dirty_reason_col=dirty_reason_col, quarantine_dir=quarantine_dir,
             write_mode=write_mode, compact_threshold=compact_threshold,
         )
+        return self._finish_apply(
+            snap, new_files, stats, properties, pre_commit, key_cols, op_col, delete_op
+        )
+
+    def apply_cdc_files(
+        self,
+        feed_files: dict[int | None, list[str]],
+        key_cols: list[str],
+        op_col: str = "op",
+        seq_col: str = "seq",
+        delete_op: str = "D",
+        arrow_validator=None,
+        quarantine_dir: str | None = None,
+        properties: dict | None = None,
+        pre_commit=None,
+        write_mode: str = "mor",
+        compact_threshold: int = 8,
+    ) -> tuple[Snapshot, dict]:
+        """Zero-shuffle ALIGNED apply: the change feed is key-partitioned with
+        the same hash and modulus as the table's buckets (a key-partitioned
+        binlog — Kafka keyed topic, OTS PK shards), so each task reads its
+        buckets' shard files directly and merges locally. This is the
+        storage-partitioned-join idea applied to MERGE: no scan job, no
+        exchange, and no JVM→Python transfer of the epoch — the only bytes
+        moved are the shard parquet reads and the delta/base writes.
+
+        ``feed_files`` maps bucket id -> shard parquet paths; the ``None``
+        key holds files whose shard key was NULL (rows with a NULL merge key
+        — quarantined wholesale). ``arrow_validator(table) -> reason array``
+        (see cdc.merge.make_arrow_validator) tags dirty events. Returns
+        (snapshot, stats) exactly like :meth:`apply_cdc_stats`.
+        """
+        snap = self.snapshot()
+        staging_rel = os.path.join(_DATA, f"stage-{uuid.uuid4().hex}")
+        staging = os.path.join(self.root, staging_rel)
+        os.makedirs(staging, exist_ok=True)
+        if quarantine_dir:
+            os.makedirs(quarantine_dir, exist_ok=True)
+
+        payload_cols = [f.name for f in snap.schema.fields]
+        target = _arrow_schema_for(snap.schema)
+        bucket_files = {
+            int(b): [
+                (os.path.join(self.root, f["path"]), f.get("kind", "base"),
+                 f.get("gen", 0))
+                for f in fl
+            ]
+            for b, fl in snap.files.items()
+        }
+        buckets = sorted(int(b) for b in feed_files if b is not None)
+        null_files = list(feed_files.get(None, []))
+        feed_map = {int(b): list(feed_files[b]) for b in buckets}
+        if null_files:
+            feed_map[-1] = null_files
+        steered = list(buckets) + ([-1] if null_files else [])
+        if not steered:
+            return self._finish_apply(
+                snap, {}, {"lineage": {}, "dirty": {}, "dirty_total": 0,
+                           "events_total": 0, "max_applied_seq": None},
+                properties, pre_commit, key_cols, op_col, delete_op,
+            )
+        # cost model: existing rows to maybe-rewrite + feed bytes (~200 B/row)
+        sizes = {
+            b: sum(f["rows"] for f in snap.files.get(str(b), ()))
+            + sum(os.path.getsize(p) for p in feed_map[b]) // 200
+            + 1
+            for b in steered
+        }
+        n_tasks = min(len(steered), max(self.spark.sparkContext.defaultParallelism, 1))
+        assign = _assign_buckets_lpt(steered, sizes, n_tasks)
+        magic = _partition_magic(n_tasks)
+        process_bucket = _make_bucket_processor(
+            payload_cols, key_cols, seq_col, op_col, delete_op,
+            write_mode, compact_threshold, staging, staging_rel,
+        )
+        qdir = quarantine_dir
+
+        def aligned_apply(batches):
+            import os as _os
+            import uuid as _uuid
+
+            import pyarrow as pa
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
+
+            my: list[int] = []
+            for batch in batches:
+                my.extend(batch.column(0).to_pylist())
+            out = []
+            for b in my:
+                tabs = []
+                for p in feed_map[b]:
+                    t = pq.read_table(p)
+                    cols = []
+                    for f in target:
+                        if t.schema.get_field_index(f.name) >= 0:
+                            cols.append(t.column(f.name).cast(f.type))
+                        else:  # pre-evolution shard file lacks the column
+                            cols.append(pa.nulls(t.num_rows, f.type))
+                    cols.append(t.column(seq_col).cast(pa.int64()))
+                    cols.append(t.column(op_col).cast(pa.string()))
+                    tabs.append(
+                        pa.table(cols, names=payload_cols + [seq_col, op_col])
+                    )
+                ev_all = pa.concat_tables(tabs)
+
+                reason = arrow_validator(ev_all) if arrow_validator else None
+                if b == -1 and reason is not None:
+                    # NULL-shard rows are dirty by construction (NULL key)
+                    reason = pc.fill_null(reason, "null_key")
+                ev = ev_all
+                if reason is not None:
+                    dirty_mask = pc.is_valid(reason)
+                    n_dirty = pc.sum(pc.cast(dirty_mask, pa.int64())).as_py() or 0
+                    if n_dirty:
+                        qt = ev_all.filter(dirty_mask).append_column(
+                            "_dirty_reason", reason.filter(dirty_mask)
+                        )
+                        pq.write_table(
+                            qt,
+                            _os.path.join(qdir, f"q-{_uuid.uuid4().hex}.parquet"),
+                            compression="snappy",
+                        )
+                        vc = pc.value_counts(reason.filter(dirty_mask))
+                        for r in vc.to_pylist():
+                            out.append(
+                                {
+                                    "bucket": -1, "path": None,
+                                    "rows": r["counts"], "events": 0,
+                                    "min_seq": None, "max_seq": None,
+                                    "reason": r["values"], "kind": None,
+                                }
+                            )
+                        ev = ev_all.filter(pc.invert(dirty_mask))
+                if b != -1 and ev.num_rows:
+                    out.extend(process_bucket(b, ev, bucket_files.get(b, [])))
+            if out:
+                yield pa.RecordBatch.from_pylist(
+                    out,
+                    schema=pa.schema(
+                        [
+                            ("bucket", pa.int32()),
+                            ("path", pa.string()),
+                            ("rows", pa.int64()),
+                            ("events", pa.int64()),
+                            ("min_seq", pa.int64()),
+                            ("max_seq", pa.int64()),
+                            ("reason", pa.string()),
+                            ("kind", pa.string()),
+                        ]
+                    ),
+                )
+
+        seed = self.spark.createDataFrame(
+            [(b, magic[assign[b]]) for b in steered], "b int, pid int"
+        )
+        entries = (
+            seed.repartition(n_tasks, F.col("pid"))
+            .mapInArrow(
+                aligned_apply,
+                schema="bucket int, path string, rows long, events long, "
+                       "min_seq long, max_seq long, reason string, kind string",
+            )
+            .collect()
+        )
+        new_files, stats = _collect_apply_entries(entries, snap.version + 1)
+        return self._finish_apply(
+            snap, new_files, stats, properties, pre_commit, key_cols, op_col, delete_op
+        )
+
+    def _finish_apply(self, snap, new_files, stats, properties, pre_commit,
+                      key_cols, op_col, delete_op) -> tuple[Snapshot, dict]:
         extra = pre_commit(stats) if pre_commit is not None else None
         props = dict(properties or {})
         props.update(extra or {})

@@ -103,7 +103,7 @@ class StreamingCdcEngine:
         applied: list[int] = []
 
         def _apply(bdf, bid: int):
-            cols = [c for c in bdf.columns if c != "epoch"]
+            cols = [c for c in bdf.columns if c not in ("epoch", "shard")]
             self.engine.apply_batch(bdf.select(*cols), int(bid))
             applied.append(int(bid))
 
