@@ -80,7 +80,11 @@ def main() -> None:
     n_epochs = int(os.environ.get("DSX_BENCH_EPOCHS", "4"))
     spark = get_spark(app_name="datax-spark-bench")
 
-    workdir = f"/tmp/dsx-bench-{os.getpid()}"
+    # tmpfs: the sandbox's virtual disk is throttled and otherwise dominates
+    # the CDC-replay measurement (see BASELINE.md protocol notes)
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    os.environ.setdefault("SPARK_LOCAL_DIRS", f"{base}/dsx-bench-local-{os.getpid()}")
+    workdir = f"{base}/dsx-bench-{os.getpid()}"
     shutil.rmtree(workdir, ignore_errors=True)
     os.makedirs(workdir)
     try:

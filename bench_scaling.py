@@ -89,7 +89,7 @@ def worker(cpus: int, feed: str, workdir: str, out: str) -> None:
     spark.stop()
 
 
-def _bandwidth_probe() -> dict:
+def _bandwidth_probe(levels=(2, 8, 32)) -> dict:
     """Aggregate memory-copy GB/s at several process counts — documents the
     sandbox VM's bandwidth ceiling, which bounds any data-movement workload's
     core-scaling on this box (a real 4N-executor cluster has 4N memory buses;
@@ -109,7 +109,7 @@ def _bandwidth_probe() -> dict:
         q.put(n * 2 * 64 / 1024 / (time.time() - t0))
 
     out = {}
-    for procs in (2, 8, 32):
+    for procs in levels:
         q = mp.Queue()
         ps = [mp.Process(target=bw, args=(q,)) for _ in range(procs)]
         [p.start() for p in ps]
@@ -182,7 +182,7 @@ def orchestrate() -> None:
         # context: single-VM memory-bandwidth ceiling that bounds the upper
         # pair (a real N vs 4N EXECUTOR comparison adds memory buses with
         # cores; this box does not)
-        "mem_copy_bandwidth_gbps_by_procs": _bandwidth_probe(),
+        "mem_copy_bandwidth_gbps_by_procs": _bandwidth_probe(tuple(levels)),
     }
     with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
         json.dump(out, f, indent=2)
