@@ -182,6 +182,19 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP aggregate (status → priority → grand total);
+    integer-cents sum keeps the oracle comparison exact."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        o.withColumn("cents", cents)
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("total_cents"))
+        .select("o_orderstatus", "o_orderpriority", "n", "total_cents")
+    )
+
+
 def q_region_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast-joined dimension rollup (small-dim join pattern)."""
     c = _t(spark, sf_dir, "customer")
@@ -381,6 +394,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nested_flatten": q_nested_flatten,
     "events_sessionize": q_events_sessionize,
     "events_hourly": q_events_hourly,
+    "orders_rollup": q_orders_rollup,
     "region_customers": q_region_customers,
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_token_stats": q_doc_token_stats,
@@ -462,6 +476,11 @@ ORACLES: dict[str, str] = {
         SELECT event_type, date_trunc('hour', ts) AS hour,
                count(*) AS n, round(sum(value), 3) AS sum_value
         FROM events GROUP BY 1, 2
+    """,
+    "orders_rollup": """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
     """,
     "region_customers": """
         SELECT r_name, count(*) AS n_customers

@@ -209,16 +209,16 @@ def _make_bucket_processor(payload_cols, key_cols, seq_col, op_col, delete_op,
             [(k, "ascending") for k in key_cols] + [(seq_col, "ascending")]
         )
         n = srt.num_rows
-        changed = None
-        for k in key_cols:
-            col = srt.column(k).combine_chunks()
-            neq = pc.not_equal(col.slice(0, n - 1), col.slice(1))
-            changed = neq if changed is None else pc.or_(changed, neq)
-        last_mask = (
-            pa.concat_arrays([changed, pa.array([True])])
-            if changed is not None else pa.array([True] * n)
-        )
-        ev_latest = srt.filter(last_mask)
+        if n == 0:
+            ev_latest = srt  # compaction-only invocation: no new events
+        else:
+            changed = None
+            for k in key_cols:
+                col = srt.column(k).combine_chunks()
+                neq = pc.not_equal(col.slice(0, n - 1), col.slice(1))
+                changed = neq if changed is None else pc.or_(changed, neq)
+            last_mask = pa.concat_arrays([changed, pa.array([True])])
+            ev_latest = srt.filter(last_mask)
 
         # per-bucket jitter staggers compaction across epochs — with a
         # uniform feed every bucket would otherwise hit the threshold on the
@@ -1201,6 +1201,104 @@ class LakeTable:
             else:
                 files[b] = fl  # base rewrite/compaction replaces (may clear)
         return self._commit(snap, files, props), stats
+
+    def compact(self, buckets: Iterable[int] | None = None,
+                properties: dict | None = None) -> Snapshot:
+        """Fold each bucket's delta layers into one fresh base file (Iceberg
+        ``rewrite_data_files`` parity) — a maintenance job to run off the
+        ingest path. Buckets without deltas are untouched; reads of the new
+        snapshot take the fast non-merging scan path again."""
+        snap = self.snapshot()
+        key_cols = [k for k in snap.properties.get("merge_keys", "").split(",") if k]
+        op_col = snap.properties.get("merge_op_col", "op")
+        delete_op = snap.properties.get("merge_delete_op", "D")
+        wanted = None if buckets is None else {int(b) for b in buckets}
+        todo = sorted(
+            int(b) for b, fl in snap.files.items()
+            if (wanted is None or int(b) in wanted)
+            and any(f.get("kind", "base") == "delta" for f in fl)
+        )
+        if not todo:
+            return snap
+        if not key_cols:
+            raise ValueError("snapshot has delta layers but no merge_keys property")
+
+        staging_rel = os.path.join(_DATA, f"stage-{uuid.uuid4().hex}")
+        staging = os.path.join(self.root, staging_rel)
+        os.makedirs(staging, exist_ok=True)
+        payload_cols = [f.name for f in snap.schema.fields]
+        target = _arrow_schema_for(snap.schema)
+        bucket_files = {
+            int(b): [
+                (os.path.join(self.root, f["path"]), f.get("kind", "base"),
+                 f.get("gen", 0))
+                for f in fl
+            ]
+            for b, fl in snap.files.items()
+            if int(b) in set(todo)
+        }
+        sizes = {b: sum(f["rows"] for f in snap.files[str(b)]) + 1 for b in todo}
+        n_tasks = min(len(todo), max(self.spark.sparkContext.defaultParallelism, 1))
+        assign = _assign_buckets_lpt(todo, sizes, n_tasks)
+        magic = _partition_magic(n_tasks)
+        seq_col = "_cseq"
+        process_bucket = _make_bucket_processor(
+            payload_cols, key_cols, seq_col, op_col, delete_op,
+            "cow", 1, staging, staging_rel,
+        )
+
+        def compact_task(batches):
+            import pyarrow as pa
+
+            my: list[int] = []
+            for batch in batches:
+                my.extend(batch.column(0).to_pylist())
+            out = []
+            empty = pa.table(
+                {
+                    **{f.name: pa.nulls(0, f.type) for f in target},
+                    seq_col: pa.nulls(0, pa.int64()),
+                    op_col: pa.nulls(0, pa.string()),
+                }
+            )
+            for b in my:
+                out.extend(process_bucket(b, empty, bucket_files.get(b, [])))
+            if out:
+                yield pa.RecordBatch.from_pylist(
+                    out,
+                    schema=pa.schema(
+                        [
+                            ("bucket", pa.int32()),
+                            ("path", pa.string()),
+                            ("rows", pa.int64()),
+                            ("events", pa.int64()),
+                            ("min_seq", pa.int64()),
+                            ("max_seq", pa.int64()),
+                            ("reason", pa.string()),
+                            ("kind", pa.string()),
+                        ]
+                    ),
+                )
+
+        seed = self.spark.createDataFrame(
+            [(b, magic[assign[b]]) for b in todo], "b int, pid int"
+        )
+        entries = (
+            seed.repartition(n_tasks, F.col("pid"))
+            .mapInArrow(
+                compact_task,
+                schema="bucket int, path string, rows long, events long, "
+                       "min_seq long, max_seq long, reason string, kind string",
+            )
+            .collect()
+        )
+        new_files, _stats = _collect_apply_entries(entries, snap.version + 1)
+        props = dict(properties or {})
+        props["compacted_buckets"] = len(todo)
+        files = {b: list(fl) for b, fl in snap.files.items()}
+        for b in todo:
+            files[str(b)] = new_files.get(str(b), [])
+        return self._commit(snap, files, props)
 
     def merge(
         self,

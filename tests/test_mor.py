@@ -86,6 +86,21 @@ def test_mor_time_travel_reads_delta_snapshots(spark, tmp_path):
     assert got == want
 
 
+def test_explicit_compact_maintenance(spark, tmp_path):
+    """LakeTable.compact(): fold all delta layers into fresh bases off the
+    ingest path (rewrite_data_files parity); state preserved, fast reads back."""
+    eng = _run(spark, tmp_path, "mor", threshold=100, seed=66)  # all deltas
+    want = _state(eng.table.read())
+    snap = eng.table.compact()
+    kinds = {f.get("kind") for fl in snap.files.values() for f in fl}
+    assert kinds == {"base"}
+    assert all(len(fl) <= 1 for fl in snap.files.values())
+    assert not snap.has_deltas()
+    assert _state(eng.table.read()) == want == _oracle_state(eng.cfg.feed_dir)
+    # idempotent no-op when nothing to compact
+    assert eng.table.compact().version == snap.version
+
+
 def test_mor_read_bucket_pruning(spark, tmp_path):
     eng = _run(spark, tmp_path, "mor", threshold=3, seed=55)
     full = eng.table.read()
