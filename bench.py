@@ -76,7 +76,7 @@ def run_cdc_bench(spark, workdir: str, n_convs: int, n_epochs: int) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
-    n_convs = int(os.environ.get("DSX_BENCH_CONVS", "150000"))
+    n_convs = int(os.environ.get("DSX_BENCH_CONVS", "400000"))
     n_epochs = int(os.environ.get("DSX_BENCH_EPOCHS", "4"))
     spark = get_spark(app_name="datax-spark-bench")
 
