@@ -84,9 +84,7 @@ class StreamingCdcEngine:
             .schema
         )
 
-    def run_available_now(self) -> dict:
-        """Process everything currently in the feed, then stop (resumable:
-        the offset log skips files already consumed by earlier runs)."""
+    def _start(self, trigger: dict):
         os.makedirs(self.cfg.checkpoint_dir, exist_ok=True)
         listener = _ProgressWriter(self.progress_path)
         self.spark.streams.addListener(listener)
@@ -110,11 +108,39 @@ class StreamingCdcEngine:
         query = (
             stream.writeStream.foreachBatch(_apply)
             .option("checkpointLocation", self.offsets_dir)
-            .trigger(availableNow=True)
+            .trigger(**trigger)
             .start()
         )
+        return query, listener, applied
+
+    def run_available_now(self) -> dict:
+        """Process everything currently in the feed, then stop (resumable:
+        the offset log skips files already consumed by earlier runs)."""
+        query, listener, applied = self._start({"availableNow": True})
         try:
             query.awaitTermination()
+        finally:
+            self.spark.streams.removeListener(listener)
+        return {
+            "batches": applied,
+            "table_version": self.engine.table.current_version(),
+        }
+
+    def run_continuous(self, interval: str = "10 seconds",
+                       timeout_s: float | None = None) -> dict:
+        """Long-running tail: micro-batch every ``interval`` as new shard
+        files land (the deployment mode — the reference's change-stream tail
+        loop, otsstreamreader RecordProcessor.process). Blocks until
+        ``timeout_s`` (None = forever / external stop), then stops the query
+        gracefully; restart resumes from the offset log."""
+        query, listener, applied = self._start({"processingTime": interval})
+        try:
+            if timeout_s is None:
+                query.awaitTermination()
+            else:
+                query.awaitTermination(timeout_s)
+                query.stop()
+                query.awaitTermination(30)
         finally:
             self.spark.streams.removeListener(listener)
         return {

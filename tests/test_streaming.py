@@ -57,6 +57,40 @@ def test_streaming_rate_limit_multiple_batches(spark, tmp_path):
         assert os.path.exists(p)
 
 
+def test_streaming_continuous_trigger_tail(spark, tmp_path):
+    """processingTime trigger: batches fire on an interval; late-arriving
+    shard files are picked up; graceful stop; state matches the fold."""
+    import shutil as _sh
+    import threading
+    import time as _t
+
+    # generate one 3-epoch feed; start the tail with epochs 0-1 and drip
+    # epoch 2 in while the query runs
+    full = str(tmp_path / "full")
+    generate_change_feed(spark, full, ChangeFeedSpec(seed=13, n_convs=80, n_epochs=3))
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    _sh.copy(os.path.join(full, "_dsx_feed.json"), feed)
+    for e in (0, 1):
+        _sh.copytree(os.path.join(full, f"epoch={e}"), os.path.join(feed, f"epoch={e}"))
+    LakeTable.create(spark, str(tmp_path / "table"), TRANSCRIPTS_SCHEMA_V1,
+                     "conv_id", n_buckets=8)
+    cfg = EngineConfig(table_root=str(tmp_path / "table"), feed_dir=feed,
+                       checkpoint_dir=str(tmp_path / "ckpt"))
+    eng = StreamingCdcEngine(spark, cfg)
+
+    def drip():
+        _t.sleep(3)
+        _sh.copytree(os.path.join(full, "epoch=2"), os.path.join(feed, "epoch=2"))
+
+    t = threading.Thread(target=drip)
+    t.start()
+    res = eng.run_continuous(interval="1 seconds", timeout_s=20)
+    t.join()
+    assert len(res["batches"]) >= 2  # initial feed + the late epoch
+    assert _state(eng) == _want(eng.cfg.feed_dir)
+
+
 def test_streaming_resume_only_new_files(spark, tmp_path):
     spec = ChangeFeedSpec(seed=9, n_convs=100, n_epochs=3)
     eng = _setup(spark, tmp_path, spec)
