@@ -102,6 +102,9 @@ class EngineConfig:
     # (storage-partitioned-join applied to MERGE). True forces (error if the
     # contract is absent), False always uses the generic shuffle path.
     aligned_feed: bool | str = "auto"
+    # expire snapshots older than the last K after each epoch commit (None =
+    # keep everything for time travel; long replays should bound disk)
+    vacuum_keep_last: int | None = None
     metrics: list = field(default_factory=list)
 
 
@@ -469,6 +472,8 @@ class CdcEngine:
         if hot_keys:
             manifest["hot_keys"] = hot_keys
         _atomic_write_json(manifest_path, manifest)
+        if self.cfg.vacuum_keep_last is not None:
+            self.table.vacuum(keep_last=self.cfg.vacuum_keep_last)
         self._emit(
             {
                 "kind": "epoch_commit",

@@ -1351,10 +1351,14 @@ class LakeTable:
         return out
 
     def vacuum(self, keep_last: int = 2) -> int:
-        """Delete data files referenced only by expired snapshots. Returns count."""
+        """Expire old snapshots: delete data files referenced only by expired
+        snapshots AND the expired snapshot manifests themselves (Iceberg
+        ``expire_snapshots`` semantics — a manifest must never outlive its
+        files). Returns the number of data files removed."""
+        meta = os.path.join(self.root, _META)
         versions = sorted(
             int(n[1:-5])
-            for n in os.listdir(os.path.join(self.root, _META))
+            for n in os.listdir(meta)
             if n.startswith("v") and n.endswith(".json")
         )
         keep = set(versions[-keep_last:])

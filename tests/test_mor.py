@@ -101,6 +101,26 @@ def test_explicit_compact_maintenance(spark, tmp_path):
     assert eng.table.compact().version == snap.version
 
 
+def test_engine_auto_vacuum_bounds_snapshots(spark, tmp_path):
+    """vacuum_keep_last expires old snapshots after each commit — disk stays
+    bounded on long replays; final state unaffected."""
+    import os
+
+    feed = str(tmp_path / "feed-v")
+    spec = ChangeFeedSpec(seed=44, n_convs=100, n_epochs=5, update_rate=0.6)
+    generate_change_feed(spark, feed, spec)
+    root = str(tmp_path / "table-v")
+    LakeTable.create(spark, root, TRANSCRIPTS_SCHEMA_V1, bucket_key="conv_id", n_buckets=8)
+    eng = CdcEngine(spark, EngineConfig(
+        table_root=root, feed_dir=feed, checkpoint_dir=str(tmp_path / "ckpt-v"),
+        vacuum_keep_last=2,
+    ))
+    eng.run()
+    metas = [n for n in os.listdir(os.path.join(root, "_meta")) if n.endswith(".json")]
+    assert len(metas) <= 2
+    assert _state(eng.table.read()) == _oracle_state(feed)
+
+
 def test_mor_read_bucket_pruning(spark, tmp_path):
     eng = _run(spark, tmp_path, "mor", threshold=3, seed=55)
     full = eng.table.read()
