@@ -179,19 +179,23 @@ def dx_sql(expr_sql: str):
 
 
 @register_transform("dx_pandas")
-def dx_pandas(fn, schema=None):
+def dx_pandas(fn, schema=None, context=None):
     """User code over Arrow pandas batches (dx_groovy replacement,
     GroovyTransformer.java:25-88 — vectorized instead of per-record).
 
     ``fn(pdf) -> pdf`` may drop/alter rows; ``schema`` defaults to the input's.
+    ``context`` ports the ComplexTransformer surface (ComplexTransformer.java:
+    11-30 — UDF with a shared context map): the dict is broadcast once and
+    passed to ``fn(pdf, ctx)`` in every task instead of re-shipping per batch.
     """
 
     def apply(df: DataFrame) -> DataFrame:
         out_schema = schema or df.schema
+        bc = df.sparkSession.sparkContext.broadcast(context) if context is not None else None
 
         def gen(it):
             for pdf in it:
-                out = fn(pdf)
+                out = fn(pdf, bc.value) if bc is not None else fn(pdf)
                 if out is not None and len(out):
                     yield out
 

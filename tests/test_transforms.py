@@ -83,6 +83,18 @@ def test_dx_pandas_vectorized_filter(df):
     assert sorted(r.qty for r in out.collect()) == [5, 15]
 
 
+def test_dx_pandas_broadcast_context(df):
+    """ComplexTransformer parity: fn(pdf, ctx) with a broadcast context map."""
+
+    def scale(pdf, ctx):
+        pdf = pdf.copy()
+        pdf["qty"] = pdf["qty"] * ctx["factor"] + ctx["offset"]
+        return pdf
+
+    out = TRANSFORMS["dx_pandas"](scale, context={"factor": 10, "offset": 1})(df)
+    assert sorted(r.qty for r in out.collect()) == [51, 151, 251]
+
+
 def test_dx_sql(df):
     out = apply_transform_chain(df, [{"name": "dx_sql", "parameter": {"expr_sql": "where qty >= 15"}}])
     assert out.count() == 2
