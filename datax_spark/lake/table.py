@@ -436,18 +436,22 @@ class LakeTable:
         key = F.col(col_name or snap.bucket_key)
         return F.pmod(F.xxhash64(key.cast("string")), F.lit(snap.n_buckets)).cast("int")
 
-    def read(self, version: int | None = None, buckets: Iterable[int] | None = None) -> DataFrame:
+    def read(self, version: int | None = None, buckets: Iterable[int] | None = None,
+             columns: list[str] | None = None) -> DataFrame:
         """Read the table at a snapshot; ``buckets`` prunes at the file-list level
 
         (manifest-driven partition pruning — the scan never opens files of
         untouched buckets, the lake-table analog of Catalyst partition pruning).
         Snapshots holding MoR delta layers are resolved per bucket at scan time
         (newest-gen-wins, deletes applied) — the merge-on-read half of the
-        Iceberg v2 equality-delete design.
+        Iceberg v2 equality-delete design. ``columns`` projects explicitly:
+        Catalyst prunes the plain-scan path by itself, but a mapInArrow merge
+        read is opaque to it, so the projection is pushed into the per-file
+        parquet reads here.
         """
         snap = self.snapshot(version)
         if snap.has_deltas(buckets):
-            return self._read_merged(snap, buckets)
+            return self._read_merged(snap, buckets, columns)
         wanted = None if buckets is None else {str(b) for b in buckets}
         paths = [
             os.path.join(self.root, f["path"])
@@ -459,9 +463,11 @@ class LakeTable:
             return self.spark.createDataFrame([], snap.schema)
         # Explicit evolved schema: files written pre-evolution lack new columns
         # and read as NULL — schema evolution without rewrite.
-        return self.spark.read.schema(snap.schema).parquet(*paths)
+        df = self.spark.read.schema(snap.schema).parquet(*paths)
+        return df.select(*columns) if columns else df
 
-    def _read_merged(self, snap: Snapshot, buckets: Iterable[int] | None) -> DataFrame:
+    def _read_merged(self, snap: Snapshot, buckets: Iterable[int] | None,
+                     columns: list[str] | None = None) -> DataFrame:
         """Distributed merge-on-read: one steered task set resolves each
         bucket's base ∪ delta layers (newest-gen-wins cascade, deletes
         dropped) and streams the live rows back as the snapshot schema."""
@@ -470,6 +476,9 @@ class LakeTable:
             raise ValueError("snapshot has delta layers but no merge_keys property")
         op_col = snap.properties.get("merge_op_col", "op")
         delete_op = snap.properties.get("merge_delete_op", "D")
+        out_cols = list(columns) if columns else [f.name for f in snap.schema.fields]
+        # the cascade itself needs the merge keys even if not requested
+        internal_cols = list(dict.fromkeys(out_cols + key_cols))
         items = (
             sorted(int(b) for b in snap.files if snap.files[b])
             if buckets is None else sorted({int(b) for b in buckets})
@@ -492,8 +501,14 @@ class LakeTable:
         n_tasks = min(len(items), max(self.spark.sparkContext.defaultParallelism, 1))
         assign = _assign_buckets_lpt(items, sizes, n_tasks)
         magic = _partition_magic(n_tasks)
-        target = _arrow_schema_for(snap.schema)
-        payload_cols = [f.name for f in snap.schema.fields]
+        internal_set = set(internal_cols)
+        internal_struct = T.StructType(
+            [f for f in snap.schema.fields if f.name in internal_set]
+        )
+        target = _arrow_schema_for(internal_struct)
+        internal_names = [f.name for f in internal_struct.fields]
+        out_struct = T.StructType([snap.schema[c] for c in out_cols])
+        out_target = _arrow_schema_for(out_struct)
 
         def read_merge(batches):
             import pyarrow as pa
@@ -507,14 +522,18 @@ class LakeTable:
                 pieces = []
                 seen: list = []
                 for path, kind, _gen in sorted(file_map[b], key=lambda x: -x[2]):
-                    t = pq.read_table(path)
+                    sch_names = set(pq.read_schema(path).names)
+                    want = [c for c in internal_names if c in sch_names]
+                    if kind == "delta" and op_col in sch_names:
+                        want = want + [op_col]
+                    t = pq.read_table(path, columns=want)
                     cols = []
                     for f in target:
-                        if t.schema.get_field_index(f.name) >= 0:
+                        if f.name in sch_names:
                             cols.append(t.column(f.name).cast(f.type))
                         else:
                             cols.append(pa.nulls(t.num_rows, f.type))
-                    aligned = pa.table(cols, names=payload_cols)
+                    aligned = pa.table(cols, names=internal_names)
                     keys = [
                         pc.cast(aligned.column(k).combine_chunks(), pa.string())
                         for k in key_cols
@@ -534,7 +553,7 @@ class LakeTable:
                         mask = not_del if mask is None else pc.and_(mask, not_del)
                     pieces.append(aligned if mask is None else aligned.filter(mask))
                     seen.append(keys_t)
-                merged = pa.concat_tables(pieces).cast(target)
+                merged = pa.concat_tables(pieces).select(out_cols).cast(out_target)
                 if merged.num_rows:
                     yield from merged.to_batches()
 
@@ -543,7 +562,7 @@ class LakeTable:
         )
         return (
             seed.repartition(n_tasks, F.col("pid"))
-            .mapInArrow(read_merge, schema=snap.schema)
+            .mapInArrow(read_merge, schema=out_struct)
         )
 
     # ----------------------------------------------------------------- writes

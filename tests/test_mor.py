@@ -101,6 +101,20 @@ def test_explicit_compact_maintenance(spark, tmp_path):
     assert eng.table.compact().version == snap.version
 
 
+def test_mor_read_column_pruning(spark, tmp_path):
+    """read(columns=...) pushes projection into the per-file parquet reads of
+    the merge-on-read scan; key columns are still available for the cascade."""
+    eng = _run(spark, tmp_path, "mor", threshold=100, seed=33)
+    pruned = eng.table.read(columns=["conv_id", "turn_idx", "role"])
+    assert pruned.columns == ["conv_id", "turn_idx", "role"]
+    full = eng.table.read()
+    assert sorted((r["conv_id"], r["turn_idx"], r["role"]) for r in pruned.collect()) == \
+        sorted((r["conv_id"], r["turn_idx"], r["role"]) for r in full.collect())
+    # projection not containing all keys still works
+    texts = eng.table.read(columns=["text"])
+    assert texts.columns == ["text"] and texts.count() == full.count()
+
+
 def test_engine_auto_vacuum_bounds_snapshots(spark, tmp_path):
     """vacuum_keep_last expires old snapshots after each commit — disk stays
     bounded on long replays; final state unaffected."""
