@@ -150,6 +150,29 @@ def q_nested_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document ingest: JSON string column → typed struct → dotted-path
+    extraction (transforms.nested.parse_json — the Mongo-reader shape)."""
+    from datax_spark.transforms.nested import flatten, parse_json
+
+    ev = _t(spark, sf_dir, "events")
+    typed = parse_json(ev, "props", "k int")
+    return flatten(typed, {"event_id": "event_id", "k": "doc.k"})
+
+
+def q_multiversion_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-version cell fan-out round trip (hbase multi-version mode):
+    pack events into array<struct> per user, explode back one row per
+    version (transforms.nested.explode_versions)."""
+    from datax_spark.transforms.nested import explode_versions
+
+    ev = _t(spark, sf_dir, "events").filter(F.pmod(F.col("event_id"), F.lit(50)) == 0)
+    packed = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("event_id", "value"))).alias("versions")
+    )
+    return explode_versions(packed, "versions").select("user_id", "event_id", "value")
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min) per user: lag + cumulative-sum window."""
     from pyspark.sql import Window
@@ -392,6 +415,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dx_filter": q_dx_filter,
     "dx_cast_chain": q_dx_cast_chain,
     "nested_flatten": q_nested_flatten,
+    "events_props_json": q_events_props_json,
+    "multiversion_explode": q_multiversion_explode,
     "events_sessionize": q_events_sessionize,
     "events_hourly": q_events_hourly,
     "orders_rollup": q_orders_rollup,
@@ -453,6 +478,12 @@ ORACLES: dict[str, str] = {
         SELECT o_orderkey, o_orderstatus AS status, o_totalprice AS total,
                CAST(o_orderkey AS VARCHAR) || ',' || CAST(o_custkey AS VARCHAR) AS key_list
         FROM orders
+    """,
+    "events_props_json": """
+        SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k FROM events
+    """,
+    "multiversion_explode": """
+        SELECT user_id, event_id, value FROM events WHERE event_id % 50 = 0
     """,
     "events_sessionize": """
         WITH g AS (
