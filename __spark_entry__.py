@@ -336,6 +336,17 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(probes, e, k=5)
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5 (ops.similarity.ivf_topk — FAISS-IVF layout on
+    DataFrames; seeded k-means centroids). No SQL oracle (approximate by
+    design); recall vs exact is pytest-checked in tests/test_ops.py."""
+    from datax_spark.ops.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.filter(F.pmod(F.col("vec_id"), F.lit(97)) == 0)
+    return ivf_topk(probes, e, k=5, n_lists=16, n_probe=4)
+
+
 def q_emb_label_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact high-similarity vector pairs (cos >= 0.3) blocked by label.
 
@@ -431,6 +442,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_minhash_near_dup": q_doc_minhash_near_dup,
     "doc_simhash_near_dup": q_doc_simhash_near_dup,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "emb_label_near_dup": q_emb_label_near_dup,
     "emb_lsh_near_dup": q_emb_lsh_near_dup,
     "media_features": q_media_features,

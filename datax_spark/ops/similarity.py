@@ -201,3 +201,90 @@ def embedding_near_dupes(
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+# ----------------------------------------------------------------------- IVF
+
+def _ivf_centroids(corpus: DataFrame, vec_col: str, n_lists: int,
+                   sample_cap: int = 10_000, iters: int = 5, seed: int = 7):
+    """Deterministic driver-side k-means over a seeded corpus sample.
+
+    The sample (≤ sample_cap rows) is small by construction — centroids are a
+    tiny model fitted once and broadcast, exactly how IVF indexes train. numpy
+    Lloyd iterations; empty clusters re-seeded deterministically.
+    """
+    import numpy as np
+
+    sample = np.stack(
+        [r[0] for r in corpus.select(vec_col).limit(sample_cap).collect()]
+    ).astype("float64")
+    # normalize so L2 k-means == spherical/cosine clustering
+    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    cent = sample[rng.choice(len(sample), size=n_lists, replace=len(sample) < n_lists)]
+    for _ in range(iters):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for j in range(n_lists):
+            members = sample[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                cent[j] = c / max(np.linalg.norm(c), 1e-12)
+            else:
+                cent[j] = sample[rng.randint(len(sample))]
+    return cent
+
+
+def _list_ids_udf(centroids, top: int):
+    """array<int> of the ``top`` nearest centroid ids per vector (vectorized)."""
+    import numpy as np
+
+    @F.pandas_udf("array<int>")
+    def nearest(v):
+        import pandas as pd
+
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        m = np.stack(v.to_numpy()).astype("float64")
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ centroids.T
+        idx = np.argsort(-sims, axis=1)[:, :top]
+        return pd.Series(list(idx.astype("int32")))
+
+    return nearest
+
+
+def ivf_topk(
+    probes: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors are inverted-listed under their
+    nearest centroid; each probe scans only its ``n_probe`` nearest lists and
+    exact cosine re-ranks. At 10^9 vectors the scan per probe shrinks by
+    ~n_lists/n_probe while the partition-pruned list join replaces the full
+    crossproduct — the FAISS-IVF layout on DataFrames.
+    """
+    from pyspark.sql.window import Window
+
+    cent = _ivf_centroids(corpus, vec_col, n_lists)
+    corpus_lists = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
+        F.element_at(_list_ids_udf(cent, 1)(F.col(vec_col)), 1).alias("list_id"),
+    )
+    probe_lists = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pv"),
+        F.explode(_list_ids_udf(cent, n_probe)(F.col(vec_col))).alias("list_id"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        corpus_lists.join(F.broadcast(probe_lists), "list_id")
+        .where(F.col("probe_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine_expr(F.col("_pv"), F.col("_cv")), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "rank", "cos")
+    )

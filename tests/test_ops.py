@@ -173,3 +173,19 @@ def test_multimodal_plumbing(docs):
 
     plan = MM.frame_sample_plan(media, every_n=1)
     assert plan.count() >= media.count()
+
+
+def test_ivf_topk_recall(vectors):
+    """IVF ANN: clustered vectors land in the same inverted list; recall vs
+    exact brute force stays high with n_probe lists scanned per probe."""
+    df, _ = vectors
+    probes = df.where(F.col("vec_id") < 8)
+    exact = {(r["probe_id"], r["neighbor_id"]) for r in S.cosine_topk(probes, df, k=3).collect()}
+    approx = {(r["probe_id"], r["neighbor_id"])
+              for r in S.ivf_topk(probes, df, k=3, n_lists=8, n_probe=3).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7
+    # deterministic across invocations (seeded centroids)
+    again = {(r["probe_id"], r["neighbor_id"])
+             for r in S.ivf_topk(probes, df, k=3, n_lists=8, n_probe=3).collect()}
+    assert approx == again
