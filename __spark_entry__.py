@@ -234,11 +234,25 @@ def q_region_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -------------------------------------------------- training-data ops (docs)
 
-def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup groups: hash-groupBy on text, keep min doc_id."""
+def _docs_with_planted_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ re-keyed copies of every 7th doc — a deterministic corpus
+    with real duplicate groups (the raw table is all-distinct at sf0.01, which
+    made the dedup row pass vacuously in round 1)."""
     d = _t(spark, sf_dir, "documents")
+    planted = d.filter(F.pmod(F.col("doc_id"), F.lit(7)) == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    return d.unionByName(planted)
+
+
+def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: hash-groupBy on text, keep min doc_id.
+
+    Runs on the planted-duplicate corpus so the green row proves dup-group
+    detection (>70 groups), not an empty intersection."""
+    corpus = _docs_with_planted_dups(spark, sf_dir)
     return (
-        d.groupBy("text")
+        corpus.groupBy("text")
         .agg(F.count("*").alias("dup_count"), F.min("doc_id").alias("keep_id"))
         .filter(F.col("dup_count") > 1)
         .select("keep_id", "dup_count")
@@ -311,20 +325,29 @@ def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_doc_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidates verified by exact Jaccard (ops.dedup) — the
-    10^9-doc scale path. No SQL oracle (xxhash64 minhashes are not portable);
-    validated against pure-Python Jaccard in tests/test_ops.py."""
+    10^9-doc scale path. Portable md5-60 hashing: the DuckDB oracle replicates
+    the FULL pipeline (shingle hashes → affine-permutation minhash signatures
+    → banded candidate pairs → exact-Jaccard verify) bit-for-bit, so the green
+    row covers the LSH mechanics, not just a final invariant."""
     from datax_spark.ops.dedup import minhash_near_dupes
 
     d = _t(spark, sf_dir, "documents")
-    return minhash_near_dupes(d, w=5, threshold=0.2, n_bands=32)
+    return minhash_near_dupes(
+        d, w=5, threshold=0.2, n_hashes=64, n_bands=32, portable=True
+    )
 
 
 def q_doc_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash banded near-dup pairs (ops.dedup); pytest-validated."""
+    """SimHash near-dup pairs with GUARANTEED pigeonhole recall: 60-bit
+    portable signature split into 4×15-bit blocks; any pair within Hamming
+    distance 3 must share a block exactly, so the blocked output equals the
+    exact all-pairs result — which is what the O(n²) DuckDB oracle checks."""
     from datax_spark.ops.dedup import simhash_near_dupes
 
     d = _t(spark, sf_dir, "documents")
-    return simhash_near_dupes(d, max_hamming=8)
+    return simhash_near_dupes(
+        d, max_hamming=3, bits=60, n_blocks=4, portable=True
+    )
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -336,53 +359,97 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(probes, e, k=5)
 
 
+def _planted_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ slightly-perturbed copies of every 3rd vector.
+
+    The raw table holds no true near-dups (max pairwise cos ≈ 0.6), so round 1
+    had to register either a vacuous or an O(n²) query. The planted copies
+    (integer-arithmetic perturbation ±0.005/dim, cos ≈ 0.9997 to their source)
+    create a real near-dup regime at threshold 0.8 with an EMPTY margin band
+    (0.6, 0.995) — LSH recall is exact and the SQL oracle can replicate the
+    derivation bit-for-bit (pure integer arithmetic + float64 widening)."""
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        "label",
+    )
+    # two projections: Spark 4 lateral-column-alias resolution would otherwise
+    # bind vec_id inside the lambda to the re-keyed alias instead of the source
+    pert = (
+        e.filter(F.pmod(F.col("vec_id"), F.lit(3)) == 0)
+        .withColumn(
+            "embedding",
+            F.transform(
+                "embedding",
+                lambda x, i: x.cast("double")
+                + (
+                    F.pmod(F.col("vec_id") * 31 + (i + F.lit(1)) * 17, F.lit(101)) - 50
+                ).cast("double")
+                / 10000.0,
+            ),
+        )
+        .withColumn("vec_id", F.col("vec_id") + 1_000_000)
+        .select("vec_id", "embedding", "label")
+    )
+    return base.unionByName(pert)
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-5 (ops.similarity.ivf_topk — FAISS-IVF layout on
-    DataFrames; seeded k-means centroids). No SQL oracle (approximate by
-    design); recall vs exact is pytest-checked in tests/test_ops.py."""
+    """IVF nearest-neighbor (ops.similarity.ivf_topk — FAISS-IVF layout on
+    DataFrames; deterministic seeded k-means centroids, n_probe=4 of 16 lists
+    pruned). Probes are planted perturbed copies whose true NN (cos ≈ 0.9997)
+    dominates every other corpus vector (max cos ≈ 0.6), so the pruned result
+    equals the exact top-1 and the brute-force SQL oracle checks it; partial
+    recall at larger k is pytest-checked in tests/test_ops.py."""
     from datax_spark.ops.similarity import ivf_topk
 
     e = _t(spark, sf_dir, "embeddings")
-    probes = e.filter(F.pmod(F.col("vec_id"), F.lit(97)) == 0)
-    return ivf_topk(probes, e, k=5, n_lists=16, n_probe=4)
+    probes = _planted_embeddings(spark, sf_dir).filter(
+        (F.col("vec_id") >= 1_000_000)
+        & (F.pmod(F.col("vec_id") - 1_000_000, F.lit(15)) == 0)
+    )
+    return ivf_topk(probes, e, k=1, n_lists=16, n_probe=4)
 
 
 def q_emb_label_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact high-similarity vector pairs (cos >= 0.3) blocked by label.
+    """Label-blocked near-dup pairs via LSH banding + exact-cosine verify —
+    replaces round 1's O(n²) within-label self-join (the plan has no all-pairs
+    stage; blocking composes with the hyperplane buckets)."""
+    from datax_spark.ops.similarity import embedding_near_dupes
 
-    (The synthetic embeddings hold no true near-dups — same-label max cosine
-    is ~0.47 — so the threshold selects the top ~1% most-similar pairs; the
-    near-dup case with planted duplicates is covered in tests/test_ops.py.)"""
-    from datax_spark.ops.similarity import cosine_expr
-
-    e = _t(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"), "label")
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"), "label")
-    return (
-        a.join(b, "label")
-        .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", F.round(cosine_expr(F.col("_va"), F.col("_vb")), 6))
-        .where(F.col("cos") >= 0.3)
-        .select("id_a", "id_b", "cos")
+    corpus = _planted_embeddings(spark, sf_dir)
+    return embedding_near_dupes(
+        corpus, threshold=0.8, n_planes=56, n_bands=8, dim=64, block_col="label"
     )
 
 
 def q_emb_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed near-dup pairs (ops.similarity) — the scale path; no SQL
-    oracle (hyperplanes from xxhash64); recall vs exact is pytest-checked."""
+    """LSH-bucketed near-dup pairs (ops.similarity) — the scale path. On the
+    planted corpus the verified output equals the exact cos>=0.8 pair set
+    (8 bands × 7-plane buckets; miss prob ~1e-10 at cos 0.9997), so the
+    brute-force SQL oracle checks it exactly."""
     from datax_spark.ops.similarity import embedding_near_dupes
 
-    e = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dupes(e, threshold=0.3, dim=64)
+    corpus = _planted_embeddings(spark, sf_dir)
+    return embedding_near_dupes(corpus, threshold=0.8, n_planes=56, n_bands=8, dim=64)
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload column -> Arrow-batched feature
-    extraction (ops.multimodal, mapInPandas; decode stubbed by design)."""
+    extraction (ops.multimodal, mapInPandas; decode stubbed by design).
+    Features flatten to scalar columns f0..f7 (harness-sortable) and the
+    chunk-mean featureizer is replicated by a DuckDB oracle over ascii codes
+    (the synthetic payload is the UTF-8 bytes of pure-ASCII text, so byte
+    sums are exact integers in both engines)."""
     from datax_spark.ops.multimodal import extract_features, synth_media
 
     d = _t(spark, sf_dir, "documents")
-    return extract_features(synth_media(d))
+    feats = extract_features(synth_media(d))
+    return feats.select(
+        "doc_id",
+        *[F.round(F.col("features")[i], 6).alias(f"f{i}") for i in range(8)],
+    )
 
 
 _DOC_TOKS = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
@@ -417,6 +484,152 @@ _SHINGLE_SQL = """
         GROUP BY 1, 2
     )
 """
+
+
+def _cos_fold_sql(a: str, b: str, dim: int = 64) -> str:
+    """Cosine in DuckDB with the SAME left-fold summation order as Spark's
+    ``F.aggregate`` (cosine_expr), so the doubles are bit-identical and
+    round(…, 6) can never disagree at a rounding boundary. (DuckDB's
+    list_cosine_similarity uses a different summation order — measured 1-ulp
+    differences flipped the 6th decimal on planted pairs at cos ≈ 0.9997.)"""
+    dot = (f"list_reduce(list_transform(range(1, {dim + 1}), "
+           f"i -> {a}[i] * {b}[i]), (x, y) -> x + y)")
+    na = f"sqrt(list_reduce(list_transform({a}, v -> v * v), (x, y) -> x + y))"
+    nb = f"sqrt(list_reduce(list_transform({b}, v -> v * v), (x, y) -> x + y))"
+    return f"({dot} / ({na} * {nb}))"
+
+
+_PLANTED_EMB_SQL = """
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding, label FROM embeddings
+    UNION ALL
+    -- NB: embeddings.vec_id must stay qualified — DuckDB lateral column
+    -- aliases would otherwise resolve the bare name to the re-keyed alias.
+    SELECT embeddings.vec_id + 1000000 AS vec_id,
+           list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE)
+               + CAST(((embeddings.vec_id * 31 + i * 17) % 101) - 50 AS DOUBLE) / 10000.0)
+               AS embedding,
+           label
+    FROM embeddings WHERE embeddings.vec_id % 3 = 0
+"""
+
+
+def _minhash_oracle_sql(n_hashes: int = 64, n_bands: int = 32, threshold: float = 0.2) -> str:
+    """DuckDB replication of the FULL portable MinHash+LSH pipeline — same
+    md5-60 shingle hashes, same affine permutation constants (shared via
+    ops.dedup.minhash_perms), same band buckets, same exact-Jaccard verify."""
+    from datax_spark.ops.dedup import P_MINHASH, minhash_perms
+
+    r = n_hashes // n_bands
+    perms = minhash_perms(n_hashes)
+    mins = ",\n               ".join(
+        f"min(({a} * h + {b}) % {P_MINHASH}) AS m{i}" for i, (a, b) in enumerate(perms)
+    )
+    bands = "\n            UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, concat_ws(':', {cols}) AS bucket FROM sig".format(
+            b=b, cols=", ".join(f"m{b * r + j}" for j in range(r))
+        )
+        for b in range(n_bands)
+    )
+    jac = "round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6)"
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+            FROM documents
+        ), sh0 AS (
+            SELECT doc_id, ts, unnest(range(1, greatest(len(ts) - 4, 1) + 1)) AS i FROM toks
+        ), shf AS (
+            SELECT DISTINCT doc_id,
+                   concat_ws(' ', ts[i], ts[i+1], ts[i+2], ts[i+3], ts[i+4]) AS shingle
+            FROM sh0
+        ), shd AS (
+            SELECT * FROM shf WHERE shingle <> ''
+        ), hs AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) % {P_MINHASH} AS h
+            FROM shd
+        ), sig AS (
+            SELECT doc_id, {mins} FROM hs GROUP BY doc_id
+        ), banded AS (
+            {bands}
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY 1
+        ), inter AS (
+            SELECT c.id_a, c.id_b, count(*) AS n_inter
+            FROM cand c
+            JOIN shd a ON a.doc_id = c.id_a
+            JOIN shd b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, {jac} AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE {jac} >= {threshold}
+    """
+
+
+def _simhash_oracle_sql(bits: int = 60, max_hamming: int = 3) -> str:
+    """Exact all-pairs Hamming filter over DuckDB-computed portable simhash
+    signatures. Valid as an equality oracle because the Spark side's 4-block
+    pigeonhole banding guarantees 100% recall at max_hamming <= 3."""
+    sums = ",\n                   ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}" for j in range(bits)
+    )
+    sigbits = "\n                 + ".join(
+        f"CASE WHEN b{j} > 0 THEN (CAST(1 AS BIGINT) << {j}) ELSE 0 END" for j in range(bits)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS tok
+            FROM documents
+        ), hs AS (
+            SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM toks
+        ), perbit AS (
+            SELECT doc_id, {sums}
+            FROM hs GROUP BY doc_id
+        ), sig AS (
+            SELECT doc_id, {sigbits} AS simhash
+            FROM perbit
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+def _media_oracle_sql(k: int = 8) -> str:
+    """Chunk-mean featureizer replicated over ascii codes (np.array_split
+    boundaries: first n%k chunks get one extra byte). Byte sums are exact
+    integers in float64, so mean/255 matches the Arrow UDF bit-for-bit."""
+    pivots = ",\n               ".join(
+        f"round(max(CASE WHEN c = {i} THEN fv END), 6) AS f{i}" for i in range(k)
+    )
+    return f"""
+        WITH d AS (
+            SELECT doc_id, text, length(text) AS n FROM documents
+        ), ch AS (
+            SELECT doc_id, text, c,
+                   (n // {k}) + CASE WHEN c < (n % {k}) THEN 1 ELSE 0 END AS clen,
+                   c * (n // {k}) + least(c, n % {k}) AS cstart
+            FROM d, unnest(range(0, {k})) AS t(c)
+        ), f AS (
+            SELECT doc_id, c,
+                   CASE WHEN clen = 0 THEN 0.0
+                        ELSE list_sum(list_transform(range(cstart + 1, cstart + clen + 1),
+                                                     i -> CAST(ascii(text[i]) AS DOUBLE)))
+                             / clen / 255.0
+                   END AS fv
+            FROM ch
+        )
+        SELECT doc_id, {pivots}
+        FROM f GROUP BY doc_id
+    """
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -533,8 +746,13 @@ ORACLES: dict[str, str] = {
         GROUP BY r_name
     """,
     "doc_exact_dedup": """
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+        )
         SELECT min(doc_id) AS keep_id, count(*) AS dup_count
-        FROM documents GROUP BY text HAVING count(*) > 1
+        FROM corpus GROUP BY text HAVING count(*) > 1
     """,
     "doc_token_stats": """
         SELECT doc_id, lang,
@@ -629,16 +847,45 @@ ORACLES: dict[str, str] = {
         )
         SELECT probe_id, neighbor_id, rank, cos FROM r WHERE rank <= 5
     """,
-    "emb_label_near_dup": """
-        WITH s AS (
+    "emb_label_near_dup": f"""
+        WITH c AS ({_PLANTED_EMB_SQL}),
+        s AS (
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                                CAST(b.embedding AS DOUBLE[])), 6) AS cos
-            FROM embeddings a JOIN embeddings b
-              ON a.label = b.label AND a.vec_id < b.vec_id
+                   {_cos_fold_sql('a.embedding', 'b.embedding')} AS cos
+            FROM c a JOIN c b ON a.label = b.label AND a.vec_id < b.vec_id
         )
-        SELECT id_a, id_b, cos FROM s WHERE cos >= 0.3
+        SELECT id_a, id_b, cos FROM s WHERE cos >= 0.8
     """,
+    "emb_lsh_near_dup": f"""
+        WITH c AS ({_PLANTED_EMB_SQL}),
+        s AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   {_cos_fold_sql('a.embedding', 'b.embedding')} AS cos
+            FROM c a JOIN c b ON a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b, cos FROM s WHERE cos >= 0.8
+    """,
+    "ann_ivf_topk": f"""
+        WITH p AS (
+            SELECT vec_id AS probe_id, embedding AS pv
+            FROM ({_PLANTED_EMB_SQL}) WHERE vec_id >= 1000000 AND (vec_id - 1000000) % 15 = 0
+        ), c AS (
+            SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+        ), s AS (
+            SELECT probe_id, neighbor_id,
+                   {_cos_fold_sql('pv', 'cv')} AS cos
+            FROM p, c WHERE probe_id <> neighbor_id
+        ), r AS (
+            SELECT probe_id, neighbor_id, cos,
+                   CAST(row_number() OVER (PARTITION BY probe_id
+                                           ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+            FROM s
+        )
+        SELECT probe_id, neighbor_id, rank, cos FROM r WHERE rank <= 1
+    """,
+    "doc_minhash_near_dup": _minhash_oracle_sql(n_hashes=64, n_bands=32, threshold=0.2),
+    "doc_simhash_near_dup": _simhash_oracle_sql(bits=60, max_hamming=3),
+    "media_features": _media_oracle_sql(k=8),
 }
 
 

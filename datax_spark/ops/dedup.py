@@ -10,15 +10,50 @@ Scale design (the point of each):
 - SimHash: 64-bit signature in one aggregation pass (per-bit weighted sums),
   banded blocking on 16-bit chunks for Hamming-distance candidates.
 
-All hashing is xxhash64-based (deterministic, columnar, JVM-side).
+Hashing comes in two flavors:
+- xxhash64 (default): fastest, JVM-side, not portable to other engines.
+- portable md5-60 (``portable=True``): ``conv(substr(md5(s),1,15),16,10)`` — a
+  60-bit integer that DuckDB reproduces bit-for-bit via
+  ``CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT)``, so the ENTIRE
+  LSH pipeline (signatures → bands → candidates → verified pairs) is
+  replicable by the SQL correctness oracle, not just the final invariant.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from datax_spark.ops.text import fingerprint_expr, tokens_expr
+
+#: Mersenne prime 2^31-1: (a*h + b) % P stays under 2^62 — no int64 overflow
+#: in either engine.
+P_MINHASH = 2_147_483_647
+
+
+def portable_hash60_expr(col: Column) -> Column:
+    """60-bit md5-derived hash, bit-identical in Spark and DuckDB (see
+    ``portable_hash60_sql``)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def portable_hash60_sql(expr: str) -> str:
+    """DuckDB SQL replicating ``portable_hash60_expr`` exactly."""
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def minhash_perms(n_hashes: int, p: int = P_MINHASH) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) affine-permutation constants shared by the
+    Spark pipeline and the SQL oracle builder (seeded 64-bit LCG)."""
+    perms: list[tuple[int, int]] = []
+    x = 0x9E3779B97F4A7C15
+    for _ in range(n_hashes):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = x % (p - 1) + 1
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = x % p
+        perms.append((a, b))
+    return perms
 
 
 # ------------------------------------------------------------------ exact
@@ -110,18 +145,29 @@ def minhash_signatures(
     id_col: str = "doc_id",
     w: int = 5,
     n_hashes: int = 64,
+    portable: bool = False,
 ) -> DataFrame:
     """k-minhash signature per doc in ONE aggregation pass.
 
-    Each hash function h_i(s) = xxhash64(seed_i, s); signature[i] =
-    min over shingles. GroupBy gets a map-side partial combine, so a doc's
+    Default: h_i(s) = xxhash64(seed_i, s). Portable: ONE md5-60 hash per
+    shingle + k affine permutations (a_i*h + b_i) mod P — cheaper than k
+    hash calls AND bit-replicable by the DuckDB oracle. signature[i] =
+    min over shingles; groupBy gets a map-side partial combine, so a doc's
     shingles collapse locally before the shuffle.
     """
     sh = shingles_df(df, text_col, id_col, w)
-    aggs = [
-        F.min(F.xxhash64(F.lit(f"mh:{i}"), F.col("shingle"))).alias(f"h{i}")
-        for i in range(n_hashes)
-    ]
+    if portable:
+        h = F.pmod(portable_hash60_expr(F.col("shingle")), F.lit(P_MINHASH))
+        sh = sh.select(id_col, h.alias("_h"))
+        aggs = [
+            F.min(F.pmod(F.lit(a) * F.col("_h") + F.lit(b), F.lit(P_MINHASH))).alias(f"h{i}")
+            for i, (a, b) in enumerate(minhash_perms(n_hashes))
+        ]
+    else:
+        aggs = [
+            F.min(F.xxhash64(F.lit(f"mh:{i}"), F.col("shingle"))).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
     sig = sh.groupBy(id_col).agg(*aggs)
     return sig.select(
         id_col, F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("minhash")
@@ -129,20 +175,26 @@ def minhash_signatures(
 
 
 def lsh_candidates(
-    sig: DataFrame, id_col: str = "doc_id", n_bands: int = 16, rows_per_band: int = 4
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    n_bands: int = 16,
+    rows_per_band: int = 4,
+    portable: bool = False,
 ) -> DataFrame:
     """Banded LSH: docs sharing any band-bucket become candidate pairs.
 
     Shuffle cost O(docs x bands); a bucket with B docs emits B(B-1)/2 pairs —
     identical signatures cluster but real corpora keep buckets small.
+    Portable mode buckets on the exact minhash tuple (concat string) so a
+    band-hash collision can never invent a candidate the oracle lacks.
     """
-    bands = F.array(*[
-        F.xxhash64(
-            F.lit(f"band:{b}"),
-            *[F.col("minhash")[b * rows_per_band + r] for r in range(rows_per_band)],
-        )
-        for b in range(n_bands)
-    ])
+    def band_key(b: int):
+        cols = [F.col("minhash")[b * rows_per_band + r] for r in range(rows_per_band)]
+        if portable:
+            return F.concat_ws(":", *[c.cast("string") for c in cols])
+        return F.xxhash64(F.lit(f"band:{b}"), *cols).cast("string")
+
+    bands = F.array(*[band_key(b) for b in range(n_bands)])
     exploded = sig.select(
         F.col(id_col), F.posexplode(bands).alias("band", "bucket")
     )
@@ -164,6 +216,7 @@ def minhash_near_dupes(
     n_hashes: int = 64,
     n_bands: int = 16,
     threshold: float = 0.5,
+    portable: bool = False,
 ) -> DataFrame:
     """LSH candidates verified by exact shingle Jaccard >= threshold.
 
@@ -171,8 +224,8 @@ def minhash_near_dupes(
     exact verify only on candidates (tiny fraction of all pairs).
     """
     rows = n_hashes // n_bands
-    sig = minhash_signatures(df, text_col, id_col, w, n_hashes)
-    cand = lsh_candidates(sig, id_col, n_bands, rows)
+    sig = minhash_signatures(df, text_col, id_col, w, n_hashes, portable=portable)
+    cand = lsh_candidates(sig, id_col, n_bands, rows, portable=portable)
 
     sh = shingles_df(df, text_col, id_col, w)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
@@ -204,16 +257,24 @@ def minhash_near_dupes(
 # ------------------------------------------------------------------- SimHash
 
 def simhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    portable: bool = False,
 ) -> DataFrame:
-    """64-bit SimHash per doc in one aggregation pass.
+    """SimHash per doc in one aggregation pass.
 
-    Token hash h = xxhash64(token); bit j of the signature is 1 iff
+    Token hash h = xxhash64(token) (or the 60-bit md5 portable hash — pass
+    ``bits=60`` with ``portable=True``); bit j of the signature is 1 iff
     sum over tokens of (+1 if bit j of h else -1) > 0.
     """
+    tok_hash = (
+        portable_hash60_expr(F.col("tok")) if portable else F.xxhash64("tok")
+    )
     tok = df.select(
         F.col(id_col), F.explode(tokens_expr(text_col)).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", tok_hash)
     aggs = [
         F.sum(
             F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -234,15 +295,30 @@ def simhash_near_dupes(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    bits: int = 64,
+    n_blocks: int = 4,
+    portable: bool = False,
 ) -> DataFrame:
-    """Candidate pairs with Hamming(simhash) <= max_hamming via 16-bit banding.
+    """Pairs with Hamming(simhash) <= max_hamming via pigeonhole banding.
 
-    Two 64-bit hashes within Hamming distance 3 share at least one of the four
-    16-bit quarters exactly (pigeonhole) — block on quarters, verify distance.
+    Splitting ``bits`` into ``n_blocks`` equal blocks and joining on
+    block equality GUARANTEES 100% recall iff max_hamming <= n_blocks - 1
+    (a pair with <= n_blocks-1 differing bits must share one block exactly)
+    — so the blocked output equals the exact all-pairs result, which is what
+    lets the DuckDB oracle check it with a plain O(n^2) hamming filter.
     """
-    sig = simhash_signatures(df, text_col, id_col)
+    if max_hamming > n_blocks - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs n_blocks>={max_hamming + 1} "
+            "for guaranteed pigeonhole recall"
+        )
+    if bits % n_blocks:
+        raise ValueError(f"bits={bits} not divisible by n_blocks={n_blocks}")
+    bw = bits // n_blocks
+    sig = simhash_signatures(df, text_col, id_col, bits=bits, portable=portable)
     quarters = F.array(*[
-        F.shiftright(F.col("simhash"), q * 16).bitwiseAND(F.lit(0xFFFF)) for q in range(4)
+        F.shiftright(F.col("simhash"), q * bw).bitwiseAND(F.lit((1 << bw) - 1))
+        for q in range(n_blocks)
     ])
     ex = sig.select(id_col, "simhash", F.posexplode(quarters).alias("q", "qv"))
     a = ex.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "q", "qv")

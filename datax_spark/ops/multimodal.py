@@ -86,8 +86,10 @@ def extract_features(
                 if len(b) == 0:
                     feats.append([0.0] * n_features)
                     continue
+                # integer byte sums are exact in float64 regardless of order,
+                # so mean/255 is bit-reproducible by the SQL oracle
                 chunks = np.array_split(b.astype(np.float64), n_features)
-                feats.append([round(float(c.mean()) / 255.0, 6) if len(c) else 0.0 for c in chunks])
+                feats.append([float(c.mean()) / 255.0 if len(c) else 0.0 for c in chunks])
             yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
 
     return df.mapInPandas(gen, schema=schema)

@@ -170,34 +170,42 @@ def embedding_near_dupes(
     n_planes: int = 32,
     n_bands: int = 4,
     dim: int = 64,
+    block_col: str | None = None,
 ) -> DataFrame:
     """Near-duplicate vector pairs (cosine >= threshold) via LSH blocking.
 
     32 planes / 4 bands → 8-bit buckets (256 per band): the self-join's
     candidate set shrinks ~16x vs 4-bit buckets while true near-dups
-    (cos ≈ 1 → per-plane agreement ≈ 1) still collide in ≥1 band w.h.p."""
+    (cos ≈ 1 → per-plane agreement ≈ 1) still collide in ≥1 band w.h.p.
+    ``block_col`` (e.g. a label/tenant column) additionally restricts
+    candidate pairs to equal blocks — blocking composes with LSH."""
     rows = n_planes // n_bands
     sig = hyperplane_signature_expr(vec_col, n_planes, dim)
-    s = corpus.select(F.col(id_col), F.col(vec_col), sig.alias("_sig"))
+    keep = [id_col, vec_col] + ([block_col] if block_col else [])
+    s = corpus.select(*keep, sig.alias("_sig"))
     bands = F.array(*[
         F.shiftright(F.col("_sig"), b * rows).bitwiseAND(F.lit((1 << rows) - 1))
         for b in range(n_bands)
     ])
-    ex = s.select(id_col, vec_col, F.posexplode(bands).alias("band", "bucket"))
+    ex = s.select(*keep, F.posexplode(bands).alias("band", "bucket"))
+    join_keys = ["band", "bucket"] + ([block_col] if block_col else [])
     a = ex.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "band", "bucket"
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), *join_keys
     )
     b = ex.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "band", "bucket"
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), *join_keys
     )
     return (
-        a.join(b, ["band", "bucket"])
+        a.join(b, join_keys)
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "_va", "_vb")
         # dedupe by id pair only — hashing the 64-float vectors through the
         # distinct shuffle costs ~50x the bytes for identical semantics
         .dropDuplicates(["id_a", "id_b"])
-        .withColumn("cos", F.round(cosine_expr(F.col("_va"), F.col("_vb")), 6))
+        # raw double (no round): the left-fold cosine is bit-identical to the
+        # SQL oracle's fold, while round-at-6 semantics differ between engines
+        # exactly at .5 boundaries (Spark HALF_UP vs DuckDB float rounding)
+        .withColumn("cos", cosine_expr(F.col("_va"), F.col("_vb")))
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
@@ -206,17 +214,21 @@ def embedding_near_dupes(
 # ----------------------------------------------------------------------- IVF
 
 def _ivf_centroids(corpus: DataFrame, vec_col: str, n_lists: int,
-                   sample_cap: int = 10_000, iters: int = 5, seed: int = 7):
+                   sample_cap: int = 10_000, iters: int = 5, seed: int = 7,
+                   id_col: str = "vec_id"):
     """Deterministic driver-side k-means over a seeded corpus sample.
 
     The sample (≤ sample_cap rows) is small by construction — centroids are a
     tiny model fitted once and broadcast, exactly how IVF indexes train. numpy
-    Lloyd iterations; empty clusters re-seeded deterministically.
+    Lloyd iterations; empty clusters re-seeded deterministically. The sample
+    is ordered by ``id_col`` before the limit so the fitted model (and thus
+    every downstream result) is identical across input partitionings.
     """
     import numpy as np
 
     sample = np.stack(
-        [r[0] for r in corpus.select(vec_col).limit(sample_cap).collect()]
+        [r[0] for r in corpus.select(id_col, vec_col).orderBy(id_col)
+                             .limit(sample_cap).select(vec_col).collect()]
     ).astype("float64")
     # normalize so L2 k-means == spherical/cosine clustering
     sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
@@ -270,7 +282,7 @@ def ivf_topk(
     """
     from pyspark.sql.window import Window
 
-    cent = _ivf_centroids(corpus, vec_col, n_lists)
+    cent = _ivf_centroids(corpus, vec_col, n_lists, id_col=id_col)
     corpus_lists = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
         F.element_at(_list_ids_udf(cent, 1)(F.col(vec_col)), 1).alias("list_id"),
@@ -283,7 +295,8 @@ def ivf_topk(
     return (
         corpus_lists.join(F.broadcast(probe_lists), "list_id")
         .where(F.col("probe_id") != F.col("neighbor_id"))
-        .withColumn("cos", F.round(cosine_expr(F.col("_pv"), F.col("_cv")), 6))
+        # raw double cos (no round) — see embedding_near_dupes
+        .withColumn("cos", cosine_expr(F.col("_pv"), F.col("_cv")))
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "rank", "cos")

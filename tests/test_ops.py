@@ -83,8 +83,38 @@ def test_simhash(docs):
     ham06 = bin(sigs[0] ^ sigs[6]).count("1")
     assert ham02 < ham06  # near-dup closer than unrelated
     pairs = {(r["id_a"], r["id_b"]): r["hamming"]
-             for r in D.simhash_near_dupes(docs, max_hamming=8).collect()}
+             for r in D.simhash_near_dupes(docs, max_hamming=3).collect()}
     assert pairs.get((0, 1)) == 0
+    with pytest.raises(ValueError):
+        # pigeonhole blocking cannot guarantee recall past n_blocks - 1
+        D.simhash_near_dupes(docs, max_hamming=8, n_blocks=4)
+
+
+def test_portable_hashing_matches_duckdb(docs):
+    """The md5-60 portable hash — the primitive the SQL oracles rebuild the
+    minhash/simhash pipelines from — is bit-identical in Spark and DuckDB."""
+    import duckdb
+
+    got = {r["tok"]: r["h"] for r in docs.select(
+        F.explode(TX.tokens_expr()).alias("tok")
+    ).select("tok", D.portable_hash60_expr(F.col("tok")).alias("h")).collect()}
+    con = duckdb.connect()
+    for tok, h in list(got.items())[:50]:
+        want = con.execute(
+            "SELECT CAST(concat('0x', substr(md5(?), 1, 15)) AS BIGINT)", [tok]
+        ).fetchone()[0]
+        assert h == want, tok
+
+
+def test_minhash_portable_pipeline(docs):
+    """Portable mode finds the same verified pairs as xxhash64 mode (the
+    verify stage makes the output hash-function-independent at high recall)."""
+    fast = {(r["id_a"], r["id_b"]) for r in
+            D.minhash_near_dupes(docs, threshold=0.3, n_bands=32).collect()}
+    portable = {(r["id_a"], r["id_b"]) for r in
+                D.minhash_near_dupes(docs, threshold=0.3, n_bands=32, portable=True).collect()}
+    assert (0, 1) in portable and (0, 2) in portable
+    assert portable == fast
 
 
 def test_text_quality_and_lang(docs):
@@ -189,3 +219,18 @@ def test_ivf_topk_recall(vectors):
     again = {(r["probe_id"], r["neighbor_id"])
              for r in S.ivf_topk(probes, df, k=3, n_lists=8, n_probe=3).collect()}
     assert approx == again
+
+
+def test_ivf_deterministic_across_partitionings(vectors):
+    """The centroid sample is ordered by id before the limit, so the fitted
+    model — and the full top-k result — is identical no matter how the input
+    is partitioned (round 1 used an unordered limit)."""
+    df, _ = vectors
+    probes = df.where(F.col("vec_id") < 8)
+    results = []
+    for parts in (1, 7):
+        r = S.ivf_topk(probes, df.repartition(parts), k=3, n_lists=8, n_probe=3)
+        results.append(sorted(
+            (x["probe_id"], x["rank"], x["neighbor_id"], x["cos"]) for x in r.collect()
+        ))
+    assert results[0] == results[1]
