@@ -239,7 +239,12 @@ def generate_change_feed(spark: SparkSession, feed_dir: str, spec: ChangeFeedSpe
             continue
         if part == "v2" and ev_epoch >= spec.n_epochs:
             continue
-        shard = F.pmod(F.xxhash64(F.col("conv_id")), F.lit(spec.shards_per_epoch))
+        # NULL conv_id must shard to NULL explicitly — xxhash64(NULL) returns
+        # the seed (42), which would silently hash NULL-key events into a
+        # regular shard instead of the hive default partition
+        shard = F.when(
+            F.col("conv_id").isNull(), F.lit(None).cast("long")
+        ).otherwise(F.pmod(F.xxhash64(F.col("conv_id")), F.lit(spec.shards_per_epoch)))
         (
             # deterministic conv_id-hash sharding, written as explicit
             # epoch=K/shard=S partition dirs — the layout of a key-partitioned

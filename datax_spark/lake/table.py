@@ -158,6 +158,10 @@ def _arrow_schema_for(schema: T.StructType):
             return pa.decimal128(dt.precision, dt.scale)
         if isinstance(dt, T.ArrayType):
             return pa.list_(conv(dt.elementType))
+        if isinstance(dt, T.StructType):
+            return pa.struct([pa.field(f.name, conv(f.dataType), True) for f in dt.fields])
+        if isinstance(dt, T.MapType):
+            return pa.map_(conv(dt.keyType), conv(dt.valueType))
         raise TypeError(f"unsupported type for arrow mapping: {dt}")
 
     return pa.schema([pa.field(f.name, conv(f.dataType), True) for f in schema.fields])
@@ -294,6 +298,10 @@ class Snapshot:
     properties: dict
 
     def total_rows(self) -> int:
+        """PHYSICAL rows across data files. On MoR snapshots delta layers
+        include delete markers and superseded key versions, so this
+        over-counts live rows — use :meth:`LakeTable.live_row_count` (a
+        merged read) for the logical table size."""
         return sum(f["rows"] for fl in self.files.values() for f in fl)
 
     def has_deltas(self, buckets=None) -> bool:
@@ -460,11 +468,18 @@ class LakeTable:
             for f in fl
         ]
         if not paths:
-            return self.spark.createDataFrame([], snap.schema)
+            # project the empty result too, so schema matches the non-empty path
+            return self.spark.createDataFrame([], self._projected_struct(snap, columns))
         # Explicit evolved schema: files written pre-evolution lack new columns
         # and read as NULL — schema evolution without rewrite.
         df = self.spark.read.schema(snap.schema).parquet(*paths)
         return df.select(*columns) if columns else df
+
+    @staticmethod
+    def _projected_struct(snap: Snapshot, columns: list[str] | None) -> T.StructType:
+        if not columns:
+            return snap.schema
+        return T.StructType([snap.schema[c] for c in columns])
 
     def _read_merged(self, snap: Snapshot, buckets: Iterable[int] | None,
                      columns: list[str] | None = None) -> DataFrame:
@@ -485,7 +500,7 @@ class LakeTable:
         )
         items = [b for b in items if snap.files.get(str(b))]
         if not items:
-            return self.spark.createDataFrame([], snap.schema)
+            return self.spark.createDataFrame([], self._projected_struct(snap, columns))
         table_root = self.root
         file_map = {
             b: [
@@ -660,8 +675,24 @@ class LakeTable:
                 )
         return out
 
+    def live_row_count(self, version: int | None = None) -> int:
+        """Logical row count at a snapshot: a merged read on MoR tables
+        (delta layers resolved), a manifest sum (no scan) otherwise."""
+        snap = self.snapshot(version)
+        if snap.has_deltas():
+            return self.read(version).count()
+        return snap.total_rows()
+
     def append(self, df: DataFrame, properties: dict | None = None) -> Snapshot:
         snap = self.snapshot()
+        if snap.has_deltas():
+            # appended files would get the highest gen, so the merged read's
+            # newest-gen-wins cascade would silently shadow same-key rows in
+            # older layers — turning append into upsert. Refuse instead.
+            raise ValueError(
+                "append() on a snapshot with MoR delta layers would shadow "
+                "same-key rows in older layers; run compact() first"
+            )
         dfb = df.withColumn(_BUCKET_COL, self._bucket_expr(snap))
         new_files = self._write_data_files(dfb, snap)
         files = {b: list(fl) for b, fl in snap.files.items()}
@@ -1140,8 +1171,12 @@ class LakeTable:
                 ev_all = pa.concat_tables(tabs)
 
                 reason = arrow_validator(ev_all) if arrow_validator else None
-                if b == -1 and reason is not None:
-                    # NULL-shard rows are dirty by construction (NULL key)
+                if b == -1:
+                    # NULL-shard rows are dirty by construction (NULL key):
+                    # quarantine them even with no validator installed —
+                    # they must never be silently dropped
+                    if reason is None:
+                        reason = pa.nulls(ev_all.num_rows, pa.string())
                     reason = pc.fill_null(reason, "null_key")
                 ev = ev_all
                 if reason is not None:
@@ -1151,11 +1186,12 @@ class LakeTable:
                         qt = ev_all.filter(dirty_mask).append_column(
                             "_dirty_reason", reason.filter(dirty_mask)
                         )
-                        pq.write_table(
-                            qt,
-                            _os.path.join(qdir, f"q-{_uuid.uuid4().hex}.parquet"),
-                            compression="snappy",
-                        )
+                        if qdir:
+                            pq.write_table(
+                                qt,
+                                _os.path.join(qdir, f"q-{_uuid.uuid4().hex}.parquet"),
+                                compression="snappy",
+                            )
                         vc = pc.value_counts(reason.filter(dirty_mask))
                         for r in vc.to_pylist():
                             out.append(

@@ -147,3 +147,120 @@ def test_mor_read_bucket_pruning(spark, tmp_path):
     b = F.pmod(F.xxhash64(F.col("conv_id").cast("string")), F.lit(snap.n_buckets))
     want = full.withColumn("_b", b).filter(F.col("_b").isin(0, 3)).drop("_b")
     assert _state(some) == _state(want)
+
+
+def test_mor_nested_payload_roundtrip(spark, tmp_path):
+    """MoR delta layers with struct/array/map payload columns: write, merged
+    read, and compaction must all survive nested types (round 1 raised
+    TypeError in _arrow_schema_for, leaving the table unreadable)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("k", T.StringType()),
+        T.StructField("doc", T.StructType([
+            T.StructField("a", T.IntegerType()),
+            T.StructField("b", T.StringType()),
+        ])),
+        T.StructField("tags", T.ArrayType(T.StringType())),
+        T.StructField("attrs", T.MapType(T.StringType(), T.StringType())),
+    ])
+    root = str(tmp_path / "nested")
+    t = LakeTable.create(spark, root, schema, bucket_key="k", n_buckets=4)
+
+    def src(rows):
+        return spark.createDataFrame(
+            rows, "k string, doc struct<a:int,b:string>, tags array<string>, "
+                  "attrs map<string,string>, seq long, op string")
+
+    t.apply_cdc_stats(
+        src([("x", (1, "one"), ["t1"], {"m": "1"}, 1, "I"),
+             ("y", (2, "two"), ["t2"], {"m": "2"}, 2, "I")]),
+        key_cols=["k"], write_mode="mor", compact_threshold=100)
+    snap, _ = t.apply_cdc_stats(
+        src([("x", (3, "three"), ["t3", "t4"], {"m": "3"}, 3, "U"),
+             ("y", None, None, None, 4, "D")]),
+        key_cols=["k"], write_mode="mor", compact_threshold=100)
+    assert snap.has_deltas()
+    rows = {r["k"]: r for r in t.read().collect()}
+    assert set(rows) == {"x"}
+    assert rows["x"]["doc"]["a"] == 3 and rows["x"]["tags"] == ["t3", "t4"]
+    assert rows["x"]["attrs"] == {"m": "3"}
+    t.compact()
+    assert not t.snapshot().has_deltas()
+    rows2 = {r["k"]: r for r in t.read().collect()}
+    assert rows2["x"]["doc"]["b"] == "three" and rows2["x"]["attrs"] == {"m": "3"}
+
+
+def test_append_on_mor_snapshot_rejected(spark, tmp_path):
+    eng = _run(spark, tmp_path, "mor", threshold=100, n_epochs=2, seed=91)
+    assert eng.table.snapshot().has_deltas()
+    extra = spark.createDataFrame(
+        [("zzz", 0, "user", "hi", None, None)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    with pytest.raises(ValueError, match="compact"):
+        eng.table.append(extra)
+    eng.table.compact()
+    eng.table.append(extra)  # fine on a delta-free snapshot
+    assert ("zzz", 0, "user", "hi", None) in _state(eng.table.read())
+
+
+def test_live_row_count_vs_physical(spark, tmp_path):
+    eng = _run(spark, tmp_path, "mor", threshold=100, n_epochs=4, seed=92)
+    snap = eng.table.snapshot()
+    live = eng.table.live_row_count()
+    assert live == eng.table.read().count()
+    # physical rows include superseded versions + delete markers on MoR
+    assert snap.total_rows() > live
+
+
+def test_empty_read_projection(spark, tmp_path):
+    from datax_spark.cdc.schema import TRANSCRIPTS_SCHEMA_V1 as S
+
+    root = str(tmp_path / "empty-proj")
+    t = LakeTable.create(spark, root, S, bucket_key="conv_id", n_buckets=4)
+    df = t.read(columns=["conv_id", "text"])
+    assert df.columns == ["conv_id", "text"] and df.count() == 0
+
+
+def test_null_shard_quarantined_without_validator(spark, tmp_path):
+    """NULL-key shard files must be quarantined (counted) even when no
+    arrow_validator is installed — never silently dropped."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datax_spark.cdc.schema import TRANSCRIPTS_SCHEMA_V1 as S
+
+    root = str(tmp_path / "nullshard")
+    t = LakeTable.create(spark, root, S, bucket_key="conv_id", n_buckets=4)
+    nf = str(tmp_path / "null-shard.parquet")
+    pq.write_table(pa.table({
+        "conv_id": pa.array([None, None], pa.string()),
+        "turn_idx": pa.array([0, 1], pa.int32()),
+        "role": pa.array(["user", "user"]),
+        "text": pa.array(["a", "b"]),
+        "tool": pa.array([None, None], pa.string()),
+        "ts": pa.array([None, None], pa.timestamp("us", tz="UTC")),
+        "seq": pa.array([1, 2], pa.int64()),
+        "op": pa.array(["I", "I"]),
+    }), nf)
+    snap, stats = t.apply_cdc_files(
+        {None: [nf]}, key_cols=["conv_id", "turn_idx"],
+        arrow_validator=None, quarantine_dir=str(tmp_path / "q"),
+    )
+    assert stats["dirty"] == {"null_key": 2}
+    assert t.read().count() == 0
+
+
+def test_generator_null_conv_id_lands_in_default_partition(spark, tmp_path):
+    import os
+
+    feed = str(tmp_path / "feed-null")
+    spec = ChangeFeedSpec(seed=13, n_convs=80, n_epochs=2, dirty_frac=0.2)
+    generate_change_feed(spark, feed, spec)
+    shard_dirs = {
+        d for e in os.listdir(feed) if e.startswith("epoch=")
+        for d in os.listdir(os.path.join(feed, e)) if d.startswith("shard=")
+    }
+    assert "shard=__HIVE_DEFAULT_PARTITION__" in shard_dirs
