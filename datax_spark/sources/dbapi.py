@@ -1,0 +1,210 @@
+"""DB-API keyed writer — the reference's RDBMS writer semantics against any
+Python DB-API 2.0 driver (sqlite3 in-sandbox; psycopg2/mysqlclient drop in the
+same way on a cluster).
+
+Reference parity (plugin-rdbms-util CommonRdbmsWriter / WriterUtil):
+- ``writeMode`` insert / replace / update, with per-dialect SQL templates
+  generated exactly like ``WriterUtil.getWriteTemplate:111-168`` (mysql
+  ``INSERT … ON DUPLICATE KEY UPDATE``, ``REPLACE INTO``; postgres/sqlite
+  ``ON CONFLICT``) — :func:`get_write_template`.
+- batched ``executemany`` of ``batchSize`` rows (default 2048,
+  ``plugin-rdbms-util/.../writer/Constant.java``); on batch failure the batch
+  is REPLAYED row-by-row and only the failing rows become dirty records
+  (``CommonRdbmsWriter.doBatchInsert:348-373`` → ``doOneInsert:379-409``).
+- ``preSql``/``postSql`` run once around the load on the target connection
+  (``Job.prepare:89-129`` / ``Job.post:137-167``).
+
+Spark-side shape: the write runs in ``mapPartitions`` tasks (one connection
+per task, like one connection per DataX task), which report
+(written, dirty, reasons) back to the driver — dirty rows are quarantined to
+parquet with a ``_dirty_reason`` column, mirroring the engine's CDC
+quarantine and the reference's TaskPluginCollector.
+"""
+
+from __future__ import annotations
+
+import importlib
+
+from pyspark.sql import DataFrame
+
+
+def get_write_template(
+    dialect: str, write_mode: str, table: str, columns: list[str],
+    key_cols: list[str] | None = None,
+) -> str:
+    """Per-dialect write-SQL template (WriterUtil.getWriteTemplate parity).
+
+    ``%s``-style placeholders are rendered as the dialect's paramstyle marker
+    (``?`` for sqlite, ``%s`` for mysql/postgres).
+    """
+    mark = "?" if dialect == "sqlite" else "%s"
+    cols = ", ".join(columns)
+    vals = ", ".join([mark] * len(columns))
+    mode = {"upsert": "update"}.get(write_mode, write_mode)
+    if mode == "insert":
+        return f"INSERT INTO {table} ({cols}) VALUES ({vals})"
+    if mode == "replace":
+        if dialect == "mysql":
+            return f"REPLACE INTO {table} ({cols}) VALUES ({vals})"
+        if dialect == "sqlite":
+            return f"INSERT OR REPLACE INTO {table} ({cols}) VALUES ({vals})"
+        # postgres: delete+insert semantics via full-row conflict update
+        if not key_cols:
+            raise ValueError("replace on postgres requires keyCols")
+        sets = ", ".join(f"{c} = excluded.{c}" for c in columns if c not in key_cols)
+        keys = ", ".join(key_cols)
+        return (f"INSERT INTO {table} ({cols}) VALUES ({vals}) "
+                f"ON CONFLICT ({keys}) DO UPDATE SET {sets}")
+    if mode == "update":
+        if dialect == "mysql":
+            # WriterUtil.onDuplicateKeyUpdateString:148-168
+            sets = ", ".join(f"{c} = VALUES({c})" for c in columns)
+            return (f"INSERT INTO {table} ({cols}) VALUES ({vals}) "
+                    f"ON DUPLICATE KEY UPDATE {sets}")
+        if not key_cols:
+            raise ValueError("writeMode=update requires keyCols for this dialect")
+        sets = ", ".join(f"{c} = excluded.{c}" for c in columns if c not in key_cols)
+        keys = ", ".join(key_cols)
+        return (f"INSERT INTO {table} ({cols}) VALUES ({vals}) "
+                f"ON CONFLICT ({keys}) DO UPDATE SET {sets}")
+    raise ValueError(f"unknown writeMode {write_mode!r}")
+
+
+def _connect(driver: str, database: str, connect_args: dict):
+    mod = importlib.import_module(driver)
+    conn = mod.connect(database, **(connect_args or {}))
+    if driver == "sqlite3":
+        # many concurrent task connections: wait on the single-writer lock
+        conn.execute("PRAGMA busy_timeout = 60000")
+    return conn
+
+
+def run_sql(driver: str, database: str, statements: list[str],
+            connect_args: dict | None = None) -> None:
+    """Driver-side preSql/postSql execution (Job.prepare/Job.post parity)."""
+    if not statements:
+        return
+    conn = _connect(driver, database, connect_args or {})
+    try:
+        for sql in statements:
+            conn.execute(sql)
+        conn.commit()
+    finally:
+        conn.close()
+
+
+def query_sql(driver: str, database: str, sql: str,
+              connect_args: dict | None = None) -> list[tuple]:
+    conn = _connect(driver, database, connect_args or {})
+    try:
+        return list(conn.execute(sql).fetchall())
+    finally:
+        conn.close()
+
+
+def dbapi_write(
+    df: DataFrame,
+    driver: str,
+    database: str,
+    table: str,
+    write_mode: str = "insert",
+    key_cols: list[str] | None = None,
+    batch_size: int = 2048,
+    pre_sql: list[str] | None = None,
+    post_sql: list[str] | None = None,
+    quarantine_dir: str | None = None,
+    connect_args: dict | None = None,
+    max_tasks: int | None = None,
+    dialect: str | None = None,
+) -> dict:
+    """Write ``df`` into a DB-API target with keyed write semantics.
+
+    Returns ``{"written": n, "dirty": n, "dirty_reasons": {...}}``.
+    """
+    dialect = dialect or ("sqlite" if driver == "sqlite3" else driver)
+    columns = list(df.columns)
+    sql = get_write_template(dialect, write_mode, table, columns, key_cols)
+    run_sql(driver, database, pre_sql or [], connect_args)
+
+    if max_tasks:
+        df = df.coalesce(max_tasks)
+
+    cargs = dict(connect_args or {})
+
+    def write_partition(rows):
+        # self-contained closure: only stdlib/pyarrow imports, no module-level
+        # references — tasks must run on workers that cannot import this repo
+        import importlib as _importlib
+        import uuid as _uuid
+
+        mod = _importlib.import_module(driver)
+        conn = mod.connect(database, **cargs)
+        if driver == "sqlite3":
+            conn.execute("PRAGMA busy_timeout = 60000")
+        cur = conn.cursor()
+        written = 0
+        dirty: list[tuple] = []
+        reasons: dict[str, int] = {}
+
+        def flush(batch):
+            nonlocal written
+            if not batch:
+                return
+            try:
+                cur.executemany(sql, batch)
+                conn.commit()
+                written += len(batch)
+            except Exception:
+                # batch-fail → row-fail degradation (doBatchInsert:348-409):
+                # replay one-by-one so only truly-bad rows become dirty
+                conn.rollback()
+                for row in batch:
+                    try:
+                        cur.execute(sql, row)
+                        conn.commit()
+                        written += 1
+                    except Exception as re:  # noqa: PERF203 — per-row fallback is the contract
+                        conn.rollback()
+                        reason = type(re).__name__
+                        reasons[reason] = reasons.get(reason, 0) + 1
+                        dirty.append(row + (f"{reason}: {re}",))
+
+        batch: list[tuple] = []
+        for r in rows:
+            batch.append(tuple(r[c] for c in columns))
+            if len(batch) >= batch_size:
+                flush(batch)
+                batch = []
+        flush(batch)
+        conn.close()
+
+        qpath = None
+        if dirty and quarantine_dir:
+            import os as _os
+
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            _os.makedirs(quarantine_dir, exist_ok=True)
+            qpath = _os.path.join(quarantine_dir, f"q-{_uuid.uuid4().hex}.parquet")
+            cols = list(zip(*dirty)) if dirty else []
+            tbl = pa.table(
+                {c: pa.array([str(v) if v is not None else None for v in cols[i]])
+                 for i, c in enumerate(columns + ["_dirty_reason"])}
+            )
+            pq.write_table(tbl, qpath, compression="snappy")
+        yield {"written": written, "dirty": len(dirty),
+               "reasons": reasons, "quarantine": qpath}
+
+    results = df.rdd.mapPartitions(write_partition).collect()
+    stats = {"written": 0, "dirty": 0, "dirty_reasons": {}, "quarantine_files": []}
+    for r in results:
+        stats["written"] += r["written"]
+        stats["dirty"] += r["dirty"]
+        for k, v in r["reasons"].items():
+            stats["dirty_reasons"][k] = stats["dirty_reasons"].get(k, 0) + v
+        if r["quarantine"]:
+            stats["quarantine_files"].append(r["quarantine"])
+
+    run_sql(driver, database, post_sql or [], connect_args)
+    return stats

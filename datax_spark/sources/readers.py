@@ -47,10 +47,33 @@ def orc_reader(spark: SparkSession, p: dict) -> DataFrame:
     return _apply_pushdown(df, p)
 
 
+_CORRUPT = "_corrupt_record"
+
+
+def _corrupt_capture(reader_fn, p: dict, opts: dict):
+    """PERMISSIVE corrupt-record capture for text formats: malformed rows land
+    in ``_corrupt_record`` instead of being silently nulled; run_job
+    quarantines them (StdoutPluginCollector/ErrorRecordChecker parity).
+    Requires an explicit ``schema`` (DDL string) — same contract as the
+    reference's file readers, whose ``column`` spec fixes the types."""
+    schema = p.get("schema")
+    if p.get("quarantineDir"):
+        if not schema:
+            raise ValueError("quarantineDir requires an explicit schema (DDL string)")
+        opts = dict(opts, mode="PERMISSIVE", columnNameOfCorruptRecord=_CORRUPT)
+        return reader_fn(opts, f"{schema}, {_CORRUPT} string")
+    return reader_fn(opts, schema)
+
+
 @reader("jsonreader")
 def json_reader(spark: SparkSession, p: dict) -> DataFrame:
-    df = spark.read.options(**p.get("options", {})).json(*_paths(p))
-    return _apply_pushdown(df, p)
+    def do_read(opts, schema):
+        r = spark.read.options(**{**opts, **p.get("options", {})})
+        if schema:
+            r = r.schema(schema)
+        return r.json(*_paths(p))
+
+    return _apply_pushdown(_corrupt_capture(do_read, p, {}), p)
 
 
 @reader("txtfilereader")
@@ -66,8 +89,14 @@ def csv_reader(spark: SparkSession, p: dict) -> DataFrame:
         "nullValue": p.get("nullFormat", "\\N"),
     }
     opts.update(p.get("options", {}))
-    df = spark.read.options(**opts).csv(*_paths(p))
-    return _apply_pushdown(df, p)
+
+    def do_read(o, schema):
+        r = spark.read.options(**o)
+        if schema:
+            r = r.schema(schema)
+        return r.csv(*_paths(p))
+
+    return _apply_pushdown(_corrupt_capture(do_read, p, opts), p)
 
 
 @reader("jdbcreader")

@@ -83,6 +83,32 @@ def jdbc_writer(df: DataFrame, p: dict) -> dict:
     return {"table": p["table"], "mode": mode}
 
 
+@writer("dbapiwriter")
+def dbapi_writer(df: DataFrame, p: dict) -> dict:
+    """Keyed DB writer over any Python DB-API driver (sqlite3 in-sandbox):
+    writeMode insert/replace/update with per-dialect upsert templates,
+    batchSize batching with per-row fallback → dirty quarantine, and
+    preSql/postSql hooks — full CommonRdbmsWriter semantics (WriterUtil
+    getWriteTemplate:111-168, doBatchInsert:348-409, Job.prepare:89-129)."""
+    from datax_spark.sources.dbapi import dbapi_write
+
+    return dbapi_write(
+        df,
+        driver=p.get("driver", "sqlite3"),
+        database=p["database"],
+        table=p["table"],
+        write_mode=p.get("writeMode", "insert"),
+        key_cols=p.get("keyCols"),
+        batch_size=int(p.get("batchSize", 2048)),
+        pre_sql=p.get("preSql"),
+        post_sql=p.get("postSql"),
+        quarantine_dir=p.get("quarantineDir"),
+        connect_args=p.get("connectArgs"),
+        max_tasks=p.get("maxTasks"),
+        dialect=p.get("dialect"),
+    )
+
+
 @writer("lakewriter")
 def lake_writer(df: DataFrame, p: dict) -> dict:
     """Keyed lake sink: the MERGE-capable writer (upsert/delete parity with
@@ -90,8 +116,25 @@ def lake_writer(df: DataFrame, p: dict) -> dict:
     from datax_spark.cdc.schema import TRANSCRIPTS_SCHEMA_V1  # noqa: F401
     from datax_spark.lake.table import LakeTable
 
+    def run_lake_sql(spark, t, statements, view):
+        """preSql/postSql on the lake target (Job.prepare/post parity):
+        ``TRUNCATE TABLE <view>`` maps to an overwrite-with-empty commit;
+        anything else runs through spark.sql with the table registered as a
+        temp view (e.g. verification SELECTs)."""
+        out = []
+        for sql in statements or []:
+            if sql.strip().lower().startswith(f"truncate table {view}".lower()):
+                snap = t.overwrite(spark.createDataFrame([], t.snapshot().schema))
+                out.append({"sql": sql, "truncated_at_version": snap.version})
+                continue
+            t.read().createOrReplaceTempView(view)
+            res = spark.sql(sql)
+            out.append({"sql": sql, "rows": [list(r) for r in res.limit(100).collect()]})
+        return out
+
     root = p["root"]
     mode = p.get("writeMode", "append")
+    view = p.get("viewName", "lake_target")
     spark = df.sparkSession
     if not LakeTable.exists(root):
         schema_df = df.drop(p.get("opColumn", "op"), p.get("seqColumn", "seq"))
@@ -101,6 +144,7 @@ def lake_writer(df: DataFrame, p: dict) -> dict:
         )
     else:
         t = LakeTable(spark, root)
+    pre_results = run_lake_sql(spark, t, p.get("preSql"), view)
     if mode in ("append", "insert"):
         snap = t.append(df)
     elif mode in ("truncate", "overwrite"):
@@ -115,16 +159,27 @@ def lake_writer(df: DataFrame, p: dict) -> dict:
         )
     else:
         raise ValueError(f"lakewriter: unknown writeMode {mode!r}")
-    return {"root": root, "mode": mode, "snapshot_version": snap.version}
+    result = {"root": root, "mode": mode, "snapshot_version": snap.version}
+    if pre_results:
+        result["preSql"] = pre_results
+    post_results = run_lake_sql(spark, t, p.get("postSql"), view)
+    if post_results:
+        result["postSql"] = post_results
+    return result
 
 
 @writer("streamwriter")
 def stream_writer(df: DataFrame, p: dict) -> dict:
-    """Test sink (streamwriter): print/collect."""
+    """Test sink (streamwriter): print/collect. One pass: collect the bounded
+    head once instead of show()+count() (which scanned twice)."""
     n = int(p.get("limit", 20))
+    rows = df.limit(n).collect()
     if p.get("print", True):
-        df.show(n, truncate=int(p.get("truncate", 40)))
-    return {"shown": min(n, df.count())}
+        width = int(p.get("truncate", 40))
+        print(" | ".join(df.columns))
+        for r in rows:
+            print(" | ".join(str(v)[:width] for v in r))
+    return {"shown": len(rows)}
 
 
 def build_writer(df: DataFrame, name: str, parameter: dict) -> dict:

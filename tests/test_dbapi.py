@@ -1,0 +1,105 @@
+"""DB-API writer: writeMode templates (WriterUtil parity), batched writes with
+per-row fallback → dirty quarantine, preSql/postSql, upsert round trips
+against a REAL embedded DB (sqlite3)."""
+
+from __future__ import annotations
+
+import sqlite3
+
+import pytest
+
+from datax_spark.plans import run_job
+from datax_spark.sources.dbapi import dbapi_write, get_write_template, query_sql
+
+
+def test_write_templates_match_reference():
+    cols = ["id", "name", "v"]
+    # mysql update → INSERT … ON DUPLICATE KEY UPDATE (WriterUtil.java:111-168)
+    t = get_write_template("mysql", "update", "t", cols)
+    assert t == ("INSERT INTO t (id, name, v) VALUES (%s, %s, %s) "
+                 "ON DUPLICATE KEY UPDATE id = VALUES(id), name = VALUES(name), "
+                 "v = VALUES(v)")
+    assert get_write_template("mysql", "replace", "t", cols).startswith("REPLACE INTO t")
+    assert get_write_template("sqlite", "insert", "t", cols) == \
+        "INSERT INTO t (id, name, v) VALUES (?, ?, ?)"
+    pg = get_write_template("postgres", "update", "t", cols, key_cols=["id"])
+    assert "ON CONFLICT (id) DO UPDATE SET name = excluded.name, v = excluded.v" in pg
+    with pytest.raises(ValueError):
+        get_write_template("postgres", "update", "t", cols)  # keyCols required
+
+
+def test_upsert_twice_final_state(spark, tmp_path):
+    db = str(tmp_path / "t.db")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE kv (id INTEGER PRIMARY KEY, name TEXT, v INTEGER)")
+    con.commit(); con.close()
+
+    df1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id long, name string, v long")
+    s1 = dbapi_write(df1, "sqlite3", db, "kv", write_mode="update",
+                     key_cols=["id"], max_tasks=2)
+    assert s1 == {"written": 3, "dirty": 0, "dirty_reasons": {}, "quarantine_files": []}
+    # second pass updates 2 keys, inserts 1 — idempotent keyed apply
+    df2 = spark.createDataFrame(
+        [(2, "B", 200), (3, "C", 300), (4, "d", 40)], "id long, name string, v long")
+    dbapi_write(df2, "sqlite3", db, "kv", write_mode="update",
+                key_cols=["id"], max_tasks=2)
+    got = query_sql("sqlite3", db, "SELECT id, name, v FROM kv ORDER BY id")
+    assert got == [(1, "a", 10), (2, "B", 200), (3, "C", 300), (4, "d", 40)]
+
+
+def test_replace_mode(spark, tmp_path):
+    db = str(tmp_path / "r.db")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE kv (id INTEGER PRIMARY KEY, v INTEGER)")
+    con.commit(); con.close()
+    df = spark.createDataFrame([(1, 1), (1, 2)], "id long, v long").coalesce(1)
+    dbapi_write(df, "sqlite3", db, "kv", write_mode="replace", max_tasks=1)
+    got = query_sql("sqlite3", db, "SELECT count(*) FROM kv")
+    assert got == [(1,)]
+
+
+def test_batch_fail_degrades_to_row_fail_and_quarantines(spark, tmp_path):
+    """A batch holding constraint-violating rows is replayed row-by-row:
+    good rows land, bad rows quarantine with a reason
+    (CommonRdbmsWriter.doBatchInsert:348-409 parity)."""
+    db = str(tmp_path / "q.db")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE kv (id INTEGER PRIMARY KEY, v INTEGER NOT NULL)")
+    con.commit(); con.close()
+    rows = [(1, 10), (2, None), (3, 30), (3, 31)]  # NULL v + dup PK under insert
+    df = spark.createDataFrame(rows, "id long, v long").coalesce(1)
+    qdir = str(tmp_path / "quarantine")
+    stats = dbapi_write(df, "sqlite3", db, "kv", write_mode="insert",
+                        batch_size=100, quarantine_dir=qdir, max_tasks=1)
+    assert stats["written"] == 2 and stats["dirty"] == 2
+    assert stats["dirty_reasons"] == {"IntegrityError": 2}
+    q = spark.read.parquet(*stats["quarantine_files"])
+    assert q.count() == 2 and "_dirty_reason" in q.columns
+    got = query_sql("sqlite3", db, "SELECT id, v FROM kv ORDER BY id")
+    assert got == [(1, 10), (3, 30)]
+
+
+def test_jobspec_dbapi_with_pre_post_sql(spark, tmp_path):
+    """Full job: preSql creates+seeds the table, write upserts, postSql
+    verified driver-side (Job.prepare:89-129 / Job.post:137-167)."""
+    db = str(tmp_path / "job.db")
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(1, "x"), (2, "y")], "id long, name string") \
+        .write.parquet(src)
+    job = {"job": {"content": [{
+        "reader": {"name": "parquetreader", "parameter": {"path": src}},
+        "writer": {"name": "dbapiwriter", "parameter": {
+            "database": db, "table": "kv", "writeMode": "update",
+            "keyCols": ["id"], "maxTasks": 1,
+            "preSql": [
+                "CREATE TABLE kv (id INTEGER PRIMARY KEY, name TEXT)",
+                "INSERT INTO kv VALUES (1, 'old')",
+            ],
+            "postSql": ["CREATE TABLE done AS SELECT count(*) AS n FROM kv"],
+        }},
+    }]}}
+    stats = run_job(spark, job)
+    assert stats["contents"][0]["writer_result"]["written"] == 2
+    assert query_sql("sqlite3", db, "SELECT name FROM kv WHERE id=1") == [("x",)]
+    assert query_sql("sqlite3", db, "SELECT n FROM done") == [(2,)]
