@@ -43,6 +43,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from datax_spark.lake.fs import LakeFS, LocalFS
+
 _META = "_meta"
 _DATA = "data"
 _BUCKET_COL = "_dsx_bucket"
@@ -372,9 +374,12 @@ class CommitConflict(Exception):
 
 
 class LakeTable:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, fs: LakeFS | None = None):
         self.spark = spark
         self.root = root
+        # metadata/staging-layout IO goes through the FS seam (lake/fs.py);
+        # data-file bytes go through pyarrow, which handles object stores
+        self.fs = fs or LocalFS()
 
     # ---------------------------------------------------------------- catalog
 
@@ -386,10 +391,11 @@ class LakeTable:
         bucket_key: str,
         n_buckets: int = 32,
         properties: dict | None = None,
+        fs: LakeFS | None = None,
     ) -> "LakeTable":
-        os.makedirs(os.path.join(root, _META), exist_ok=True)
-        os.makedirs(os.path.join(root, _DATA), exist_ok=True)
-        t = LakeTable(spark, root)
+        t = LakeTable(spark, root, fs=fs)
+        t.fs.makedirs(os.path.join(root, _META))
+        t.fs.makedirs(os.path.join(root, _DATA))
         if t.current_version() is not None:
             raise ValueError(f"table already exists at {root}")
         snap = Snapshot(
@@ -404,16 +410,17 @@ class LakeTable:
         return t
 
     @staticmethod
-    def exists(root: str) -> bool:
+    def exists(root: str, fs: LakeFS | None = None) -> bool:
+        fs = fs or LocalFS()
         meta = os.path.join(root, _META)
-        return os.path.isdir(meta) and any(n.endswith(".json") for n in os.listdir(meta))
+        return fs.isdir(meta) and any(n.endswith(".json") for n in fs.listdir(meta))
 
     def current_version(self) -> int | None:
         meta = os.path.join(self.root, _META)
-        if not os.path.isdir(meta):
+        if not self.fs.isdir(meta):
             return None
         versions = [
-            int(n[1:-5]) for n in os.listdir(meta) if n.startswith("v") and n.endswith(".json")
+            int(n[1:-5]) for n in self.fs.listdir(meta) if n.startswith("v") and n.endswith(".json")
         ]
         return max(versions) if versions else None
 
@@ -421,22 +428,18 @@ class LakeTable:
         v = self.current_version() if version is None else version
         if v is None:
             raise ValueError(f"no snapshot at {self.root}")
-        with open(os.path.join(self.root, _META, _snapshot_name(v))) as f:
-            return Snapshot.from_json(json.load(f))
+        return Snapshot.from_json(
+            json.loads(self.fs.read_text(os.path.join(self.root, _META, _snapshot_name(v))))
+        )
 
     def _publish(self, snap: Snapshot) -> None:
-        """Atomic publish: hard-link create fails if the version already exists."""
-        meta = os.path.join(self.root, _META)
-        tmp = os.path.join(meta, f".tmp-{uuid.uuid4().hex}.json")
-        final = os.path.join(meta, _snapshot_name(snap.version))
-        with open(tmp, "w") as f:
-            json.dump(snap.to_json(), f)
+        """Atomic publish: create-if-absent fails if the version already exists
+        (hard link on LocalFS; conditional PUT on an object store)."""
+        final = os.path.join(self.root, _META, _snapshot_name(snap.version))
         try:
-            os.link(tmp, final)
+            self.fs.publish_atomic(final, json.dumps(snap.to_json()))
         except FileExistsError as e:
             raise CommitConflict(f"snapshot v{snap.version} already committed") from e
-        finally:
-            os.unlink(tmp)
 
     # ------------------------------------------------------------------ reads
 
@@ -598,7 +601,7 @@ class LakeTable:
         """
         staging_rel = os.path.join(_DATA, f"stage-{uuid.uuid4().hex}")
         staging = os.path.join(self.root, staging_rel)
-        os.makedirs(staging, exist_ok=True)
+        self.fs.makedirs(staging)
         flush_bytes = 128 << 20
 
         def write_partition(batches):
@@ -872,9 +875,9 @@ class LakeTable:
         table_root = self.root
         staging_rel = os.path.join(_DATA, f"stage-{uuid.uuid4().hex}")
         staging = os.path.join(self.root, staging_rel)
-        os.makedirs(staging, exist_ok=True)
+        self.fs.makedirs(staging)
         if quarantine_dir:
-            os.makedirs(quarantine_dir, exist_ok=True)
+            self.fs.makedirs(quarantine_dir)
 
         payload_cols = [f.name for f in snap.schema.fields]
         bucket_files = {
@@ -1099,9 +1102,9 @@ class LakeTable:
         snap = self.snapshot()
         staging_rel = os.path.join(_DATA, f"stage-{uuid.uuid4().hex}")
         staging = os.path.join(self.root, staging_rel)
-        os.makedirs(staging, exist_ok=True)
+        self.fs.makedirs(staging)
         if quarantine_dir:
-            os.makedirs(quarantine_dir, exist_ok=True)
+            self.fs.makedirs(quarantine_dir)
 
         payload_cols = [f.name for f in snap.schema.fields]
         target = _arrow_schema_for(snap.schema)
@@ -1128,7 +1131,7 @@ class LakeTable:
         # cost model: existing rows to maybe-rewrite + feed bytes (~200 B/row)
         sizes = {
             b: sum(f["rows"] for f in snap.files.get(str(b), ()))
-            + sum(os.path.getsize(p) for p in feed_map[b]) // 200
+            + sum(self.fs.getsize(p) for p in feed_map[b]) // 200
             + 1
             for b in steered
         }
@@ -1280,7 +1283,7 @@ class LakeTable:
 
         staging_rel = os.path.join(_DATA, f"stage-{uuid.uuid4().hex}")
         staging = os.path.join(self.root, staging_rel)
-        os.makedirs(staging, exist_ok=True)
+        self.fs.makedirs(staging)
         payload_cols = [f.name for f in snap.schema.fields]
         target = _arrow_schema_for(snap.schema)
         bucket_files = {
@@ -1391,10 +1394,9 @@ class LakeTable:
     def history(self) -> list[dict]:
         meta = os.path.join(self.root, _META)
         out = []
-        for n in sorted(os.listdir(meta)):
+        for n in sorted(self.fs.listdir(meta)):
             if n.startswith("v") and n.endswith(".json"):
-                with open(os.path.join(meta, n)) as f:
-                    d = json.load(f)
+                d = json.loads(self.fs.read_text(os.path.join(meta, n)))
                 out.append(
                     {
                         "version": d["version"],
@@ -1413,7 +1415,7 @@ class LakeTable:
         meta = os.path.join(self.root, _META)
         versions = sorted(
             int(n[1:-5])
-            for n in os.listdir(meta)
+            for n in self.fs.listdir(meta)
             if n.startswith("v") and n.endswith(".json")
         )
         keep = set(versions[-keep_last:])
@@ -1423,14 +1425,12 @@ class LakeTable:
             live |= {f["path"] for fl in s.files.values() for f in fl}
         removed = 0
         data_root = os.path.join(self.root, _DATA)
-        for dirpath, _dirs, fns in os.walk(data_root):
-            for fn in fns:
-                full = os.path.join(dirpath, fn)
-                rel = os.path.relpath(full, self.root)
-                if fn.endswith(".parquet") and rel not in live:
-                    os.unlink(full)
-                    removed += 1
+        for full in self.fs.walk_files(data_root):
+            rel = os.path.relpath(full, self.root)
+            if full.endswith(".parquet") and rel not in live:
+                self.fs.remove(full)
+                removed += 1
         for v in versions:
             if v not in keep:
-                os.unlink(os.path.join(self.root, _META, _snapshot_name(v)))
+                self.fs.remove(os.path.join(self.root, _META, _snapshot_name(v)))
         return removed
