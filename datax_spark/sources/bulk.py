@@ -1,0 +1,131 @@
+"""Bulk-load appender — the reference's elasticsearchwriter / doriswriter /
+starrockswriter family in generic form.
+
+Those plugins all share one shape: buffer N rows, serialize them into one
+bulk payload (ES ``_bulk`` NDJSON with action+source lines; Doris/StarRocks
+stream-load CSV/JSON body), POST it to the service, retry on failure, count
+per-batch results. The service itself is not reachable from this sandbox, so
+the TRANSPORT is injectable: ``transport(payload_bytes, meta) -> None`` — an
+HTTP POST on a real cluster; the default spools each payload as a file under
+``endpoint_dir`` (payload framing, batching, and _id/action semantics are the
+real, tested part).
+
+Spark-side shape: ``mapPartitions`` tasks build and ship payloads — the same
+one-connection-per-task layout as the reference's writer tasks — and report
+(batches, rows, bytes) to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame
+
+
+def es_bulk_payload(rows: list[dict], index: str, action: str = "index",
+                    id_cols: list[str] | None = None) -> bytes:
+    """Elasticsearch ``_bulk`` NDJSON: one action line + one source line per
+    row (elasticsearchwriter's actionType index/create/update parity).
+    ``id_cols`` compose the document ``_id`` (keyed upsert semantics)."""
+    lines = []
+    for r in rows:
+        meta: dict = {"_index": index}
+        if id_cols:
+            meta["_id"] = "\x1f".join(str(r[c]) for c in id_cols)
+        if action == "update":
+            lines.append(json.dumps({"update": meta}, default=str))
+            lines.append(json.dumps({"doc": r, "doc_as_upsert": True}, default=str))
+        else:
+            lines.append(json.dumps({action: meta}, default=str))
+            lines.append(json.dumps(r, default=str))
+    return ("\n".join(lines) + "\n").encode()
+
+
+def stream_load_payload(rows: list[dict], columns: list[str], sep: str = "\x01") -> bytes:
+    """Doris/StarRocks stream-load body: separator-joined columns, one row
+    per line (the plugins' default CSV framing)."""
+    out = []
+    for r in rows:
+        out.append(sep.join("" if r[c] is None else str(r[c]) for c in columns))
+    return ("\n".join(out) + "\n").encode()
+
+
+def bulk_write(
+    df: DataFrame,
+    index: str,
+    fmt: str = "es",
+    action: str = "index",
+    id_cols: list[str] | None = None,
+    batch_size: int = 1000,
+    endpoint_dir: str | None = None,
+    transport=None,
+    max_tasks: int | None = None,
+) -> dict:
+    """Ship ``df`` as bulk payloads. Returns {"batches", "rows", "bytes"}."""
+    if transport is None and endpoint_dir is None:
+        raise ValueError("bulk_write needs endpoint_dir (spool) or transport (POST)")
+    columns = list(df.columns)
+    if max_tasks:
+        df = df.coalesce(max_tasks)
+
+    def ship_partition(rows_iter):
+        # self-contained closure (workers may not have this repo importable)
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        def default_transport(payload: bytes, meta: dict) -> None:
+            _os.makedirs(endpoint_dir, exist_ok=True)
+            name = f"bulk-{meta['batch']:06d}-{_uuid.uuid4().hex}.ndjson"
+            with open(_os.path.join(endpoint_dir, name), "wb") as f:
+                f.write(payload)
+
+        send = transport or default_transport
+        if fmt == "es":
+            def render(rows):
+                lines = []
+                for r in rows:
+                    meta: dict = {"_index": index}
+                    if id_cols:
+                        meta["_id"] = "\x1f".join(str(r[c]) for c in id_cols)
+                    if action == "update":
+                        lines.append(_json.dumps({"update": meta}, default=str))
+                        lines.append(_json.dumps({"doc": r, "doc_as_upsert": True}, default=str))
+                    else:
+                        lines.append(_json.dumps({action: meta}, default=str))
+                        lines.append(_json.dumps(r, default=str))
+                return ("\n".join(lines) + "\n").encode()
+        else:  # stream-load CSV framing
+            def render(rows):
+                out = []
+                for r in rows:
+                    out.append("\x01".join("" if r[c] is None else str(r[c]) for c in columns))
+                return ("\n".join(out) + "\n").encode()
+
+        n_batches = n_rows = n_bytes = 0
+        buf: list[dict] = []
+
+        def flush():
+            nonlocal n_batches, n_rows, n_bytes
+            if not buf:
+                return
+            payload = render(buf)
+            send(payload, {"batch": n_batches, "rows": len(buf), "index": index})
+            n_batches += 1
+            n_rows += len(buf)
+            n_bytes += len(payload)
+            buf.clear()
+
+        for row in rows_iter:
+            buf.append(row.asDict())
+            if len(buf) >= batch_size:
+                flush()
+        flush()
+        yield {"batches": n_batches, "rows": n_rows, "bytes": n_bytes}
+
+    results = df.rdd.mapPartitions(ship_partition).collect()
+    return {
+        "batches": sum(r["batches"] for r in results),
+        "rows": sum(r["rows"] for r in results),
+        "bytes": sum(r["bytes"] for r in results),
+    }

@@ -109,6 +109,29 @@ def dbapi_writer(df: DataFrame, p: dict) -> dict:
     )
 
 
+@writer("eswriter")
+@writer("doriswriter")
+@writer("starrockswriter")
+@writer("bulkwriter")
+def bulk_writer(df: DataFrame, p: dict) -> dict:
+    """Bulk-load appender family (elasticsearchwriter/doriswriter/
+    starrockswriter): batched NDJSON/stream-load payloads per task with an
+    injectable transport (HTTP POST on a real cluster; file spool here)."""
+    from datax_spark.sources.bulk import bulk_write
+
+    return bulk_write(
+        df,
+        index=p.get("index", p.get("table", "default")),
+        fmt=p.get("format", "es"),
+        action=p.get("actionType", "index"),
+        id_cols=p.get("keyCols"),
+        batch_size=int(p.get("batchSize", 1000)),
+        endpoint_dir=p.get("endpointDir"),
+        transport=p.get("transport"),
+        max_tasks=p.get("maxTasks"),
+    )
+
+
 @writer("lakewriter")
 def lake_writer(df: DataFrame, p: dict) -> dict:
     """Keyed lake sink: the MERGE-capable writer (upsert/delete parity with

@@ -103,3 +103,63 @@ def test_jobspec_dbapi_with_pre_post_sql(spark, tmp_path):
     assert stats["contents"][0]["writer_result"]["written"] == 2
     assert query_sql("sqlite3", db, "SELECT name FROM kv WHERE id=1") == [("x",)]
     assert query_sql("sqlite3", db, "SELECT n FROM done") == [(2,)]
+
+
+def test_bulk_writer_es_payloads(spark, tmp_path):
+    """ES _bulk framing: action+source line pairs, keyed _id, batch splitting
+    (elasticsearchwriter parity, transport spooled to files)."""
+    import json
+    import os
+
+    from datax_spark.plans import run_job
+
+    spool = str(tmp_path / "bulk")
+    job = {"job": {"content": [{
+        "reader": {"name": "streamreader", "parameter": {
+            "sliceRecordCount": 25,
+            "column": [{"name": "id", "random": "0,10000", "type": "long"},
+                       {"name": "v", "value": "x", "type": "string"}]}},
+        "writer": {"name": "eswriter", "parameter": {
+            "index": "docs", "keyCols": ["id"], "batchSize": 10,
+            "endpointDir": spool, "maxTasks": 1, "actionType": "update"}},
+    }]}}
+    stats = run_job(spark, job)
+    wr = stats["contents"][0]["writer_result"]
+    assert wr["rows"] == 25 and wr["batches"] == 3  # 10+10+5
+    files = sorted(os.listdir(spool))
+    assert len(files) == 3
+    lines = open(os.path.join(spool, files[0])).read().strip().split("\n")
+    assert len(lines) == 20  # action + source per row
+    act = json.loads(lines[0])
+    assert act["update"]["_index"] == "docs" and "_id" in act["update"]
+    assert json.loads(lines[1])["doc_as_upsert"] is True
+
+
+def test_bulk_writer_stream_load_format(spark, tmp_path):
+    import os
+
+    from datax_spark.sources.bulk import bulk_write
+
+    df = spark.createDataFrame([(1, "a"), (2, None)], "id long, v string")
+    spool = str(tmp_path / "sl")
+    stats = bulk_write(df.coalesce(1), index="t", fmt="stream_load",
+                       batch_size=10, endpoint_dir=spool, max_tasks=1)
+    assert stats["rows"] == 2 and stats["batches"] == 1
+    body = open(os.path.join(spool, os.listdir(spool)[0])).read()
+    assert body == "1\x01a\n2\x01\n"
+
+
+def test_bulk_payload_builders_match_shipped_bytes(spark, tmp_path):
+    """The exported payload builders are the reference implementation of the
+    task closure's framing — byte-identical output."""
+    import os
+
+    from datax_spark.sources.bulk import bulk_write, es_bulk_payload
+
+    rows = [{"id": 7, "v": "a"}, {"id": 9, "v": None}]
+    df = spark.createDataFrame([(7, "a"), (9, None)], "id long, v string").coalesce(1)
+    spool = str(tmp_path / "p")
+    bulk_write(df, index="i", fmt="es", action="index", id_cols=["id"],
+               batch_size=10, endpoint_dir=spool, max_tasks=1)
+    shipped = open(os.path.join(spool, os.listdir(spool)[0]), "rb").read()
+    assert shipped == es_bulk_payload(rows, "i", "index", ["id"])
