@@ -69,8 +69,70 @@ def run_cdc_bench(spark, workdir: str, n_convs: int, n_epochs: int) -> dict:
         ),
         "epoch_secs": [m["duration_s"] for m in commits],
         "epochs": summary["epochs_applied"],
-        "final_rows": engine.table.snapshot().total_rows(),
+        # live rows (merged read) — total_rows() would over-count MoR deltas
+        "final_rows": engine.table.live_row_count(),
     }
+
+
+def run_ops_scale_bench(spark, sf_dir: str, mult: int = 10) -> dict:
+    """Near-dup/ANN timings at ``mult``x the sf corpus (deterministically
+    synthesized variants — unique doc texts, perturbed vectors), so the
+    numbers measure scaling of the bucketed algorithms, not fixed overhead."""
+    from pyspark.sql import functions as F
+
+    from datax_spark.ops.dedup import minhash_near_dupes, simhash_near_dupes
+    from datax_spark.ops.similarity import embedding_near_dupes, ivf_topk
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    copies = [
+        d.select(
+            (F.col("doc_id") + 1_000_000 * i).alias("doc_id"),
+            # shift word boundaries so copies are distinct documents
+            F.concat(F.lit(f"variant {i} "), F.col("text")).alias("text"),
+            "lang",
+        )
+        for i in range(mult)
+    ]
+    docs = copies[0]
+    for c in copies[1:]:
+        docs = docs.unionByName(c)
+    docs = docs.persist()
+    n_docs = docs.count()
+
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    vecs = None
+    for i in range(mult):
+        c = e.select(
+            (F.col("vec_id") + 1_000_000 * i).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, j, i=i: x.cast("double")
+                + (F.pmod(F.col("vec_id") * 13 + (j + F.lit(1)) * (7 + i), F.lit(997)) - 498)
+                .cast("double") / 1000.0,
+            ).alias("embedding"),
+            "label",
+        )
+        vecs = c if vecs is None else vecs.unionByName(c)
+    vecs = vecs.persist()
+    n_vecs = vecs.count()
+
+    out = {"n_docs": n_docs, "n_vecs": n_vecs, "mult": mult}
+    t0 = time.time()
+    minhash_near_dupes(docs, threshold=0.5, n_bands=16).write.format("noop").mode("overwrite").save()
+    out["minhash_near_dup_sec"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    simhash_near_dupes(docs, max_hamming=3).write.format("noop").mode("overwrite").save()
+    out["simhash_near_dup_sec"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    embedding_near_dupes(vecs, threshold=0.9, n_planes=56, n_bands=8, dim=64) \
+        .write.format("noop").mode("overwrite").save()
+    out["emb_lsh_near_dup_sec"] = round(time.time() - t0, 3)
+    probes = vecs.filter(F.pmod(F.col("vec_id"), F.lit(397)) == 0)
+    t0 = time.time()
+    ivf_topk(probes, vecs, k=5, n_lists=32, n_probe=4).write.format("noop").mode("overwrite").save()
+    out["ivf_topk_sec"] = round(time.time() - t0, 3)
+    docs.unpersist(); vecs.unpersist()
+    return out
 
 
 def main() -> None:
@@ -96,6 +158,10 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             query_secs[name] = round(time.time() - t0, 3)
 
+        ops_scale = run_ops_scale_bench(
+            spark, sf_dir, mult=int(os.environ.get("DSX_BENCH_OPS_MULT", "10"))
+        )
+
         out = {
             # headline = the north-rule metric: sustained MERGE-apply
             # change-events/sec into the lake table (higher is better)
@@ -105,6 +171,7 @@ def main() -> None:
             "queries": query_secs,
             "sf": float(sf),
             "cdc": cdc,
+            "ops_scale": ops_scale,
             "cores": spark.sparkContext.defaultParallelism,
         }
         print(json.dumps(out))

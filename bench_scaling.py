@@ -81,7 +81,7 @@ def worker(cpus: int, feed: str, workdir: str, out: str) -> None:
         "events_per_sec": round(summary["events_applied"] / dt, 1),
         "sustained_events_per_sec": round(warm_events / warm_secs, 1) if warm_secs else None,
         "epochs": summary["epochs_applied"],
-        "final_rows": engine.table.snapshot().total_rows(),
+        "final_rows": engine.table.live_row_count(),
         "epoch_secs": [m["duration_s"] for m in commits],
     }
     with open(out, "w") as f:
