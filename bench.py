@@ -8,8 +8,8 @@ $SPARK_GRAFT_SF_DIR.
 Scale knobs (env):
   SPARK_GRAFT_SF_DIR   testdata dir for queries (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     cores for local master (default: all)
-  DSX_BENCH_CONVS      synthetic conversations for the CDC replay (default 30000)
-  DSX_BENCH_EPOCHS     feed epochs (default 4)
+  DSX_BENCH_CONVS      synthetic conversations for the CDC replay (default 2000000)
+  DSX_BENCH_EPOCHS     feed epochs (default 3; production-sized ~23M events each)
 """
 
 from __future__ import annotations
@@ -100,18 +100,21 @@ def run_ops_scale_bench(spark, sf_dir: str, mult: int = 10) -> dict:
     n_docs = docs.count()
 
     e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+    def _perturb(i: int):
+        # factory closure: a default arg (i=i) would make Spark see a
+        # 3-parameter higher-order lambda and reject it
+        return lambda x, j: x.cast("double") + (
+            F.pmod(F.col("vec_id") * 13 + (j + F.lit(1)) * (7 + i), F.lit(997)) - 498
+        ).cast("double") / 1000.0
+
     vecs = None
     for i in range(mult):
         c = e.select(
-            (F.col("vec_id") + 1_000_000 * i).alias("vec_id"),
-            F.transform(
-                "embedding",
-                lambda x, j, i=i: x.cast("double")
-                + (F.pmod(F.col("vec_id") * 13 + (j + F.lit(1)) * (7 + i), F.lit(997)) - 498)
-                .cast("double") / 1000.0,
-            ).alias("embedding"),
+            "vec_id",
+            F.transform("embedding", _perturb(i)).alias("embedding"),
             "label",
-        )
+        ).withColumn("vec_id", F.col("vec_id") + 1_000_000 * i)
         vecs = c if vecs is None else vecs.unionByName(c)
     vecs = vecs.persist()
     n_vecs = vecs.count()
@@ -138,8 +141,8 @@ def run_ops_scale_bench(spark, sf_dir: str, mult: int = 10) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
-    n_convs = int(os.environ.get("DSX_BENCH_CONVS", "400000"))
-    n_epochs = int(os.environ.get("DSX_BENCH_EPOCHS", "4"))
+    n_convs = int(os.environ.get("DSX_BENCH_CONVS", "2000000"))
+    n_epochs = int(os.environ.get("DSX_BENCH_EPOCHS", "3"))
     spark = get_spark(app_name="datax-spark-bench")
 
     # tmpfs: the sandbox's virtual disk is throttled and otherwise dominates

@@ -1,0 +1,200 @@
+"""NoSQL reader analogs: Cassandra token-range split and GDB graph-dump mapping.
+
+Reference parity (SURVEY.md §2.1 rows 11-12):
+
+- ``cassandrareader`` splits the partitioner token ring into ``adviceNumber``
+  contiguous ranges and issues one ``SELECT ... WHERE token(pk) > l AND
+  token(pk) <= r`` per task (CassandraReaderHelper.splitJob:416-469,
+  getQueryString:470-530). ``token_range_splits`` reproduces that arithmetic
+  exactly (BigDecimal scale-2 HALF_EVEN step, last range clamped to max);
+  ``cql_for_range`` renders the same per-task CQL. Without a live cluster the
+  reader runs the identical plan against a local table analog, with
+  ``xxhash64`` standing in for the murmur3 token function — the ranges'
+  cover-the-ring/disjointness contract is what's under test.
+
+- ``gdbreader`` exports vertices or edges by label and maps each Gremlin
+  element to flat columns via per-column ``columnType`` rules
+  (DefaultGdbMapper.getMapper:28-71: primaryKey/primaryLabel/srcPrimaryKey/
+  srcPrimaryLabel/dstPrimaryKey/dstPrimaryLabel/vertexProperty/edgeProperty/
+  vertexJsonProperty/edgeJsonProperty). The Spark form reads a graph dump
+  (vertices: id/label/properties map; edges add from/to/fromLabel/toLabel)
+  and applies the same mapping declaratively — one Catalyst projection, no
+  per-row Python.
+"""
+
+from __future__ import annotations
+
+from decimal import ROUND_HALF_EVEN, Decimal, localcontext
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import MapType
+
+MURMUR3_MIN = -(2**63)
+MURMUR3_MAX = 2**63 - 1
+RANDOM_MIN = -1
+RANDOM_MAX = 2**127
+
+
+def token_range_splits(n: int, partitioner: str = "Murmur3Partitioner") -> list[tuple[int, int]]:
+    """(min, max] token ranges, reference arithmetic (splitJob:429-457).
+
+    The reference computes ``step = (max-min)/n`` as a scale-2 HALF_EVEN
+    BigDecimal and takes ``l = min + step*i`` truncated to integer; the last
+    range's upper bound is clamped to the ring max so the union always covers
+    the full ring. Ranges are half-open (l, r] matching the generated CQL
+    (``token(pk) > l AND token(pk) <= r``).
+    """
+    if n <= 1:
+        if partitioner.endswith("RandomPartitioner"):
+            return [(RANDOM_MIN, RANDOM_MAX)]
+        return [(MURMUR3_MIN, MURMUR3_MAX)]
+    if partitioner.endswith("RandomPartitioner"):
+        lo, hi = Decimal(RANDOM_MIN), Decimal(RANDOM_MAX)
+    elif partitioner.endswith("Murmur3Partitioner"):
+        lo, hi = Decimal(MURMUR3_MIN), Decimal(MURMUR3_MAX)
+    else:
+        raise ValueError(f"unsupported partitioner {partitioner!r}")
+    out = []
+    with localcontext() as ctx:
+        ctx.prec = 60  # BigDecimal is arbitrary-precision; 2^127 needs ~39 digits
+        step = ((hi - lo) / Decimal(n)).quantize(
+            Decimal("0.01"), rounding=ROUND_HALF_EVEN
+        )
+        for i in range(n):
+            l = int(lo + step * i)  # BigDecimal.toBigInteger / longValue truncate
+            r = int(lo + step * (i + 1))
+            if i == n - 1:
+                r = int(hi)
+            out.append((l, r))
+    return out
+
+
+def cql_for_range(keyspace: str, table: str, columns: list[str], pk: list[str],
+                  rng: tuple[int, int] | None = None, where: str | None = None,
+                  allow_filtering: bool = False) -> str:
+    """Per-task CQL, reference template (getQueryString:486-530)."""
+    sel = ", ".join(columns) if columns else "*"
+    cql = f"SELECT {sel} FROM {keyspace}.{table}"
+    conds = []
+    if rng is not None:
+        tok = f"token({','.join(pk)})"
+        l, r = rng
+        conds.append(f"{tok} > {l}")
+        conds.append(f"{tok} <= {r}")
+    if where:
+        conds.append(where)
+    if conds:
+        cql += " WHERE " + " AND ".join(conds)
+    if allow_filtering:
+        cql += " ALLOW FILTERING"
+    return cql
+
+
+def cassandra_read(spark: SparkSession, p: dict) -> DataFrame:
+    """Token-range-parallel read.
+
+    Live-cluster knobs (host/port/username/password/useSSL/consistancyLevel)
+    are accepted for config parity but a contact point is unreachable in this
+    sandbox; the executable path reads the local analog at ``p["path"]``
+    (parquet) through the SAME split plan: each task range-scans
+    ``xxhash64(pk) in (l, r]``. The union of the per-range scans must equal
+    the plain scan — per-range predicates are disjoint and cover the ring.
+    """
+    if "path" not in p:
+        raise NotImplementedError(
+            "no live Cassandra contact point in this sandbox; provide 'path' "
+            "for the local table analog (token ring semantics preserved)"
+        )
+    pk = p.get("partitionKey") or p.get("splitPk") or p["pk"]
+    if isinstance(pk, str):
+        pk = [pk]
+    n = int(p.get("adviceNumber", p.get("channel", 4)))
+    ranges = token_range_splits(n, p.get("partitioner", "Murmur3Partitioner"))
+    df = spark.read.parquet(p["path"])
+    token = F.xxhash64(*pk)
+    parts = [
+        df.filter((token > F.lit(l)) & (token <= F.lit(r))) for l, r in ranges
+    ]
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    if p.get("where"):
+        out = out.filter(p["where"])
+    cols = p.get("column") or p.get("columns")
+    if cols and cols != ["*"]:
+        out = out.select(*cols)
+    return out
+
+
+_GDB_EDGE_ONLY = {"srcPrimaryKey", "srcPrimaryLabel", "dstPrimaryKey", "dstPrimaryLabel"}
+
+
+def gdb_read(spark: SparkSession, p: dict) -> DataFrame:
+    """Label-filtered vertex/edge export with DefaultGdbMapper column rules.
+
+    Dump schema: vertices ``(id, label, properties map<string,string>)``;
+    edges additionally ``(from, to, fromLabel, toLabel)``. ``labelType``
+    VERTEX|EDGE selects the element kind (Key.ExportType); ``labels`` filters
+    (empty = all labels, GdbReader fetches label list from the graph);
+    ``column`` entries are ``{name, type, columnType}`` with the reference's
+    ten columnType rules. JsonProperty renders the reference's
+    ``{"properties":[{"k":...,"t":...,"v":...}]}`` shape.
+    """
+    kind = (p.get("labelType") or "VERTEX").upper()
+    path = p["path"]
+    fmt = p.get("format", "json")
+    reader = spark.read.options(**p.get("options", {}))
+    df = reader.parquet(path) if fmt == "parquet" else reader.json(path)
+    if "properties" in df.columns and not isinstance(
+        df.schema["properties"].dataType, MapType
+    ):
+        # JSON inference yields a struct of the observed keys; the Gremlin
+        # property bag is an open map
+        df = df.withColumn(
+            "properties",
+            F.from_json(F.to_json("properties"), "map<string,string>"),
+        )
+    labels = p.get("labels") or []
+    if labels:
+        df = df.filter(F.col("label").isin(labels))
+
+    exprs = []
+    for c in p.get("column", []):
+        name, ctype = c["name"], c.get("columnType", "vertexProperty")
+        cast_t = c.get("type", "string")
+        if ctype in _GDB_EDGE_ONLY and kind != "EDGE":
+            raise ValueError(f"columnType {ctype!r} is edge-only (labelType={kind})")
+        if ctype == "primaryKey":
+            col = F.col("id")
+        elif ctype == "primaryLabel":
+            col = F.col("label")
+        elif ctype == "srcPrimaryKey":
+            col = F.col("from")
+        elif ctype == "dstPrimaryKey":
+            col = F.col("to")
+        elif ctype == "srcPrimaryLabel":
+            col = F.col("fromLabel")
+        elif ctype == "dstPrimaryLabel":
+            col = F.col("toLabel")
+        elif ctype in ("vertexProperty", "edgeProperty"):
+            col = F.col("properties").getItem(name)
+        elif ctype in ("vertexJsonProperty", "edgeJsonProperty"):
+            # {"properties":[{"k":key,"t":"string","v":value}, ...]} — the
+            # reference's JSON-bundle export (DefaultGdbMapper:95-118)
+            col = F.to_json(
+                F.struct(
+                    F.transform(
+                        F.map_entries(F.col("properties")),
+                        lambda e: F.struct(
+                            e["key"].alias("k"),
+                            F.lit("string").alias("t"),
+                            e["value"].alias("v"),
+                        ),
+                    ).alias("properties")
+                )
+            )
+        else:
+            raise ValueError(f"unknown columnType {ctype!r}")
+        exprs.append(col.cast(cast_t).alias(name))
+    return df.select(*exprs) if exprs else df

@@ -147,6 +147,50 @@ def stream_reader(spark: SparkSession, p: dict) -> DataFrame:
     return df.select(*exprs) if exprs else df
 
 
+@reader("seqfilereader")
+def seqfile_reader(spark: SparkSession, p: dict) -> DataFrame:
+    """Hadoop SequenceFile reader (hdfsreader's SEQ format,
+    HdfsReader.java:82-89): key/value Text pairs → (key string, value string)
+    DataFrame, then the shared CSV column-spec layer can split the value.
+    Spark's sequenceFile API ships with the distribution (no extra serde)."""
+    rdd = spark.sparkContext.sequenceFile(",".join(_paths(p)))
+    df = spark.createDataFrame(rdd, "key string, value string")
+    sep = p.get("fieldDelimiter")
+    if sep is not None:
+        import re as _re
+
+        cols = p.get("column") or []
+        names = [c.get("name", f"c{i}") for i, c in enumerate(cols)]
+        split = F.split(F.col("value"), _re.escape(sep))
+        if names:
+            df = df.select(
+                "key",
+                *[split.getItem(i).cast(cols[i].get("type", "string")).alias(n)
+                  for i, n in enumerate(names)],
+            )
+    # "column" here is the field-spec list, not a projection — pass only the
+    # shared pushdown knobs through.
+    return _apply_pushdown(df, {"where": p.get("where"), "columns": p.get("columns")})
+
+
+@reader("cassandrareader")
+def cassandra_reader(spark: SparkSession, p: dict) -> DataFrame:
+    """Token-range-split Cassandra read (CassandraReaderHelper.splitJob:
+    416-469); see sources/nosql.py for the split-arithmetic parity."""
+    from datax_spark.sources.nosql import cassandra_read
+
+    return cassandra_read(spark, p)
+
+
+@reader("gdbreader")
+def gdb_reader(spark: SparkSession, p: dict) -> DataFrame:
+    """Gremlin graph-dump export with DefaultGdbMapper columnType rules
+    (GdbReader.java / DefaultGdbMapper.getMapper:28-71)."""
+    from datax_spark.sources.nosql import gdb_read
+
+    return gdb_read(spark, p)
+
+
 @reader("lakereader")
 def lake_reader(spark: SparkSession, p: dict) -> DataFrame:
     from datax_spark.lake.table import LakeTable

@@ -299,3 +299,26 @@ def test_csv_parse_quarantine(spark, tmp_path):
     job["job"]["setting"]["errorLimit"] = {"record": 1}
     with pytest.raises(JobErrorLimitExceeded):
         run_job(spark, job)
+
+
+def test_seqfile_reader_roundtrip(spark, tmp_path):
+    """SEQ format parity (hdfsreader HdfsReader.java:82-89): Text key/value
+    SequenceFile -> delimited value split by the shared column-spec layer."""
+    path = str(tmp_path / "seq")
+    rows = [(f"k{i}", f"{i}\tname{i}\t{i * 1.5}") for i in range(100)]
+    spark.sparkContext.parallelize(rows, 2).saveAsSequenceFile(path)
+    from datax_spark.sources.readers import build_reader
+
+    df = build_reader(spark, "seqfilereader", {
+        "path": path,
+        "fieldDelimiter": "\t",
+        "column": [
+            {"name": "id", "type": "int"},
+            {"name": "name", "type": "string"},
+            {"name": "score", "type": "double"},
+        ],
+        "where": "id >= 10",
+    })
+    assert df.columns == ["key", "id", "name", "score"]
+    got = {r.id: (r.name, r.score) for r in df.collect()}
+    assert len(got) == 90 and got[42] == ("name42", 63.0)

@@ -1,0 +1,140 @@
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from datax_spark.sources.nosql import (
+    MURMUR3_MAX,
+    MURMUR3_MIN,
+    RANDOM_MAX,
+    RANDOM_MIN,
+    cql_for_range,
+    token_range_splits,
+)
+from datax_spark.sources.readers import build_reader
+
+
+def test_token_splits_cover_ring_disjointly():
+    for part, lo, hi in [
+        ("Murmur3Partitioner", MURMUR3_MIN, MURMUR3_MAX),
+        ("RandomPartitioner", RANDOM_MIN, RANDOM_MAX),
+    ]:
+        for n in (1, 3, 7, 16):
+            r = token_range_splits(n, part)
+            assert len(r) == n
+            assert r[0][0] == lo and r[-1][1] == hi
+            # contiguous half-open (l, r] ranges: no gaps, no overlap
+            for (_, a_hi), (b_lo, _) in zip(r, r[1:]):
+                assert a_hi == b_lo
+            assert all(l < h for l, h in r)
+
+
+def test_cql_template_matches_reference_shape():
+    # getQueryString:486-530: token(pk) > l AND token(pk) <= r [+ where]
+    cql = cql_for_range(
+        "ks", "t", ["a", "b"], ["pk1", "pk2"], rng=(-10, 20), where="c > 5",
+        allow_filtering=True,
+    )
+    assert cql == (
+        "SELECT a, b FROM ks.t WHERE token(pk1,pk2) > -10 "
+        "AND token(pk1,pk2) <= 20 AND c > 5 ALLOW FILTERING"
+    )
+    assert cql_for_range("ks", "t", [], ["pk"]) == "SELECT * FROM ks.t"
+
+
+def test_cassandra_reader_ranges_partition_data(spark, tmp_path):
+    src = str(tmp_path / "tbl")
+    spark.range(0, 5000).selectExpr(
+        "cast(id as string) AS pk", "id * 2 AS v"
+    ).write.parquet(src)
+    df = build_reader(spark, "cassandrareader", {
+        "path": src, "partitionKey": "pk", "adviceNumber": 8,
+        "column": ["pk", "v"],
+    })
+    # union of 8 token ranges == the whole table, no dupes
+    assert df.count() == 5000
+    assert df.select("pk").distinct().count() == 5000
+    # where pushdown
+    df2 = build_reader(spark, "cassandrareader", {
+        "path": src, "partitionKey": "pk", "adviceNumber": 3, "where": "v >= 9000",
+    })
+    assert df2.count() == 500
+
+
+def test_cassandra_reader_requires_path():
+    with pytest.raises(NotImplementedError):
+        from datax_spark.sources.nosql import cassandra_read
+
+        cassandra_read(None, {"host": "10.0.0.1", "partitionKey": "pk"})
+
+
+@pytest.fixture()
+def graph_dump(spark, tmp_path):
+    vdir, edir = str(tmp_path / "v"), str(tmp_path / "e")
+    verts = [
+        {"id": "v1", "label": "person", "properties": {"name": "ann", "age": "31"}},
+        {"id": "v2", "label": "person", "properties": {"name": "bo"}},
+        {"id": "v3", "label": "place", "properties": {"name": "oslo"}},
+    ]
+    edges = [
+        {"id": "e1", "label": "knows", "from": "v1", "to": "v2",
+         "fromLabel": "person", "toLabel": "person",
+         "properties": {"since": "2019"}},
+        {"id": "e2", "label": "visited", "from": "v2", "to": "v3",
+         "fromLabel": "person", "toLabel": "place", "properties": {}},
+    ]
+    with open(vdir, "w") as f:
+        f.writelines(json.dumps(v) + "\n" for v in verts)
+    with open(edir, "w") as f:
+        f.writelines(json.dumps(e) + "\n" for e in edges)
+    return vdir, edir
+
+
+def test_gdb_vertex_mapping(spark, graph_dump):
+    vdir, _ = graph_dump
+    df = build_reader(spark, "gdbreader", {
+        "path": vdir, "labelType": "VERTEX", "labels": ["person"],
+        "column": [
+            {"name": "vid", "columnType": "primaryKey"},
+            {"name": "vlabel", "columnType": "primaryLabel"},
+            {"name": "name", "columnType": "vertexProperty"},
+            {"name": "age", "type": "int", "columnType": "vertexProperty"},
+        ],
+    })
+    rows = {r.vid: r for r in df.collect()}
+    assert set(rows) == {"v1", "v2"}  # place filtered out by label
+    assert rows["v1"].age == 31 and rows["v1"].name == "ann"
+    assert rows["v2"].age is None
+    assert rows["v1"].vlabel == "person"
+
+
+def test_gdb_edge_mapping_and_json_bundle(spark, graph_dump):
+    _, edir = graph_dump
+    df = build_reader(spark, "gdbreader", {
+        "path": edir, "labelType": "EDGE",
+        "column": [
+            {"name": "eid", "columnType": "primaryKey"},
+            {"name": "src", "columnType": "srcPrimaryKey"},
+            {"name": "dst", "columnType": "dstPrimaryKey"},
+            {"name": "dstl", "columnType": "dstPrimaryLabel"},
+            {"name": "since", "columnType": "edgeProperty"},
+            {"name": "bundle", "columnType": "edgeJsonProperty"},
+        ],
+    })
+    rows = {r.eid: r for r in df.collect()}
+    assert rows["e1"].src == "v1" and rows["e1"].dst == "v2"
+    assert rows["e2"].dstl == "place"
+    assert rows["e1"].since == "2019"
+    assert json.loads(rows["e1"].bundle) == {
+        "properties": [{"k": "since", "t": "string", "v": "2019"}]
+    }
+
+
+def test_gdb_edge_only_columns_rejected_on_vertex(spark, graph_dump):
+    vdir, _ = graph_dump
+    with pytest.raises(ValueError, match="edge-only"):
+        build_reader(spark, "gdbreader", {
+            "path": vdir, "labelType": "VERTEX",
+            "column": [{"name": "src", "columnType": "srcPrimaryKey"}],
+        })
