@@ -129,28 +129,32 @@ def lsh_ann_topk(
     sig = hyperplane_signature_expr(vec_col, n_planes, dim)
 
     def banded(df: DataFrame, role: str) -> DataFrame:
-        s = df.select(
-            F.col(id_col).alias(f"{role}_id"),
-            F.col(vec_col).alias(f"_{role}v"),
-            sig.alias("_sig"),
-        )
+        # ids only — vectors re-attach after the candidate dedupe so the
+        # join+distinct shuffle moves 16-byte rows, not 1 KB vector rows
+        s = df.select(F.col(id_col).alias(f"{role}_id"), sig.alias("_sig"))
         bands = F.array(*[
             F.shiftright(F.col("_sig"), b * rows).bitwiseAND(F.lit((1 << rows) - 1))
             for b in range(n_bands)
         ])
-        return s.select(
-            f"{role}_id", f"_{role}v", F.posexplode(bands).alias("band", "bucket")
-        )
+        return s.select(f"{role}_id", F.posexplode(bands).alias("band", "bucket"))
 
     cand = (
         banded(corpus, "neighbor")
         .join(F.broadcast(banded(probes, "probe")), ["band", "bucket"])
         .where(F.col("probe_id") != F.col("neighbor_id"))
-        .select("probe_id", "neighbor_id", "_probev", "_neighborv")
+        .select("probe_id", "neighbor_id")
         .distinct()
     )
-    scored = cand.withColumn(
-        "cos", F.round(cosine_expr(F.col("_probev"), F.col("_neighborv")), 6)
+    pv = probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_probev"))
+    nv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_neighborv")
+    )
+    scored = (
+        cand.join(F.broadcast(pv), "probe_id")
+        .join(nv, "neighbor_id")
+        .withColumn(
+            "cos", F.round(cosine_expr(F.col("_probev"), F.col("_neighborv")), 6)
+        )
     )
     from pyspark.sql.window import Window
 
@@ -167,7 +171,7 @@ def embedding_near_dupes(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 32,
+    n_planes: int | None = 32,
     n_bands: int = 4,
     dim: int = 64,
     block_col: str | None = None,
@@ -178,30 +182,48 @@ def embedding_near_dupes(
     candidate set shrinks ~16x vs 4-bit buckets while true near-dups
     (cos ≈ 1 → per-plane agreement ≈ 1) still collide in ≥1 band w.h.p.
     ``block_col`` (e.g. a label/tenant column) additionally restricts
-    candidate pairs to equal blocks — blocking composes with LSH."""
+    candidate pairs to equal blocks — blocking composes with LSH.
+
+    ``n_planes=None`` auto-sizes band width to ~log2(corpus) bits (one extra
+    count job): expected bucket occupancy stays O(1) as the corpus grows, so
+    candidate volume stays O(n x bands) instead of O(n^2 / buckets). Auto
+    mode fits the near-identical-dup regime (cos >= ~0.97, per-plane
+    agreement >= ~0.95); for looser thresholds pass explicit planes/bands —
+    wider bands cost recall at low cosine."""
+    if n_planes is None:
+        import math
+
+        n = corpus.count()
+        bits = min(16, max(6, math.ceil(math.log2(max(n, 2)))))
+        n_planes = bits * n_bands
     rows = n_planes // n_bands
     sig = hyperplane_signature_expr(vec_col, n_planes, dim)
-    keep = [id_col, vec_col] + ([block_col] if block_col else [])
-    s = corpus.select(*keep, sig.alias("_sig"))
+    keep = [id_col] + ([block_col] if block_col else [])
+    # banded self-join over IDS ONLY: candidate rows are ~16 bytes, not the
+    # ~1 KB (id, vector) rows — at 10^7+ vectors the candidate set dwarfs the
+    # corpus and hauling vectors through the join+dedupe shuffle is the
+    # dominant cost (measured 138 s → 12 s at 20k vecs, 10x band collisions)
+    s = corpus.select(*keep, vec_col)
+    sigd = s.select(*keep, sig.alias("_sig"))
     bands = F.array(*[
         F.shiftright(F.col("_sig"), b * rows).bitwiseAND(F.lit((1 << rows) - 1))
         for b in range(n_bands)
     ])
-    ex = s.select(*keep, F.posexplode(bands).alias("band", "bucket"))
+    ex = sigd.select(*keep, F.posexplode(bands).alias("band", "bucket"))
     join_keys = ["band", "bucket"] + ([block_col] if block_col else [])
-    a = ex.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), *join_keys
-    )
-    b = ex.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), *join_keys
-    )
-    return (
+    a = ex.select(F.col(id_col).alias("id_a"), *join_keys)
+    b = ex.select(F.col(id_col).alias("id_b"), *join_keys)
+    pairs = (
         a.join(b, join_keys)
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_va", "_vb")
-        # dedupe by id pair only — hashing the 64-float vectors through the
-        # distinct shuffle costs ~50x the bytes for identical semantics
-        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # exact-verify stage: re-attach vectors to the deduped candidates only
+    va = s.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = s.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        pairs.join(va, "id_a").join(vb, "id_b")
         # raw double (no round): the left-fold cosine is bit-identical to the
         # SQL oracle's fold, while round-at-6 semantics differ between engines
         # exactly at .5 boundaries (Spark HALF_UP vs DuckDB float rounding)

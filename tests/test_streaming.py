@@ -114,3 +114,118 @@ def test_streaming_resume_only_new_files(spark, tmp_path):
     assert [b for b in r2["batches"] if b in r1["batches"]] == []  # only new batch ids
     # replaying identical events (same seq) is idempotent: state unchanged vs fold
     assert _state(eng2) == _want(eng.cfg.feed_dir)
+
+
+def test_stateful_conversation_sessions(spark, tmp_path):
+    """applyInPandasWithState session tracker: final update rows per conv
+    match a batch recomputation of the same aggregates."""
+    from pyspark.sql import functions as F
+
+    from datax_spark.streaming.stateful import conversation_sessions
+
+    feed = str(tmp_path / "feed")
+    spec = ChangeFeedSpec(seed=77, n_convs=40, n_epochs=2, shards_per_epoch=4)
+    generate_change_feed(spark, feed, spec)
+    schema = spark.read.option("mergeSchema", "true").parquet(feed).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("basePath", feed)
+        .option("maxFilesPerTrigger", "3")  # force multiple micro-batches
+        .parquet(feed)
+    )
+    # NoTimeout: availableNow + processing-time timers never terminates
+    out = conversation_sessions(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "sckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # last update row per conversation == batch aggregate over the whole feed
+    got = {
+        r.conv_id: r
+        for r in spark.sql(
+            "SELECT * FROM sessions ORDER BY n_events"  # later rows overwrite
+        ).collect()
+    }
+    batch = spark.read.option("mergeSchema", "true").parquet(feed)
+    exp = {
+        r.conv_id: r
+        for r in batch.groupBy("conv_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("turn_idx").alias("n_turns"),
+            F.max("turn_idx").alias("max_turn_idx"),
+            F.sum((F.col("op") == "D").cast("long")).alias("n_deletes"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exp) and len(got) >= 40
+    for cid, e in exp.items():
+        g = got[cid]
+        assert g.n_events == e.n_events, cid
+        assert g.n_turns == e.n_turns, cid
+        assert g.max_turn_idx == e.max_turn_idx, cid
+        assert g.n_deletes == e.n_deletes, cid
+        assert g.first_ts == e.first_ts and g.last_ts == e.last_ts, cid
+        assert g.closed is False
+
+
+def test_session_tracker_timeout_branch():
+    """Unit-drive the idle-timeout close: a timed-out group emits one
+    closed=true row and drops its state (no Spark query needed)."""
+    import pandas as pd
+
+    from datax_spark.streaming.stateful import make_session_tracker
+
+    class FakeState:
+        def __init__(self, tup, timed_out):
+            self._t, self.hasTimedOut = tup, timed_out
+            self.removed = False
+            self.updated = None
+            self.timeout_set = None
+
+        @property
+        def exists(self):
+            return self._t is not None
+
+        @property
+        def get(self):
+            return self._t
+
+        def remove(self):
+            self.removed = True
+
+        def update(self, t):
+            self.updated = t
+
+        def setTimeoutDuration(self, ms):
+            self.timeout_set = ms
+
+    track = make_session_tracker(idle_timeout_ms=5000)
+    # 1) events arrive: state updated, timer armed, update row emitted
+    pdf = pd.DataFrame({
+        "turn_idx": [0, 1, 1],
+        "op": ["I", "I", "D"],
+        "ts": pd.to_datetime(["2026-01-01 00:00:00", "2026-01-01 00:00:01",
+                              "2026-01-01 00:00:02"]),
+    })
+    st = FakeState(None, timed_out=False)
+    [out] = list(track(("c1",), [pdf], st))
+    assert st.timeout_set == 5000 and not st.removed
+    assert st.updated[0] == 3 and st.updated[1] == 1  # n_events, max_turn
+    r = out.iloc[0]
+    assert (r.n_events, r.n_turns, r.n_deletes, bool(r.closed)) == (3, 2, 1, False)
+    # 2) timer fires: closed row from stored state, state removed
+    st2 = FakeState(st.updated, timed_out=True)
+    [fin] = list(track(("c1",), iter([]), st2))
+    assert st2.removed
+    f = fin.iloc[0]
+    assert bool(f.closed) and f.n_events == 3 and f.n_turns == 2
+    assert f.last_ts == pd.Timestamp("2026-01-01 00:00:02")
