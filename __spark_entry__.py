@@ -435,6 +435,35 @@ def q_emb_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dupes(corpus, threshold=0.8, n_planes=56, n_bands=8, dim=64)
 
 
+def q_events_asof_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (ops.asof.asof_join — union+window, ONE shuffle, no range
+    explosion): each non-error event picks up the user's most recent error
+    event at-or-before its timestamp. Oracle: DuckDB's native ASOF LEFT JOIN.
+    The right side is deduped to one row per (user_id, ts) so exact-ts ties
+    cannot differ between engines."""
+    from pyspark.sql.window import Window
+
+    from datax_spark.ops.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") != "error").select(
+        "event_id", "user_id", "ts"
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    )
+    right = (
+        ev.filter(F.col("event_type") == "error")
+        .select("user_id", "ts", "event_id")
+        .withColumn("_rn", rn)
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "ts", F.col("event_id").alias("id"))
+    )
+    return asof_join(left, right, on="user_id", prefix="last_err_").select(
+        "event_id", "user_id", "last_err_id", "last_err_ts"
+    )
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload column -> Arrow-batched feature
     extraction (ops.multimodal, mapInPandas; decode stubbed by design).
@@ -658,6 +687,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "emb_label_near_dup": q_emb_label_near_dup,
     "emb_lsh_near_dup": q_emb_lsh_near_dup,
+    "events_asof_error": q_events_asof_error,
     "media_features": q_media_features,
 }
 
@@ -885,6 +915,18 @@ ORACLES: dict[str, str] = {
     """,
     "doc_minhash_near_dup": _minhash_oracle_sql(n_hashes=64, n_bands=32, threshold=0.2),
     "doc_simhash_near_dup": _simhash_oracle_sql(bits=60, max_hamming=3),
+    "events_asof_error": """
+        WITH err AS (
+            SELECT user_id, ts, event_id AS id,
+                   row_number() OVER (PARTITION BY user_id, ts
+                                      ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_type = 'error'
+        ), r AS (SELECT user_id, ts, id FROM err WHERE rn = 1)
+        SELECT l.event_id, l.user_id, r.id AS last_err_id, r.ts AS last_err_ts
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type <> 'error') l
+        ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
     "media_features": _media_oracle_sql(k=8),
 }
 
