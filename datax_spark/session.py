@@ -29,7 +29,11 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    hive: bool = False,
 ) -> SparkSession:
+    """``hive=True`` enables Hive catalog support (derby metastore under the
+    warehouse dir) — needed only by the RCFile reader/writer; one catalog
+    choice per JVM, so keep hive sessions in their own process."""
     cores = _cores()
     master = master or f"local[{cores}]"
     shuffle_partitions = shuffle_partitions or cores * DEFAULT_SHUFFLE_PARTITIONS_PER_CORE
@@ -54,6 +58,8 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
+    if hive:
+        builder = builder.enableHiveSupport()
     return builder.getOrCreate()
 
 

@@ -173,6 +173,41 @@ def seqfile_reader(spark: SparkSession, p: dict) -> DataFrame:
     return _apply_pushdown(df, {"where": p.get("where"), "columns": p.get("columns")})
 
 
+def _hive_ddl_cols(p: dict) -> str:
+    if "schema" in p:
+        return p["schema"]
+    cols = p.get("column") or []
+    return ", ".join(f"{c['name']} {c.get('type', 'string')}" for c in cols)
+
+
+@reader("rcfilereader")
+def rcfile_reader(spark: SparkSession, p: dict) -> DataFrame:
+    """RCFile reader (hdfsreader's RC format, HdfsReader.java:82-89) via the
+    Hive serde that ships with the Spark distribution: an external
+    STORED AS RCFILE table over the path. Requires a hive-enabled session
+    (``get_spark(hive=True)`` / ``enableHiveSupport``); columnar projection
+    pushdown comes from the RCFile serde itself. The declared schema must
+    match the writer's column types exactly — the serde surfaces a mismatch
+    as ArrayIndexOutOfBounds at scan time, not as a type error."""
+    if spark.conf.get("spark.sql.catalogImplementation", "in-memory") != "hive":
+        raise NotImplementedError(
+            "rcfilereader needs a hive-enabled SparkSession "
+            "(SparkSession.builder.enableHiveSupport() / get_spark(hive=True))"
+        )
+    import uuid
+
+    name = f"dsx_rc_{uuid.uuid4().hex[:12]}"
+    spark.sql(
+        f"CREATE EXTERNAL TABLE {name} ({_hive_ddl_cols(p)}) "
+        f"STORED AS RCFILE LOCATION '{_paths(p)[0]}'"
+    )
+    # the external table stays registered for the session (dropping it here
+    # would invalidate the lazy plan); names are uuid-suffixed
+    return _apply_pushdown(
+        spark.table(name), {"where": p.get("where"), "columns": p.get("columns")}
+    )
+
+
 @reader("cassandrareader")
 def cassandra_reader(spark: SparkSession, p: dict) -> DataFrame:
     """Token-range-split Cassandra read (CassandraReaderHelper.splitJob:

@@ -70,6 +70,28 @@ def csv_writer(df: DataFrame, p: dict) -> dict:
     return {"path": p["path"], "mode": mode}
 
 
+@writer("rcfilewriter")
+def rcfile_writer(df: DataFrame, p: dict) -> dict:
+    """RCFile writer (hdfswriter RC parity) via Hive STORED AS RCFILE tables;
+    requires a hive-enabled session like rcfilereader."""
+    spark = df.sparkSession
+    if spark.conf.get("spark.sql.catalogImplementation", "in-memory") != "hive":
+        raise NotImplementedError(
+            "rcfilewriter needs a hive-enabled SparkSession (enableHiveSupport)"
+        )
+    import uuid
+
+    name = f"dsx_rcw_{uuid.uuid4().hex[:12]}"
+    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    spark.sql(
+        f"CREATE EXTERNAL TABLE {name} ({ddl}) STORED AS RCFILE "
+        f"LOCATION '{p['path']}'"
+    )
+    overwrite = p.get("writeMode") in ("truncate", "overwrite")
+    df.write.insertInto(name, overwrite=overwrite)
+    return {"path": p["path"], "mode": "overwrite" if overwrite else "append"}
+
+
 @writer("jdbcwriter")
 def jdbc_writer(df: DataFrame, p: dict) -> dict:
     """Batched JDBC writes (CommonRdbmsWriter): insert → append; upsert/replace
