@@ -218,6 +218,35 @@ def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: hour/day/week rollups where each
+    coarser granularity re-aggregates the next finer one (hour → day → week),
+    so raw events are scanned ONCE regardless of how many granularities are
+    materialized — the shape that holds when the raw table is 100 TB but the
+    hourly rollup is gigabytes. Integer-cents keeps the oracle exact."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    hourly = (
+        ev.withColumn("cents", cents)
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("bucket"))
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("sum_cents"))
+    )
+    daily = (
+        hourly.groupBy("event_type", F.date_trunc("day", F.col("bucket")).alias("bucket"))
+        .agg(F.sum("n").alias("n"), F.sum("sum_cents").alias("sum_cents"))
+    )
+    weekly = (
+        daily.groupBy("event_type", F.date_trunc("week", F.col("bucket")).alias("bucket"))
+        .agg(F.sum("n").alias("n"), F.sum("sum_cents").alias("sum_cents"))
+    )
+    tag = lambda df, g: df.select(  # noqa: E731
+        F.lit(g).alias("granularity"), "event_type", "bucket", "n", "sum_cents"
+    )
+    return tag(hourly, "hour").unionByName(tag(daily, "day")).unionByName(
+        tag(weekly, "week")
+    )
+
+
 def q_region_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast-joined dimension rollup (small-dim join pattern)."""
     c = _t(spark, sf_dir, "customer")
@@ -672,6 +701,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multiversion_explode": q_multiversion_explode,
     "events_sessionize": q_events_sessionize,
     "events_hourly": q_events_hourly,
+    "events_multi_rollup": q_events_multi_rollup,
     "orders_rollup": q_orders_rollup,
     "region_customers": q_region_customers,
     "doc_exact_dedup": q_doc_exact_dedup,
@@ -762,6 +792,29 @@ ORACLES: dict[str, str] = {
         SELECT event_type, date_trunc('hour', ts) AS hour,
                count(*) AS n, round(sum(value), 3) AS sum_value
         FROM events GROUP BY 1, 2
+    """,
+    "events_multi_rollup": """
+        WITH h AS (
+            SELECT event_type, date_trunc('hour', ts) AS bucket,
+                   count(*) AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+            FROM events GROUP BY 1, 2
+        ), d AS (
+            SELECT event_type, date_trunc('day', bucket) AS bucket,
+                   CAST(sum(n) AS BIGINT) AS n,
+                   CAST(sum(sum_cents) AS BIGINT) AS sum_cents
+            FROM h GROUP BY 1, 2
+        ), w AS (
+            SELECT event_type, date_trunc('week', bucket) AS bucket,
+                   CAST(sum(n) AS BIGINT) AS n,
+                   CAST(sum(sum_cents) AS BIGINT) AS sum_cents
+            FROM d GROUP BY 1, 2
+        )
+        SELECT 'hour' AS granularity, event_type, bucket, n, sum_cents FROM h
+        UNION ALL
+        SELECT 'day', event_type, bucket, n, sum_cents FROM d
+        UNION ALL
+        SELECT 'week', event_type, bucket, n, sum_cents FROM w
     """,
     "orders_rollup": """
         SELECT o_orderstatus, o_orderpriority, count(*) AS n,
