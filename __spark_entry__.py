@@ -81,6 +81,42 @@ def q_cdc_op_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest.groupBy("op").agg(F.count("*").alias("n")).select("op", "n")
 
 
+def q_cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental changelog read (CDC-out): apply the derived change feed in
+    two MoR epochs (even seqs, then odd seqs), then re-derive epoch 2's folded
+    change stream from the table snapshots alone via
+    ``LakeTable.read_changes`` (Iceberg changelog / Delta CDF parity). On the
+    MoR fast path this is metadata-only planning + an O(changes) scan of the
+    epoch's delta layers — no shuffle, no table scan. The oracle recomputes
+    the same fold (latest-per-key among odd-seq events) in plain SQL."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from datax_spark.lake.table import LakeTable
+
+    ch = _derived_changes(spark, sf_dir)
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("turn_idx", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    root = tempfile.mkdtemp(prefix="dsx-changelog-")
+    t = LakeTable.create(spark, root, schema, bucket_key="user_id", n_buckets=8)
+    for parity in (0, 1):
+        t.apply_cdc_stats(
+            ch.filter(F.pmod(F.col("seq"), F.lit(2)) == parity),
+            key_cols=["user_id", "turn_idx"], op_col="op", seq_col="seq",
+            write_mode="mor", compact_threshold=1000,
+        )
+    return t.read_changes(1, 2).select(
+        "user_id", "turn_idx", "event_type", "value", "ts",
+        "_change_type", "_commit_version", "_seq",
+    )
+
+
 # ------------------------------------------------- dx_* transformer queries
 
 def q_dx_transform_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -693,6 +729,7 @@ def _media_oracle_sql(k: int = 8) -> str:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_fold_latest": q_cdc_fold_latest,
     "cdc_op_mix": q_cdc_op_mix,
+    "cdc_changelog": q_cdc_changelog,
     "dx_transform_chain": q_dx_transform_chain,
     "dx_filter": q_dx_filter,
     "dx_cast_chain": q_dx_cast_chain,
@@ -735,6 +772,16 @@ ORACLES: dict[str, str] = {
             SELECT *, row_number() OVER (PARTITION BY user_id, turn_idx ORDER BY seq DESC) AS rn
             FROM ({_CHANGES_ORACLE})
         ) WHERE rn = 1 GROUP BY op
+    """,
+    "cdc_changelog": f"""
+        SELECT user_id, turn_idx, event_type, value, ts,
+               CASE WHEN op = 'D' THEN 'delete' ELSE 'upsert' END AS _change_type,
+               CAST(2 AS BIGINT) AS _commit_version,
+               seq AS _seq
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id, turn_idx ORDER BY seq DESC) AS rn
+            FROM ({_CHANGES_ORACLE}) WHERE seq % 2 = 1
+        ) WHERE rn = 1
     """,
     "dx_transform_chain": """
         SELECT l_orderkey, l_linenumber,

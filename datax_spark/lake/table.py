@@ -686,6 +686,187 @@ class LakeTable:
             return self.read(version).count()
         return snap.total_rows()
 
+    # -------------------------------------------------------- changelog reads
+
+    def read_changes(self, start_version: int,
+                     end_version: int | None = None) -> DataFrame:
+        """Incremental changelog read: the folded change rows committed in
+        ``(start_version, end_version]`` (Iceberg changelog scan / Delta CDF
+        parity — the "CDC-out" half of a CDC engine: downstream consumers
+        re-derive the change stream from snapshots instead of re-tailing the
+        source feed).
+
+        Output columns: the table's payload columns (at ``end_version``'s
+        schema; commits before a column was added carry NULL), plus
+        ``_change_type`` (``'upsert'`` | ``'delete'``), ``_commit_version``,
+        and ``_seq`` (the winning event's source sequence when the commit
+        recorded one, else NULL).
+
+        Cost model — classification is per BUCKET within each commit, because
+        one MoR apply commit routinely mixes delta appends (most buckets) with
+        jittered threshold compactions (a few):
+
+        - bucket gained only **delta** layers → the delta files *are* the
+          latest-per-key upserts+deletes of that commit: read them directly.
+          Metadata-only planning, O(changes) scan, no shuffle — the hot path
+          for every MoR apply epoch.
+        - bucket gained only **base** files and lost none (``append()``, or a
+          merge landing on an empty bucket) → every row is an insert: read the
+          added files directly. Same O(changes) cost.
+        - bucket was rewritten (CoW merge, ``overwrite()``, threshold
+          compaction folded into an apply) → per-key state diff of that bucket
+          between the two snapshots (one join, pruned to rewritten buckets).
+          Deletes carry the pre-image payload; ``_seq`` is NULL.
+
+        Pure-maintenance commits (``compact()``, ``add_columns()``) change no
+        live rows and are skipped from the manifest alone. Delete markers for
+        keys that were never live DO appear on the delta fast path (they are
+        part of the folded change log); the diff path emits only effective
+        state changes. Raises if a snapshot in the range was expired by
+        ``vacuum()``.
+        """
+        end = self.current_version() if end_version is None else end_version
+        if end is None:
+            raise ValueError(f"no snapshot at {self.root}")
+        if not 0 <= start_version <= end:
+            raise ValueError(
+                f"invalid changelog range ({start_version}, {end}]"
+            )
+        end_snap = self.snapshot(end)
+        out_fields = list(end_snap.schema.fields) + [
+            T.StructField("_change_type", T.StringType(), False),
+            T.StructField("_commit_version", T.LongType(), False),
+            T.StructField("_seq", T.LongType(), True),
+        ]
+        out_struct = T.StructType(out_fields)
+
+        def _align(df: DataFrame) -> DataFrame:
+            cols = []
+            for f in out_fields:
+                if f.name in df.columns:
+                    cols.append(F.col(f.name))
+                else:
+                    cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+            return df.select(*cols)
+
+        parts: list[DataFrame] = []
+        for v in range(start_version + 1, end + 1):
+            try:
+                cur = self.snapshot(v)
+                parent = self.snapshot(v - 1)
+            except FileNotFoundError as e:
+                raise ValueError(
+                    f"changelog for v{v} unavailable: snapshot expired "
+                    f"(vacuum keep_last too small for this range)"
+                ) from e
+            if cur.properties.get("operation") in ("compact", "add_columns"):
+                continue
+            op_col = cur.properties.get("merge_op_col", "op")
+            delete_op = cur.properties.get("merge_delete_op", "D")
+            seq_col = cur.properties.get("merge_seq_col", "seq")
+
+            delta_paths: list[str] = []   # folded upserts+deletes
+            insert_paths: list[str] = []  # pure-insert base additions
+            diff_buckets: list[int] = []  # rewritten: need a state diff
+            all_buckets = set(cur.files) | set(parent.files)
+            for b in all_buckets:
+                cur_fl = cur.files.get(b, [])
+                par_paths = {f["path"] for f in parent.files.get(b, [])}
+                added = [f for f in cur_fl if f["path"] not in par_paths]
+                cur_paths = {f["path"] for f in cur_fl}
+                removed = [p for p in par_paths if p not in cur_paths]
+                if not added and not removed:
+                    continue
+                if added and not removed:
+                    kinds = {f.get("kind", "base") for f in added}
+                    if kinds == {"delta"}:
+                        delta_paths += [os.path.join(self.root, f["path"]) for f in added]
+                        continue
+                    if kinds == {"base"}:
+                        insert_paths += [os.path.join(self.root, f["path"]) for f in added]
+                        continue
+                diff_buckets.append(int(b))
+
+            payload = [F.col(f.name) for f in cur.schema.fields]
+            if delta_paths:
+                # delta files hold payload + seq + op (written by the bucket
+                # merge kernel); files predating a schema evolution read NULL
+                # for the added columns via the explicit schema
+                extra = [
+                    T.StructField(seq_col, T.LongType()),
+                    T.StructField(op_col, T.StringType()),
+                ]
+                scan_schema = T.StructType(
+                    [f for f in cur.schema.fields if f.name not in (seq_col, op_col)]
+                    + extra
+                )
+                df = self.spark.read.schema(scan_schema).parquet(*delta_paths)
+                parts.append(_align(df.select(
+                    *payload,
+                    F.when(F.col(op_col) == F.lit(delete_op), F.lit("delete"))
+                    .otherwise(F.lit("upsert")).alias("_change_type"),
+                    F.lit(v).cast("long").alias("_commit_version"),
+                    F.col(seq_col).cast("long").alias("_seq"),
+                )))
+            if insert_paths:
+                df = self.spark.read.schema(cur.schema).parquet(*insert_paths)
+                parts.append(_align(df.select(
+                    *payload,
+                    F.lit("upsert").alias("_change_type"),
+                    F.lit(v).cast("long").alias("_commit_version"),
+                    F.lit(None).cast("long").alias("_seq"),
+                )))
+            if diff_buckets:
+                parts.append(_align(self._diff_versions(parent, cur, sorted(diff_buckets), v)))
+
+        if not parts:
+            return self.spark.createDataFrame([], out_struct)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _diff_versions(self, parent: Snapshot, cur: Snapshot,
+                       buckets: list[int], v: int) -> DataFrame:
+        """Effective per-key state diff of rewritten buckets between two
+        consecutive snapshots: inserts/updates → 'upsert' (post-image),
+        disappeared keys → 'delete' (pre-image). One join, pruned to the
+        rewritten buckets only — the bounded fallback for CoW commits, never
+        the hot path. Assumes keyed-unique state (merge tables)."""
+        key_cols = [k for k in cur.properties.get("merge_keys", "").split(",") if k]
+        if not key_cols:
+            key_cols = [cur.bucket_key]
+        old = self.read(parent.version, buckets=buckets)
+        for f in cur.schema.fields:  # align pre-evolution reads
+            if f.name not in old.columns:
+                old = old.withColumn(f.name, F.lit(None).cast(f.dataType))
+        old = old.select(*[F.col(f.name) for f in cur.schema.fields])
+        new = self.read(cur.version, buckets=buckets)
+        o = old.select(*[F.col(c).alias(f"_o_{c}") for c in old.columns])
+        n = new.select(*[F.col(c).alias(f"_n_{c}") for c in new.columns])
+        cond = None
+        for k in key_cols:
+            c = F.col(f"_n_{k}").eqNullSafe(F.col(f"_o_{k}"))
+            cond = c if cond is None else cond & c
+        j = n.join(o, on=cond, how="full_outer")
+        nonkey = [f.name for f in cur.schema.fields if f.name not in key_cols]
+        new_present = F.col(f"_n_{key_cols[0]}").isNotNull()
+        old_present = F.col(f"_o_{key_cols[0]}").isNotNull()
+        if nonkey:
+            changed = ~F.struct(*[F.col(f"_n_{c}") for c in nonkey]).eqNullSafe(
+                F.struct(*[F.col(f"_o_{c}") for c in nonkey])
+            )
+        else:
+            changed = F.lit(False)
+        kept = j.filter((~new_present) | (~old_present) | changed)
+        side = lambda c: F.when(new_present, F.col(f"_n_{c}")).otherwise(F.col(f"_o_{c}"))  # noqa: E731
+        return kept.select(
+            *[side(f.name).alias(f.name) for f in cur.schema.fields],
+            F.when(new_present, F.lit("upsert")).otherwise(F.lit("delete")).alias("_change_type"),
+            F.lit(v).cast("long").alias("_commit_version"),
+            F.lit(None).cast("long").alias("_seq"),
+        )
+
     def append(self, df: DataFrame, properties: dict | None = None) -> Snapshot:
         snap = self.snapshot()
         if snap.has_deltas():
@@ -701,13 +882,13 @@ class LakeTable:
         files = {b: list(fl) for b, fl in snap.files.items()}
         for b, fl in new_files.items():
             files.setdefault(b, []).extend(fl)
-        return self._commit(snap, files, properties)
+        return self._commit(snap, files, properties, operation="append")
 
     def overwrite(self, df: DataFrame, properties: dict | None = None) -> Snapshot:
         snap = self.snapshot()
         dfb = df.withColumn(_BUCKET_COL, self._bucket_expr(snap))
         new_files = self._write_data_files(dfb, snap)
-        return self._commit(snap, new_files, properties)
+        return self._commit(snap, new_files, properties, operation="overwrite")
 
     def _commit(
         self,
@@ -715,9 +896,14 @@ class LakeTable:
         files: dict[str, list[dict]],
         properties: dict | None = None,
         schema: T.StructType | None = None,
+        operation: str | None = None,
     ) -> Snapshot:
         props = dict(parent.properties)
         props.update(properties or {})
+        if operation is not None and "operation" not in (properties or {}):
+            # per-commit tag (NOT inherited): lets read_changes() classify
+            # commits (compact/add_columns are logical no-ops) without a scan
+            props["operation"] = operation
         props["committed_at"] = time.time()
         new = Snapshot(
             version=parent.version + 1,
@@ -788,7 +974,7 @@ class LakeTable:
             affected_buckets = [r[0] for r in src.select(_BUCKET_COL).distinct().collect()]
         affected = sorted(int(b) for b in affected_buckets)
         if not affected:
-            return self._commit(snap, dict(snap.files), properties)
+            return self._commit(snap, dict(snap.files), properties, operation="apply_cdc")
 
         if strategy == "colocated":
             new_files, _stats = self._merge_colocated(
@@ -797,7 +983,7 @@ class LakeTable:
             files = {b: list(fl) for b, fl in snap.files.items() if int(b) not in set(affected)}
             for b, fl in new_files.items():
                 files[b] = fl
-            return self._commit(snap, files, properties)
+            return self._commit(snap, files, properties, operation="apply_cdc")
 
         target = (
             self.read(buckets=affected)
@@ -842,7 +1028,7 @@ class LakeTable:
         files = {b: list(fl) for b, fl in snap.files.items() if int(b) not in set(affected)}
         for b, fl in new_files.items():
             files[b] = fl
-        return self._commit(snap, files, properties)
+        return self._commit(snap, files, properties, operation="apply_cdc")
 
     def _merge_colocated(
         self,
@@ -1068,7 +1254,8 @@ class LakeTable:
             write_mode=write_mode, compact_threshold=compact_threshold,
         )
         return self._finish_apply(
-            snap, new_files, stats, properties, pre_commit, key_cols, op_col, delete_op
+            snap, new_files, stats, properties, pre_commit, key_cols, op_col,
+            delete_op, seq_col=seq_col,
         )
 
     def apply_cdc_files(
@@ -1127,6 +1314,7 @@ class LakeTable:
                 snap, {}, {"lineage": {}, "dirty": {}, "dirty_total": 0,
                            "events_total": 0, "max_applied_seq": None},
                 properties, pre_commit, key_cols, op_col, delete_op,
+                seq_col=seq_col,
             )
         # cost model: existing rows to maybe-rewrite + feed bytes (~200 B/row)
         sizes = {
@@ -1239,11 +1427,12 @@ class LakeTable:
         )
         new_files, stats = _collect_apply_entries(entries, snap.version + 1)
         return self._finish_apply(
-            snap, new_files, stats, properties, pre_commit, key_cols, op_col, delete_op
+            snap, new_files, stats, properties, pre_commit, key_cols, op_col,
+            delete_op, seq_col=seq_col,
         )
 
     def _finish_apply(self, snap, new_files, stats, properties, pre_commit,
-                      key_cols, op_col, delete_op) -> tuple[Snapshot, dict]:
+                      key_cols, op_col, delete_op, seq_col="seq") -> tuple[Snapshot, dict]:
         extra = pre_commit(stats) if pre_commit is not None else None
         props = dict(properties or {})
         props.update(extra or {})
@@ -1251,6 +1440,7 @@ class LakeTable:
         props.setdefault("merge_keys", ",".join(key_cols))
         props.setdefault("merge_op_col", op_col)
         props.setdefault("merge_delete_op", delete_op)
+        props.setdefault("merge_seq_col", seq_col)
         files = {b: list(fl) for b, fl in snap.files.items()}
         for b, info in stats["lineage"].items():
             fl = new_files.get(b, [])
@@ -1258,7 +1448,7 @@ class LakeTable:
                 files.setdefault(b, []).extend(fl)  # MoR: append the delta layer
             else:
                 files[b] = fl  # base rewrite/compaction replaces (may clear)
-        return self._commit(snap, files, props), stats
+        return self._commit(snap, files, props, operation="apply_cdc"), stats
 
     def compact(self, buckets: Iterable[int] | None = None,
                 properties: dict | None = None) -> Snapshot:
@@ -1356,7 +1546,7 @@ class LakeTable:
         files = {b: list(fl) for b, fl in snap.files.items()}
         for b in todo:
             files[str(b)] = new_files.get(str(b), [])
-        return self._commit(snap, files, props)
+        return self._commit(snap, files, props, operation="compact")
 
     def merge(
         self,
@@ -1387,7 +1577,7 @@ class LakeTable:
         if not added:
             return snap
         schema = T.StructType(list(snap.schema.fields) + added)
-        return self._commit(snap, dict(snap.files), properties, schema=schema)
+        return self._commit(snap, dict(snap.files), properties, schema=schema, operation="add_columns")
 
     # ------------------------------------------------------------- maintenance
 
