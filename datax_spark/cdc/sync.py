@@ -1,0 +1,129 @@
+"""Incremental lake→DB sync: mirror a LakeTable into a DB-API target by
+consuming ``LakeTable.read_changes`` — the CDC-out consumer that closes the
+loop the reference runs as a full-table job every time.
+
+Where DataX re-reads the whole source table per job run (a reader→writer batch
+job, JobContainer lifecycle), this sync ships only the folded changes committed
+since the last run: per sync cycle the cost is O(changes), not O(table) — at a
+10^10-row table with per-epoch deltas this is the difference between a
+minutes-long mirror refresh and rescanning the lake.
+
+Delivery contract: **at-least-once delivery of idempotent keyed effects**,
+which composes to exactly-once final state. Upserts re-apply as keyed
+ON-CONFLICT updates and deletes as keyed DELETEs (both idempotent), and the
+watermark (last synced table version) is persisted AFTER the sink apply via
+atomic rename — a crash between apply and watermark replays a window whose
+re-application is a no-op. The same argument the engine's commit manifests
+make on the ingest side (cdc/engine.py), pointed at the egress side.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from datax_spark.lake.table import LakeTable
+from datax_spark.sources.dbapi import dbapi_write, run_sql
+
+
+@dataclass
+class SyncTarget:
+    """DB-API sink description (same knobs as the dbapiwriter)."""
+
+    driver: str            # e.g. "sqlite3"
+    database: str
+    table: str
+    key_cols: list[str]
+    dialect: str | None = None
+    batch_size: int = 2048
+    connect_args: dict = field(default_factory=dict)
+    max_tasks: int | None = None
+
+
+class IncrementalSync:
+    """Resumable changelog shipper for one (LakeTable, SyncTarget) pair.
+
+    ``run_once()`` reads the changes in ``(watermark, current_version]``,
+    folds them to at most one effect per key (last commit wins; within a
+    commit, last ``_seq`` wins — matching the table's own LWW merge), applies
+    deletes then upserts to the target, and advances the watermark.
+    """
+
+    def __init__(self, table: LakeTable, target: SyncTarget, state_path: str):
+        self.table = table
+        self.target = target
+        self.state_path = state_path
+
+    # ------------------------------------------------------------- watermark
+
+    def watermark(self) -> int:
+        try:
+            with open(self.state_path) as f:
+                return int(json.load(f)["synced_version"])
+        except FileNotFoundError:
+            return 0
+
+    def _advance(self, version: int, extra: dict) -> None:
+        os.makedirs(os.path.dirname(self.state_path) or ".", exist_ok=True)
+        tmp = f"{self.state_path}.tmp"
+        with open(tmp, "w") as f:
+            json.dump({"synced_version": version, **extra}, f)
+        os.replace(tmp, self.state_path)  # atomic on POSIX
+
+    # ------------------------------------------------------------------ sync
+
+    def run_once(self, pre_sql: list[str] | None = None,
+                 post_sql: list[str] | None = None) -> dict:
+        t, tgt = self.table, self.target
+        start = self.watermark()
+        end = t.current_version()
+        if end is None or end <= start:
+            return {"synced_from": start, "synced_to": start,
+                    "upserts": 0, "deletes": 0, "skipped": True}
+
+        ch = t.read_changes(start, end)
+        keys = tgt.key_cols
+        payload_cols = [f.name for f in t.snapshot(end).schema.fields]
+        # fold the window to ONE terminal effect per key — re-applying an
+        # interior version of a key would be wasted sink writes (and, for a
+        # key that ends deleted, wrong ordering-sensitive churn)
+        w = Window.partitionBy(*keys).orderBy(
+            F.col("_commit_version").desc(), F.col("_seq").desc_nulls_last()
+        )
+        latest = (
+            ch.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        latest = latest.persist()
+        try:
+            run_sql(tgt.driver, tgt.database, pre_sql or [], tgt.connect_args)
+            del_stats = dbapi_write(
+                latest.filter(F.col("_change_type") == "delete").select(*keys),
+                driver=tgt.driver, database=tgt.database, table=tgt.table,
+                write_mode="delete", key_cols=keys, dialect=tgt.dialect,
+                batch_size=tgt.batch_size, connect_args=tgt.connect_args,
+                max_tasks=tgt.max_tasks,
+            )
+            up_stats = dbapi_write(
+                latest.filter(F.col("_change_type") == "upsert").select(*payload_cols),
+                driver=tgt.driver, database=tgt.database, table=tgt.table,
+                write_mode="update", key_cols=keys, dialect=tgt.dialect,
+                batch_size=tgt.batch_size, connect_args=tgt.connect_args,
+                max_tasks=tgt.max_tasks,
+            )
+            run_sql(tgt.driver, tgt.database, post_sql or [], tgt.connect_args)
+        finally:
+            latest.unpersist()
+        stats = {
+            "synced_from": start, "synced_to": end,
+            "upserts": up_stats["written"], "deletes": del_stats["written"],
+            "dirty": up_stats["dirty"] + del_stats["dirty"],
+            "skipped": False,
+        }
+        self._advance(end, {k: v for k, v in stats.items() if k != "skipped"})
+        return stats

@@ -55,6 +55,11 @@ def get_write_template(
         keys = ", ".join(key_cols)
         return (f"INSERT INTO {table} ({cols}) VALUES ({vals}) "
                 f"ON CONFLICT ({keys}) DO UPDATE SET {sets}")
+    if mode == "delete":
+        # keyed delete (otswriter DELETE_ROW / MERGE WHEN MATCHED DELETE
+        # analog for a DB sink): ``columns`` must be the key columns
+        where = " AND ".join(f"{c} = {mark}" for c in columns)
+        return f"DELETE FROM {table} WHERE {where}"
     if mode == "update":
         if dialect == "mysql":
             # WriterUtil.onDuplicateKeyUpdateString:148-168
