@@ -759,8 +759,8 @@ class LakeTable:
                     f"changelog for v{v} unavailable: snapshot expired "
                     f"(vacuum keep_last too small for this range)"
                 ) from e
-            if cur.properties.get("operation") in ("compact", "add_columns"):
-                continue
+            if cur.properties.get("operation") in ("compact", "add_columns", "rebucket"):
+                continue  # logical no-ops: no live-row change
             op_col = cur.properties.get("merge_op_col", "op")
             delete_op = cur.properties.get("merge_delete_op", "D")
             seq_col = cur.properties.get("merge_seq_col", "seq")
@@ -879,16 +879,36 @@ class LakeTable:
             )
         dfb = df.withColumn(_BUCKET_COL, self._bucket_expr(snap))
         new_files = self._write_data_files(dfb, snap)
-        files = {b: list(fl) for b, fl in snap.files.items()}
-        for b, fl in new_files.items():
-            files.setdefault(b, []).extend(fl)
-        return self._commit(snap, files, properties, operation="append")
+
+        def _no_deltas(cur: Snapshot) -> None:
+            if cur.has_deltas():
+                raise CommitConflict(
+                    "concurrent commit added MoR delta layers; append would "
+                    "shadow same-key rows — compact() first"
+                )
+
+        return self._rebase_commit(
+            snap,
+            {b: ("extend", fl) for b, fl in new_files.items()},
+            properties,
+            operation="append",
+            commutative=True,
+            revalidate=_no_deltas,
+        )
 
     def overwrite(self, df: DataFrame, properties: dict | None = None) -> Snapshot:
         snap = self.snapshot()
         dfb = df.withColumn(_BUCKET_COL, self._bucket_expr(snap))
         new_files = self._write_data_files(dfb, snap)
-        return self._commit(snap, new_files, properties, operation="overwrite")
+        # snapshot-isolation semantics: overwrite replaces the whole table, so
+        # a rebase carries no concurrent files — retry unconditionally
+        for attempt in range(6):
+            base = snap if attempt == 0 else self.snapshot()
+            try:
+                return self._commit(base, new_files, properties, operation="overwrite")
+            except CommitConflict:
+                if attempt == 5:
+                    raise
 
     def _commit(
         self,
@@ -897,6 +917,7 @@ class LakeTable:
         properties: dict | None = None,
         schema: T.StructType | None = None,
         operation: str | None = None,
+        n_buckets: int | None = None,
     ) -> Snapshot:
         props = dict(parent.properties)
         props.update(properties or {})
@@ -909,12 +930,77 @@ class LakeTable:
             version=parent.version + 1,
             schema=schema or parent.schema,
             bucket_key=parent.bucket_key,
-            n_buckets=parent.n_buckets,
+            n_buckets=n_buckets or parent.n_buckets,
             files=files,
             properties=props,
         )
         self._publish(new)
         return new
+
+    def _rebase_commit(
+        self,
+        parent: Snapshot,
+        changes: dict[str, tuple[str, list[dict]]],
+        properties: dict | None = None,
+        schema: T.StructType | None = None,
+        operation: str | None = None,
+        commutative: bool = False,
+        revalidate=None,
+        max_retries: int = 5,
+    ) -> Snapshot:
+        """Optimistic-concurrency commit loop (Iceberg ``SnapshotProducer``
+        retry parity; reference analog: DataX jobs assume exclusive sink
+        ownership — concurrent-writer safety is a lake-table obligation the
+        reference never had).
+
+        ``changes`` maps bucket -> (mode, file entries) where mode is
+        ``"extend"`` (append layers to the bucket's list) or ``"replace"``
+        (swap the bucket's full file list). When :class:`CommitConflict` is
+        raised — another writer published ``parent.version + 1`` first — the
+        loop reloads the latest snapshot, validates the rebase is safe, and
+        re-applies the same per-bucket changes on top of it:
+
+        - ``commutative=True`` (plain appends): always rebases — extending a
+          bucket's file list commutes with any concurrent commit.
+        - ``commutative=False`` (CDC applies, compaction — results derived
+          from the parent's file contents): rebases only if every touched
+          bucket's file list is UNCHANGED between parent and current;
+          otherwise the result would silently drop the concurrent writer's
+          rows, so it raises and the caller must re-plan from fresh state.
+          Untouched buckets always carry the concurrent writer's changes.
+
+        Rebasing keeps the original layer ``gen`` numbers: a touched bucket
+        being unchanged means its max gen is still below ours, so
+        newest-gen-wins merge order is preserved. ``revalidate(cur)`` lets a
+        caller veto a rebase on table-level state (e.g. append refuses if
+        delta layers appeared).
+        """
+        base = parent
+        while True:
+            files = {b: list(fl) for b, fl in base.files.items()}
+            for b, (mode, fl) in changes.items():
+                if mode == "extend":
+                    files.setdefault(b, []).extend(fl)
+                else:
+                    files[b] = list(fl)
+            try:
+                return self._commit(base, files, properties, schema=schema, operation=operation)
+            except CommitConflict:
+                if max_retries <= 0:
+                    raise
+                max_retries -= 1
+                cur = self.snapshot()
+                if not commutative:
+                    for b in changes:
+                        if cur.files.get(b, []) != parent.files.get(b, []):
+                            raise CommitConflict(
+                                f"bucket {b} changed under a concurrent commit "
+                                f"(v{parent.version} -> v{cur.version}); re-plan "
+                                f"from the current snapshot"
+                            )
+                if revalidate is not None:
+                    revalidate(cur)
+                base = cur
 
     # ------------------------------------------------------------------ MERGE
 
@@ -974,16 +1060,19 @@ class LakeTable:
             affected_buckets = [r[0] for r in src.select(_BUCKET_COL).distinct().collect()]
         affected = sorted(int(b) for b in affected_buckets)
         if not affected:
-            return self._commit(snap, dict(snap.files), properties, operation="apply_cdc")
+            return self._rebase_commit(snap, {}, properties, operation="apply_cdc",
+                                       commutative=True)
 
         if strategy == "colocated":
             new_files, _stats = self._merge_colocated(
                 src, snap, key_cols, op_col, seq_col, delete_op, affected
             )
-            files = {b: list(fl) for b, fl in snap.files.items() if int(b) not in set(affected)}
-            for b, fl in new_files.items():
-                files[b] = fl
-            return self._commit(snap, files, properties, operation="apply_cdc")
+            return self._rebase_commit(
+                snap,
+                {str(b): ("replace", new_files.get(str(b), [])) for b in affected},
+                properties,
+                operation="apply_cdc",
+            )
 
         target = (
             self.read(buckets=affected)
@@ -1024,11 +1113,12 @@ class LakeTable:
             )
         merged = latest.filter(F.col(op_col) != F.lit(delete_op)).select(*payload_cols, _BUCKET_COL)
         new_files = self._write_data_files(merged, snap)
-
-        files = {b: list(fl) for b, fl in snap.files.items() if int(b) not in set(affected)}
-        for b, fl in new_files.items():
-            files[b] = fl
-        return self._commit(snap, files, properties, operation="apply_cdc")
+        return self._rebase_commit(
+            snap,
+            {str(b): ("replace", new_files.get(str(b), [])) for b in affected},
+            properties,
+            operation="apply_cdc",
+        )
 
     def _merge_colocated(
         self,
@@ -1441,14 +1531,14 @@ class LakeTable:
         props.setdefault("merge_op_col", op_col)
         props.setdefault("merge_delete_op", delete_op)
         props.setdefault("merge_seq_col", seq_col)
-        files = {b: list(fl) for b, fl in snap.files.items()}
+        changes: dict[str, tuple[str, list[dict]]] = {}
         for b, info in stats["lineage"].items():
             fl = new_files.get(b, [])
             if info.get("kind") == "delta":
-                files.setdefault(b, []).extend(fl)  # MoR: append the delta layer
+                changes[b] = ("extend", fl)  # MoR: append the delta layer
             else:
-                files[b] = fl  # base rewrite/compaction replaces (may clear)
-        return self._commit(snap, files, props, operation="apply_cdc"), stats
+                changes[b] = ("replace", fl)  # base rewrite replaces (may clear)
+        return self._rebase_commit(snap, changes, props, operation="apply_cdc"), stats
 
     def compact(self, buckets: Iterable[int] | None = None,
                 properties: dict | None = None) -> Snapshot:
@@ -1543,10 +1633,12 @@ class LakeTable:
         new_files, _stats = _collect_apply_entries(entries, snap.version + 1)
         props = dict(properties or {})
         props["compacted_buckets"] = len(todo)
-        files = {b: list(fl) for b, fl in snap.files.items()}
-        for b in todo:
-            files[str(b)] = new_files.get(str(b), [])
-        return self._commit(snap, files, props, operation="compact")
+        return self._rebase_commit(
+            snap,
+            {str(b): ("replace", new_files.get(str(b), [])) for b in todo},
+            props,
+            operation="compact",
+        )
 
     def merge(
         self,
@@ -1569,15 +1661,71 @@ class LakeTable:
 
     # --------------------------------------------------------- schema evolution
 
-    def add_columns(self, new_fields: list[T.StructField], properties: dict | None = None) -> Snapshot:
-        """Add columns without rewriting any data file (metadata-only commit)."""
+    def rebucket(self, n_buckets: int, properties: dict | None = None) -> Snapshot:
+        """Bucket-count evolution: rewrite the table into ``n_buckets`` hash
+        buckets in ONE distributed pass and commit a snapshot carrying the new
+        layout (Iceberg partition-spec evolution + ``rewrite_data_files``
+        folded into a commit; the reference has no table format at all —
+        its ODPS writer just targets whatever partitioning the sink declares,
+        `odpswriter/doc/odpswriter.md`).
+
+        The growth path for a table that outlives its initial layout: buckets
+        sized for 10^8 rows overflow task memory at 10^10 — rebucketing 64→4096
+        keeps the per-bucket merge's Arrow working set bounded while the
+        aligned zero-shuffle apply keeps working (the CDC engine re-checks
+        shard/bucket alignment per epoch and falls back to the generic
+        shuffle path for feeds still sharded on the old modulus).
+
+        MoR delta layers are resolved by the merged read and folded into the
+        fresh base files (a rebucket is also a full compaction). Readers of
+        old snapshots are unaffected (bucket ids are resolved per snapshot).
+        Concurrency: derived from the full parent state, so a lost commit
+        race cannot be rebased — raises :class:`CommitConflict`; re-run.
+        """
         snap = self.snapshot()
-        existing = {f.name for f in snap.schema.fields}
-        added = [f for f in new_fields if f.name not in existing]
-        if not added:
+        if n_buckets == snap.n_buckets:
             return snap
-        schema = T.StructType(list(snap.schema.fields) + added)
-        return self._commit(snap, dict(snap.files), properties, schema=schema, operation="add_columns")
+        if n_buckets < 1:
+            raise ValueError("n_buckets must be >= 1")
+        shadow = Snapshot(
+            version=snap.version,
+            schema=snap.schema,
+            bucket_key=snap.bucket_key,
+            n_buckets=n_buckets,
+            files={},
+            properties=snap.properties,
+        )
+        df = self.read()  # merged read: resolves delta layers
+        dfb = df.withColumn(_BUCKET_COL, self._bucket_expr(shadow))
+        new_files = self._write_data_files(dfb, shadow)
+        props = dict(properties or {})
+        props["rebucketed_from"] = snap.n_buckets
+        try:
+            return self._commit(snap, new_files, props,
+                                operation="rebucket", n_buckets=n_buckets)
+        except CommitConflict as e:
+            raise CommitConflict(
+                "concurrent commit landed during rebucket; re-run rebucket "
+                "from the current snapshot"
+            ) from e
+
+    def add_columns(self, new_fields: list[T.StructField], properties: dict | None = None) -> Snapshot:
+        """Add columns without rewriting any data file (metadata-only commit).
+        Conflict-safe: a lost race recomputes the union schema on the winner's
+        snapshot (column adds commute)."""
+        for attempt in range(6):
+            snap = self.snapshot()
+            existing = {f.name for f in snap.schema.fields}
+            added = [f for f in new_fields if f.name not in existing]
+            if not added:
+                return snap
+            schema = T.StructType(list(snap.schema.fields) + added)
+            try:
+                return self._commit(snap, dict(snap.files), properties,
+                                    schema=schema, operation="add_columns")
+            except CommitConflict:
+                if attempt == 5:
+                    raise
 
     # ------------------------------------------------------------- maintenance
 
