@@ -81,7 +81,10 @@ def json_reader(spark: SparkSession, p: dict) -> DataFrame:
 def csv_reader(spark: SparkSession, p: dict) -> DataFrame:
     """txtfilereader/ftpreader/ossreader CSV surface
     (UnstructuredStorageReaderUtil: fieldDelimiter/encoding/compress/
-    skipHeader/nullFormat). Compression is inferred natively by Spark."""
+    skipHeader/nullFormat). gzip/bzip2 are inferred natively by Spark;
+    ``compress: "zip"`` routes to the zip member-extraction path below."""
+    if str(p.get("compress", "")).lower() == "zip":
+        return zip_csv_reader(spark, p)
     opts = {
         "sep": p.get("fieldDelimiter", ","),
         "encoding": p.get("encoding", "UTF-8"),
@@ -97,6 +100,78 @@ def csv_reader(spark: SparkSession, p: dict) -> DataFrame:
         return r.csv(*_paths(p))
 
     return _apply_pushdown(_corrupt_capture(do_read, p, opts), p)
+
+
+@reader("zipcsvreader")
+def zip_csv_reader(spark: SparkSession, p: dict) -> DataFrame:
+    """ZIP-compressed CSV (UnstructuredStorageReaderUtil's ``compress: zip``
+    — the one codec Spark's text sources don't handle natively;
+    ZipCycleInputStream in the reference walks every archive member).
+
+    Plan shape: ``binaryFile`` scan (one row per archive, content as bytes)
+    → ``mapInPandas`` extracting every member and parsing CSV in-batch →
+    typed cast in Catalyst. Parallelism is per-archive — the correct unit,
+    since zip (like the reference's stream) is not splittable; at scale many
+    small archives parallelize naturally and one giant archive is a data
+    layout problem no engine can shard.
+
+    Contract matches csv_reader: explicit ``schema`` DDL required;
+    ``fieldDelimiter``/``encoding``/``skipHeader``/``nullFormat`` honored;
+    with ``quarantineDir`` malformed lines land in ``_corrupt_record``
+    (PERMISSIVE parity) for run_job's quarantine pass instead of erroring.
+    """
+    schema = p.get("schema")
+    if not schema:
+        raise ValueError("zip csv reader requires an explicit schema (DDL string)")
+    from pyspark.sql import types as T
+
+    target = T._parse_datatype_string(schema)
+    names = [f.name for f in target.fields]
+    sep = p.get("fieldDelimiter", ",")
+    encoding = p.get("encoding", "UTF-8")
+    skip_header = bool(p.get("skipHeader", False))
+    null_fmt = p.get("nullFormat", "\\N")
+    capture = bool(p.get("quarantineDir"))
+
+    bin_df = spark.read.format("binaryFile").load(*_paths(p)).select("content")
+    raw_schema = ", ".join(f"`{n}` string" for n in names) + f", {_CORRUPT} string"
+
+    def extract(batches):
+        import csv as _csv
+        import io
+        import zipfile
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows: list[list] = []
+            for content in pdf["content"]:
+                with zipfile.ZipFile(io.BytesIO(content)) as z:
+                    for member in z.namelist():
+                        if member.endswith("/"):
+                            continue
+                        text = z.read(member).decode(encoding, errors="replace")
+                        rdr = _csv.reader(io.StringIO(text), delimiter=sep)
+                        for i, rec in enumerate(rdr):
+                            if skip_header and i == 0:
+                                continue
+                            if not rec:
+                                continue
+                            if len(rec) != len(names):
+                                rows.append([None] * len(names) + [sep.join(rec)])
+                                continue
+                            vals = [None if v == null_fmt else v for v in rec]
+                            rows.append(vals + [None])
+            yield pd.DataFrame(rows, columns=names + [_CORRUPT], dtype=object)
+
+    df = bin_df.mapInPandas(extract, schema=raw_schema)
+    casted = [F.col(f.name).cast(f.dataType).alias(f.name) for f in target.fields]
+    if capture:
+        df = df.select(*casted, F.col(_CORRUPT))
+    else:
+        # DROPMALFORMED semantics; set quarantineDir to keep malformed lines
+        df = df.filter(F.col(_CORRUPT).isNull()).select(*casted)
+    return _apply_pushdown(df, p)
 
 
 @reader("jdbcreader")
