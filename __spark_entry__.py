@@ -117,6 +117,37 @@ def q_cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout evolution (LakeTable.rebucket): apply the derived change feed
+    into an 8-bucket MoR table (delta layers left uncompacted), then rewrite
+    it into a 5-bucket layout — one distributed pass that folds the deltas
+    AND changes the hash modulus — and read the final state back. The oracle
+    recomputes the latest-wins fold in plain SQL: rebucketing must be a
+    logical no-op on live rows."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from datax_spark.lake.table import LakeTable
+
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("turn_idx", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    root = tempfile.mkdtemp(prefix="dsx-rebucket-")
+    t = LakeTable.create(spark, root, schema, bucket_key="user_id", n_buckets=8)
+    t.apply_cdc_stats(
+        _derived_changes(spark, sf_dir),
+        key_cols=["user_id", "turn_idx"], op_col="op", seq_col="seq",
+        write_mode="mor", compact_threshold=1000,
+    )
+    t.rebucket(5)
+    return t.read().select("user_id", "turn_idx", "event_type", "value", "ts")
+
+
 # ------------------------------------------------- dx_* transformer queries
 
 def q_dx_transform_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -730,6 +761,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_fold_latest": q_cdc_fold_latest,
     "cdc_op_mix": q_cdc_op_mix,
     "cdc_changelog": q_cdc_changelog,
+    "cdc_rebucket": q_cdc_rebucket,
     "dx_transform_chain": q_dx_transform_chain,
     "dx_filter": q_dx_filter,
     "dx_cast_chain": q_dx_cast_chain,
@@ -782,6 +814,13 @@ ORACLES: dict[str, str] = {
             SELECT *, row_number() OVER (PARTITION BY user_id, turn_idx ORDER BY seq DESC) AS rn
             FROM ({_CHANGES_ORACLE}) WHERE seq % 2 = 1
         ) WHERE rn = 1
+    """,
+    "cdc_rebucket": f"""
+        SELECT user_id, turn_idx, event_type, value, ts
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id, turn_idx ORDER BY seq DESC) AS rn
+            FROM ({_CHANGES_ORACLE})
+        ) WHERE rn = 1 AND op <> 'D'
     """,
     "dx_transform_chain": """
         SELECT l_orderkey, l_linenumber,
