@@ -516,19 +516,21 @@ def q_emb_label_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = _planted_embeddings(spark, sf_dir)
     return embedding_near_dupes(
-        corpus, threshold=0.8, n_planes=56, n_bands=8, dim=64, block_col="label"
+        corpus, threshold=0.8, n_planes=96, n_bands=8, dim=64, block_col="label"
     )
 
 
 def q_emb_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed near-dup pairs (ops.similarity) — the scale path. On the
     planted corpus the verified output equals the exact cos>=0.8 pair set
-    (8 bands × 7-plane buckets; miss prob ~1e-10 at cos 0.9997), so the
-    brute-force SQL oracle checks it exactly."""
+    (8 bands × 12-plane buckets: per-band match p ≈ 0.992^12 ≈ 0.91 at
+    cos 0.9997 → miss prob (1-0.91)^8 ≈ 4e-9; meanwhile 12-bit buckets cut
+    false candidate collisions ~16x vs 7-bit), so the brute-force SQL oracle
+    checks it exactly."""
     from datax_spark.ops.similarity import embedding_near_dupes
 
     corpus = _planted_embeddings(spark, sf_dir)
-    return embedding_near_dupes(corpus, threshold=0.8, n_planes=56, n_bands=8, dim=64)
+    return embedding_near_dupes(corpus, threshold=0.8, n_planes=96, n_bands=8, dim=64)
 
 
 def q_events_asof_error(spark: SparkSession, sf_dir: str) -> DataFrame:

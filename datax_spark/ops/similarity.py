@@ -99,6 +99,11 @@ def hyperplane_signature_expr(
     planes = rng.uniform(-1.0, 1.0, size=(n_planes, dim)).astype("float64")
     weights = (1 << np.arange(n_planes, dtype=np.int64))
 
+    if n_planes > 63:
+        raise ValueError(
+            "packed-long signature caps at 63 planes; use band_buckets_expr"
+        )
+
     @F.pandas_udf("long")
     def sig(v):
         import numpy as np
@@ -113,6 +118,46 @@ def hyperplane_signature_expr(
     return sig(F.col(vec_col))
 
 
+def band_buckets_expr(
+    vec_col: str, n_planes: int, n_bands: int, dim: int = 64, seed: str = "lsh"
+) -> Column:
+    """``array<int>`` of per-band LSH bucket ids: band b packs the sign bits
+    of planes [b*rows, (b+1)*rows) into its own int.
+
+    Same deterministic planes as :func:`hyperplane_signature_expr` (one
+    (batch, dim) @ (dim, planes) matmul), but banding happens inside the UDF
+    instead of via shiftright on a packed long — which removes the 63-plane
+    cap (the packed form silently overflows int64 beyond that: ``1 << p`` for
+    p >= 64 is undefined, exactly what auto-sized bands hit at 2^13+ corpora)
+    and drops the per-band bit-twiddling expressions from the plan. More
+    planes per band = exponentially fewer false bucket collisions, the knob
+    that keeps candidate volume O(n x bands) as the corpus grows.
+    """
+    import zlib
+
+    import numpy as np
+
+    rows = n_planes // n_bands
+    rng = np.random.RandomState(zlib.crc32(f"{seed}:{n_planes}:{dim}".encode()) & 0x7FFFFFFF)
+    planes = rng.uniform(-1.0, 1.0, size=(n_planes, dim)).astype("float64")
+    band_w = (1 << np.arange(rows, dtype=np.int64))
+
+    @F.pandas_udf("array<int>")
+    def buckets(v):
+        import numpy as np
+        import pandas as pd
+
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        m = np.stack(v.to_numpy()).astype("float64")          # (batch, dim)
+        bits = (m @ planes.T) > 0                             # (batch, planes)
+        grouped = bits[:, : n_bands * rows].reshape(len(m), n_bands, rows)
+        ids = (grouped * band_w).sum(axis=2).astype("int32")  # (batch, bands)
+        return pd.Series(list(ids))
+
+    return buckets(F.col(vec_col))
+
+
 def lsh_ann_topk(
     probes: DataFrame,
     corpus: DataFrame,
@@ -125,18 +170,13 @@ def lsh_ann_topk(
 ) -> DataFrame:
     """Approximate top-k: candidates share >= 1 LSH signature band; exact
     cosine re-ranks candidates. Recall < 1 by design — the scale path."""
-    rows = n_planes // n_bands
-    sig = hyperplane_signature_expr(vec_col, n_planes, dim)
+    bexpr = band_buckets_expr(vec_col, n_planes, n_bands, dim)
 
     def banded(df: DataFrame, role: str) -> DataFrame:
         # ids only — vectors re-attach after the candidate dedupe so the
         # join+distinct shuffle moves 16-byte rows, not 1 KB vector rows
-        s = df.select(F.col(id_col).alias(f"{role}_id"), sig.alias("_sig"))
-        bands = F.array(*[
-            F.shiftright(F.col("_sig"), b * rows).bitwiseAND(F.lit((1 << rows) - 1))
-            for b in range(n_bands)
-        ])
-        return s.select(f"{role}_id", F.posexplode(bands).alias("band", "bucket"))
+        s = df.select(F.col(id_col).alias(f"{role}_id"), bexpr.alias("_bands"))
+        return s.select(f"{role}_id", F.posexplode("_bands").alias("band", "bucket"))
 
     cand = (
         banded(corpus, "neighbor")
@@ -196,20 +236,15 @@ def embedding_near_dupes(
         n = corpus.count()
         bits = min(16, max(6, math.ceil(math.log2(max(n, 2)))))
         n_planes = bits * n_bands
-    rows = n_planes // n_bands
-    sig = hyperplane_signature_expr(vec_col, n_planes, dim)
     keep = [id_col] + ([block_col] if block_col else [])
     # banded self-join over IDS ONLY: candidate rows are ~16 bytes, not the
     # ~1 KB (id, vector) rows — at 10^7+ vectors the candidate set dwarfs the
     # corpus and hauling vectors through the join+dedupe shuffle is the
     # dominant cost (measured 138 s → 12 s at 20k vecs, 10x band collisions)
     s = corpus.select(*keep, vec_col)
-    sigd = s.select(*keep, sig.alias("_sig"))
-    bands = F.array(*[
-        F.shiftright(F.col("_sig"), b * rows).bitwiseAND(F.lit((1 << rows) - 1))
-        for b in range(n_bands)
-    ])
-    ex = sigd.select(*keep, F.posexplode(bands).alias("band", "bucket"))
+    bexpr = band_buckets_expr(vec_col, n_planes, n_bands, dim)
+    ex = s.select(*keep, bexpr.alias("_bands")) \
+          .select(*keep, F.posexplode("_bands").alias("band", "bucket"))
     join_keys = ["band", "bucket"] + ([block_col] if block_col else [])
     a = ex.select(F.col(id_col).alias("id_a"), *join_keys)
     b = ex.select(F.col(id_col).alias("id_b"), *join_keys)
