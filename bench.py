@@ -143,12 +143,14 @@ def main() -> None:
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
     n_convs = int(os.environ.get("DSX_BENCH_CONVS", "2000000"))
     n_epochs = int(os.environ.get("DSX_BENCH_EPOCHS", "3"))
-    spark = get_spark(app_name="datax-spark-bench")
 
     # tmpfs: the sandbox's virtual disk is throttled and otherwise dominates
-    # the CDC-replay measurement (see BASELINE.md protocol notes)
+    # the CDC-replay measurement (see BASELINE.md protocol notes).
+    # MUST be set before get_spark() — SPARK_LOCAL_DIRS is read at JVM launch.
     base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
     os.environ.setdefault("SPARK_LOCAL_DIRS", f"{base}/dsx-bench-local-{os.getpid()}")
+    spark = get_spark(app_name="datax-spark-bench")
+
     workdir = f"{base}/dsx-bench-{os.getpid()}"
     shutil.rmtree(workdir, ignore_errors=True)
     os.makedirs(workdir)
