@@ -759,7 +759,9 @@ class LakeTable:
                     f"changelog for v{v} unavailable: snapshot expired "
                     f"(vacuum keep_last too small for this range)"
                 ) from e
-            if cur.properties.get("operation") in ("compact", "add_columns", "rebucket"):
+            if cur.properties.get("operation") in (
+                "compact", "add_columns", "drop_columns", "rebucket"
+            ):
                 continue  # logical no-ops: no live-row change
             op_col = cur.properties.get("merge_op_col", "op")
             delete_op = cur.properties.get("merge_delete_op", "D")
@@ -1056,6 +1058,13 @@ class LakeTable:
         if seq_col is None:
             seq_col = "_dsx_seq"
             src = src.withColumn(seq_col, F.lit(0).cast("long"))
+        # identifier-field metadata (parity with _finish_apply): read_changes'
+        # state diff and drop_columns' key guard need the merge keys recorded
+        properties = dict(properties or {})
+        properties.setdefault("merge_keys", ",".join(key_cols))
+        properties.setdefault("merge_op_col", op_col)
+        properties.setdefault("merge_delete_op", delete_op)
+        properties.setdefault("merge_seq_col", seq_col)
         if affected_buckets is None:
             affected_buckets = [r[0] for r in src.select(_BUCKET_COL).distinct().collect()]
         affected = sorted(int(b) for b in affected_buckets)
@@ -1700,6 +1709,8 @@ class LakeTable:
         new_files = self._write_data_files(dfb, shadow)
         props = dict(properties or {})
         props["rebucketed_from"] = snap.n_buckets
+        # full rewrite: no surviving file can hold dropped-column bytes
+        props["tombstoned_cols"] = {}
         try:
             return self._commit(snap, new_files, props,
                                 operation="rebucket", n_buckets=n_buckets)
@@ -1712,9 +1723,20 @@ class LakeTable:
     def add_columns(self, new_fields: list[T.StructField], properties: dict | None = None) -> Snapshot:
         """Add columns without rewriting any data file (metadata-only commit).
         Conflict-safe: a lost race recomputes the union schema on the winner's
-        snapshot (column adds commute)."""
+        snapshot (column adds commute). Re-adding a name dropped by
+        :meth:`drop_columns` is refused while its tombstone is live — with
+        name-based column mapping the old files' bytes would silently
+        resurrect as the "new" column's values (Iceberg prevents this with
+        field ids; we prevent it with tombstones cleared on full rewrite)."""
         for attempt in range(6):
             snap = self.snapshot()
+            tombs = snap.properties.get("tombstoned_cols") or {}
+            clash = [f.name for f in new_fields if f.name in tombs]
+            if clash:
+                raise ValueError(
+                    f"column(s) {clash} were dropped but still exist in data "
+                    f"files; rewrite first (rebucket/compact clears tombstones)"
+                )
             existing = {f.name for f in snap.schema.fields}
             added = [f for f in new_fields if f.name not in existing]
             if not added:
@@ -1723,6 +1745,40 @@ class LakeTable:
             try:
                 return self._commit(snap, dict(snap.files), properties,
                                     schema=schema, operation="add_columns")
+            except CommitConflict:
+                if attempt == 5:
+                    raise
+
+    def drop_columns(self, names: list[str], properties: dict | None = None) -> Snapshot:
+        """Drop columns without rewriting any data file (metadata-only commit,
+        Iceberg drop-column parity). The bytes stay in existing files until a
+        rewrite (compact/rebucket) passes over them; every read path projects
+        by the snapshot schema, so dropped columns never surface. Guards: the
+        bucket key and the merge key columns cannot be dropped. Each dropped
+        name leaves a tombstone that blocks re-adding it while old files could
+        resurrect its values; :meth:`rebucket` (a full rewrite) clears them."""
+        snap0 = self.snapshot()
+        protected = {snap0.bucket_key}
+        protected |= {k for k in snap0.properties.get("merge_keys", "").split(",") if k}
+        bad = [n for n in names if n in protected]
+        if bad:
+            raise ValueError(f"cannot drop key column(s) {bad}")
+        for attempt in range(6):
+            snap = self.snapshot()
+            present = {f.name for f in snap.schema.fields}
+            todo = [n for n in names if n in present]
+            if not todo:
+                return snap
+            schema = T.StructType([f for f in snap.schema.fields if f.name not in todo])
+            if not schema.fields:
+                raise ValueError("cannot drop every column")
+            tombs = dict(snap.properties.get("tombstoned_cols") or {})
+            tombs.update({n: snap.version + 1 for n in todo})
+            props = dict(properties or {})
+            props["tombstoned_cols"] = tombs
+            try:
+                return self._commit(snap, dict(snap.files), props,
+                                    schema=schema, operation="drop_columns")
             except CommitConflict:
                 if attempt == 5:
                     raise
