@@ -148,6 +148,42 @@ def q_cdc_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read().select("user_id", "turn_idx", "event_type", "value", "ts")
 
 
+def q_zipcsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIP-compressed CSV reader (compress:"zip", the reference CSV layer's
+    zip codec — sources/readers.py:zip_csv_reader): a deterministic 200-doc
+    slice is spooled into a two-member zip archive (bounded driver-side
+    collect, documented), then read back through the binaryFile→mapInPandas
+    extraction path with typed casts. The oracle selects the same slice
+    straight from parquet — a lossless round trip through csv-in-zip."""
+    import io
+    import csv as _csv
+    import tempfile
+    import zipfile
+
+    from datax_spark.sources.readers import build_reader
+
+    rows = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+        .orderBy("doc_id")
+        .limit(200)
+        .collect()
+    )
+    path = tempfile.mktemp(prefix="dsx-zipq-", suffix=".zip")
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        for part, chunk in enumerate((rows[:100], rows[100:])):
+            buf = io.StringIO()
+            wtr = _csv.writer(buf)
+            for r in chunk:
+                wtr.writerow([r.doc_id, r.lang, r.text])
+            z.writestr(f"part{part}.csv", buf.getvalue())
+    return build_reader(
+        spark, "csvreader",
+        {"path": path, "compress": "zip",
+         "schema": "doc_id long, lang string, text string"},
+    )
+
+
 # ------------------------------------------------- dx_* transformer queries
 
 def q_dx_transform_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -764,6 +800,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_op_mix": q_cdc_op_mix,
     "cdc_changelog": q_cdc_changelog,
     "cdc_rebucket": q_cdc_rebucket,
+    "zipcsv_roundtrip": q_zipcsv_roundtrip,
     "dx_transform_chain": q_dx_transform_chain,
     "dx_filter": q_dx_filter,
     "dx_cast_chain": q_dx_cast_chain,
@@ -823,6 +860,9 @@ ORACLES: dict[str, str] = {
             SELECT *, row_number() OVER (PARTITION BY user_id, turn_idx ORDER BY seq DESC) AS rn
             FROM ({_CHANGES_ORACLE})
         ) WHERE rn = 1 AND op <> 'D'
+    """,
+    "zipcsv_roundtrip": """
+        SELECT doc_id, lang, text FROM documents ORDER BY doc_id LIMIT 200
     """,
     "dx_transform_chain": """
         SELECT l_orderkey, l_linenumber,
