@@ -141,7 +141,9 @@ def run_ops_scale_bench(spark, sf_dir: str, mult: int = 10) -> dict:
     simhash_near_dupes(docs, max_hamming=3).write.format("noop").mode("overwrite").save()
     out["simhash_near_dup_sec"] = round(time.time() - t0, 3)
     t0 = time.time()
-    embedding_near_dupes(vecs, threshold=0.9, n_planes=None, n_bands=8, dim=64) \
+    # threshold matches auto-sized bands' near-identical regime (cos >= ~0.97);
+    # looser thresholds need explicit narrow bands and measure a different op
+    embedding_near_dupes(vecs, threshold=0.97, n_planes=None, n_bands=8, dim=64) \
         .write.format("noop").mode("overwrite").save()
     out["emb_lsh_near_dup_sec"] = round(time.time() - t0, 3)
     probes = vecs.filter(F.pmod(F.col("vec_id"), F.lit(397)) == 0)
