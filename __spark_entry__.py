@@ -615,6 +615,44 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor resize of the fake media payload to 16 pixels
+    (ops.multimodal.resize_pixels, map-only mapInPandas — the binary column
+    never shuffles). Oracle gathers the same byte positions via ascii codes."""
+    from datax_spark.ops.multimodal import resize_pixels, synth_media
+
+    d = _t(spark, sf_dir, "documents")
+    out = resize_pixels(synth_media(d), out_n=16)
+    return out.select(
+        "doc_id", *[F.round(F.col(f"p{j}"), 6).alias(f"p{j}") for j in range(16)]
+    )
+
+
+def q_media_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed RMS energy over the fake audio payload
+    (ops.multimodal.audio_energy): integer byte squares sum exactly in
+    float64 and IEEE sqrt is correctly rounded, so the SQL oracle replicates
+    each window bit-for-bit before the round-at-6."""
+    from datax_spark.ops.multimodal import audio_energy, synth_media
+
+    d = _t(spark, sf_dir, "documents")
+    out = audio_energy(synth_media(d), n_windows=4)
+    return out.select(
+        "doc_id", *[F.round(F.col(f"e{j}"), 6).alias(f"e{j}") for j in range(4)]
+    )
+
+
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plan for video payloads (ops.multimodal
+    .frame_sample_plan): every-10th-frame indices derived from metadata in
+    pure Catalyst — the decode of each sampled frame is the injected-decoder
+    seam, the planning is engine-side and exact."""
+    from datax_spark.ops.multimodal import frame_sample_plan, synth_media
+
+    d = _t(spark, sf_dir, "documents")
+    return frame_sample_plan(synth_media(d), every_n=10)
+
+
 _DOC_TOKS = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
 
 
@@ -795,6 +833,47 @@ def _media_oracle_sql(k: int = 8) -> str:
     """
 
 
+def _media_resize_oracle_sql(out_n: int = 16) -> str:
+    """Nearest-neighbor gather replicated over ascii codes (same ASCII-text
+    payload identity as _media_oracle_sql)."""
+    cols = ",\n               ".join(
+        f"round(CASE WHEN n = 0 THEN 0.0 "
+        f"ELSE CAST(ascii(text[({j} * n) // {out_n} + 1]) AS DOUBLE) / 255.0 END, 6) AS p{j}"
+        for j in range(out_n)
+    )
+    return f"""
+        WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents)
+        SELECT doc_id, {cols} FROM d
+    """
+
+
+def _media_audio_oracle_sql(k: int = 4) -> str:
+    """Windowed RMS over ascii codes with np.array_split boundaries."""
+    pivots = ",\n               ".join(
+        f"round(max(CASE WHEN c = {i} THEN ev END), 6) AS e{i}" for i in range(k)
+    )
+    return f"""
+        WITH d AS (
+            SELECT doc_id, text, length(text) AS n FROM documents
+        ), ch AS (
+            SELECT doc_id, text, c,
+                   (n // {k}) + CASE WHEN c < (n % {k}) THEN 1 ELSE 0 END AS wlen,
+                   c * (n // {k}) + least(c, n % {k}) AS wstart
+            FROM d, unnest(range(0, {k})) AS t(c)
+        ), f AS (
+            SELECT doc_id, c,
+                   CASE WHEN wlen = 0 THEN 0.0
+                        ELSE sqrt(list_sum(list_transform(range(wstart + 1, wstart + wlen + 1),
+                                  i -> CAST(ascii(text[i]) AS DOUBLE) * ascii(text[i])))
+                                  / wlen) / 255.0
+                   END AS ev
+            FROM ch
+        )
+        SELECT doc_id, {pivots}
+        FROM f GROUP BY doc_id
+    """
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_fold_latest": q_cdc_fold_latest,
     "cdc_op_mix": q_cdc_op_mix,
@@ -827,6 +906,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_lsh_near_dup": q_emb_lsh_near_dup,
     "events_asof_error": q_events_asof_error,
     "media_features": q_media_features,
+    "media_resize": q_media_resize,
+    "media_audio_energy": q_media_audio_energy,
+    "media_frame_sample": q_media_frame_sample,
 }
 
 ORACLES: dict[str, str] = {
@@ -1109,6 +1191,15 @@ ORACLES: dict[str, str] = {
         ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
     """,
     "media_features": _media_oracle_sql(k=8),
+    "media_resize": _media_resize_oracle_sql(out_n=16),
+    "media_audio_energy": _media_audio_oracle_sql(k=4),
+    "media_frame_sample": """
+        WITH d AS (
+            SELECT doc_id, greatest(length(text) // 1000, 1) AS nf FROM documents
+        )
+        SELECT doc_id, CAST(f AS INT) AS frame_idx
+        FROM d, unnest(range(0, nf, 10)) AS t(f)
+    """,
 }
 
 

@@ -95,6 +95,81 @@ def extract_features(
     return df.mapInPandas(gen, schema=schema)
 
 
+def resize_pixels(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    out_n: int = 16,
+) -> DataFrame:
+    """Nearest-neighbor resize over the payload byte stream (deterministic
+    fake for an image resize: a real decoder yields a (h, w) grid and the
+    2-D resize is the same gather with row-major index arithmetic — this
+    sandbox's fake metadata dims don't factor n_bytes, so the op resizes the
+    1-D stream). Sample j of ``out_n`` reads byte floor(j*n/out_n); output is
+    ``out_n`` scalar columns p0..p{out_n-1} in [0, 1]. Map-only over Arrow
+    batches: the binary column never shuffles, only the tiny resized rows do.
+    """
+    cols = ", ".join(f"p{j} double" for j in range(out_n))
+    schema = f"{id_col} long, {cols}"
+
+    def gen(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for raw in pdf[payload_col]:
+                b = np.frombuffer(bytes(raw), dtype=np.uint8)
+                n = len(b)
+                if n == 0:
+                    rows.append([0.0] * out_n)
+                    continue
+                idx = (np.arange(out_n, dtype=np.int64) * n) // out_n
+                rows.append((b[idx].astype(np.float64) / 255.0).tolist())
+            out = pd.DataFrame(rows, columns=[f"p{j}" for j in range(out_n)])
+            out.insert(0, id_col, pdf[id_col].to_numpy())
+            yield out
+
+    return df.mapInPandas(gen, schema=schema)
+
+
+def audio_energy(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    n_windows: int = 4,
+) -> DataFrame:
+    """Windowed RMS energy over the payload byte stream (deterministic fake
+    for an audio feature pass: bytes stand in for PCM samples). Windows use
+    np.array_split boundaries (first n%k windows one longer); RMS =
+    sqrt(mean(byte^2))/255 — integer squares sum exactly in float64 and IEEE
+    sqrt is correctly rounded, so a SQL oracle reproduces it bit-for-bit.
+    Same map-only shape as :func:`extract_features`."""
+    cols = ", ".join(f"e{j} double" for j in range(n_windows))
+    schema = f"{id_col} long, {cols}"
+
+    def gen(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for raw in pdf[payload_col]:
+                b = np.frombuffer(bytes(raw), dtype=np.uint8).astype(np.float64)
+                if len(b) == 0:
+                    rows.append([0.0] * n_windows)
+                    continue
+                rows.append([
+                    float(np.sqrt((w * w).sum() / len(w))) / 255.0 if len(w) else 0.0
+                    for w in np.array_split(b, n_windows)
+                ])
+            out = pd.DataFrame(rows, columns=[f"e{j}" for j in range(n_windows)])
+            out.insert(0, id_col, pdf[id_col].to_numpy())
+            yield out
+
+    return df.mapInPandas(gen, schema=schema)
+
+
 def frame_sample_plan(df: DataFrame, every_n: int = 10, id_col: str = "doc_id") -> DataFrame:
     """Frame-sampling *plan* for video payloads: emit (doc, frame_idx) rows
     for frames 0, n, 2n, ... based on metadata — pure Catalyst (the decode of

@@ -205,6 +205,30 @@ def test_multimodal_plumbing(docs):
     assert plan.count() >= media.count()
 
 
+def test_multimodal_resize_and_audio(spark, docs):
+    media = MM.synth_media(docs)
+    rz = {r["doc_id"]: r for r in MM.resize_pixels(media, out_n=4).collect()}
+    assert all(0.0 <= rz[0][f"p{j}"] <= 1.0 for j in range(4))
+    # nearest-neighbor: pixel 0 is the first byte of the payload
+    assert rz[0]["p0"] == ord(BASE[0]) / 255.0
+
+    en = {r["doc_id"]: r for r in MM.audio_energy(media, n_windows=2).collect()}
+    assert en[0]["e0"] > 0.0 and en[0]["e1"] > 0.0
+
+    # empty payload → all-zero features, no crash
+    from pyspark.sql import types as T
+
+    empty = spark.createDataFrame(
+        [(99, b"")],
+        T.StructType([T.StructField("doc_id", T.LongType()),
+                      T.StructField("payload", T.BinaryType())]),
+    )
+    r = MM.resize_pixels(empty, out_n=4).collect()[0]
+    assert [r[f"p{j}"] for j in range(4)] == [0.0] * 4
+    r = MM.audio_energy(empty, n_windows=2).collect()[0]
+    assert [r["e0"], r["e1"]] == [0.0, 0.0]
+
+
 def test_ivf_topk_recall(vectors):
     """IVF ANN: clustered vectors land in the same inverted list; recall vs
     exact brute force stays high with n_probe lists scanned per probe."""
