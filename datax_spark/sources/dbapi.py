@@ -107,6 +107,132 @@ def query_sql(driver: str, database: str, sql: str,
         conn.close()
 
 
+def build_split_queries(
+    driver: str,
+    database: str,
+    table: str,
+    columns: list[str],
+    where: str | None,
+    split_pk: str | None,
+    num_partitions: int,
+    connect_args: dict | None = None,
+) -> list[str]:
+    """Range-split a table read into per-task SQL (SingleTableSplitUtil
+    .splitSingleTable:35-129 parity): MIN/MAX of ``splitPk`` under ``where``,
+    even integer ranges [lo, hi) with the last range inclusive, plus the
+    ``splitPk IS NULL`` residual slice (:113-126) so NULL-key rows are never
+    dropped. Without a splitPk the read is one task — the reference behaves
+    identically (parallelism ineffective without split,
+    mysqlreader.md:292-302)."""
+    cols = ", ".join(columns) if columns and columns != ["*"] else "*"
+    base_where = f" WHERE {where}" if where else ""
+    base = f"SELECT {cols} FROM {table}"
+    if not split_pk or num_partitions <= 1:
+        return [base + base_where]
+    guard = f"({where}) AND " if where else ""
+    mm = query_sql(
+        driver, database,
+        f"SELECT MIN({split_pk}), MAX({split_pk}) FROM {table}"
+        f"{base_where}", connect_args,
+    )[0]
+    lo, hi = mm[0], mm[1]
+    out = []
+    if lo is None or hi is None or lo == hi:
+        out.append(base + base_where)
+    else:
+        # even BigInteger-style ranges (RangeSplitUtil.doBigIntegerSplit:43-93)
+        span = hi - lo + 1
+        step, rem = divmod(span, num_partitions)
+        cur = lo
+        for i in range(num_partitions):
+            width = step + (1 if i < rem else 0)
+            if width <= 0:
+                continue
+            nxt = cur + width
+            op_hi = "<=" if i == num_partitions - 1 else "<"
+            out.append(
+                f"{base} WHERE {guard}{split_pk} >= {cur} AND {split_pk} "
+                f"{op_hi} {nxt - 1 if op_hi == '<=' else nxt}"
+            )
+            cur = nxt
+    out.append(f"{base} WHERE {guard}{split_pk} IS NULL")
+    return out
+
+
+def dbapi_read(
+    spark,
+    driver: str,
+    database: str,
+    schema: str,
+    table: str | None = None,
+    columns: list[str] | None = None,
+    where: str | None = None,
+    split_pk: str | None = None,
+    num_partitions: int = 4,
+    query_sqls: list[str] | None = None,
+    fetch_size: int = 2048,
+    connect_args: dict | None = None,
+) -> DataFrame:
+    """Parallel DB read over any DB-API 2.0 driver — the reference's
+    CommonRdbmsReader.java:42-353 semantics, testable in-sandbox against a
+    REAL sql database (sqlite3; psycopg2/mysqlclient drop in identically on a
+    cluster — the jdbcreader maps the same knobs onto Spark's JVM JDBC
+    source when a JDBC jar is preferable).
+
+    - ``table`` mode: ``columns`` projection + ``where`` predicate are pushed
+      into each split's SELECT (reader-side pushdown, exactly
+      SingleTableSplitUtil.buildQuerySql:131-144).
+    - ``query_sqls`` mode: user-supplied SQL, ONE PER TASK — the reference's
+      querySql is a list with one entry per split (ReaderSplitUtil:97-107).
+    - each Spark task opens its own connection (one connection per DataX
+      task) and streams ``fetchmany(fetch_size)`` batches into Arrow rows —
+      constant memory per task regardless of split size.
+    - ``schema`` (DDL string) fixes the output types; DB-API cursors don't
+      expose reliable type metadata, same reason the reference requires a
+      ``column`` spec with types on file sources.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    target = T._parse_datatype_string(schema)
+    names = [f.name for f in target.fields]
+    if query_sqls is None:
+        if table is None:
+            raise ValueError("dbapi_read needs table= or query_sqls=")
+        query_sqls = build_split_queries(
+            driver, database, table, columns or names, where,
+            split_pk, num_partitions, connect_args,
+        )
+    raw_schema = ", ".join(f"`{n}` string" for n in names)
+    cargs = connect_args or {}
+
+    def read_split(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for sql in pdf["sql"]:
+                conn = _connect(driver, database, cargs)
+                try:
+                    cur = conn.cursor()
+                    cur.execute(sql)
+                    while True:
+                        rows = cur.fetchmany(fetch_size)
+                        if not rows:
+                            break
+                        yield pd.DataFrame(
+                            [[None if v is None else str(v) for v in r] for r in rows],
+                            columns=names, dtype=object,
+                        )
+                finally:
+                    conn.close()
+
+    seed = spark.createDataFrame(
+        [(i, q) for i, q in enumerate(query_sqls)], "part int, sql string"
+    ).repartition(len(query_sqls), "part")
+    raw = seed.mapInPandas(read_split, schema=raw_schema)
+    return raw.select(*[F.col(f.name).cast(f.dataType).alias(f.name) for f in target.fields])
+
+
 def dbapi_write(
     df: DataFrame,
     driver: str,

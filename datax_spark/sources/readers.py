@@ -197,6 +197,34 @@ def jdbc_reader(spark: SparkSession, p: dict) -> DataFrame:
     return _apply_pushdown(df, p)
 
 
+@reader("dbapireader")
+def dbapi_reader(spark: SparkSession, p: dict) -> DataFrame:
+    """Parallel range-split DB read over a Python DB-API driver (the
+    reference's CommonRdbmsReader knobs; see sources/dbapi.py:dbapi_read —
+    tested against real sqlite3 in-sandbox). Projection/predicate are pushed
+    into each split's SELECT; splitPk gives min/max even ranges plus the
+    IS NULL residual; querySql may be a list, one entry per task."""
+    from datax_spark.sources.dbapi import dbapi_read
+
+    qs = p.get("querySql")
+    if isinstance(qs, str):
+        qs = [qs]
+    return dbapi_read(
+        spark,
+        driver=p.get("driver", "sqlite3"),
+        database=p["database"],
+        schema=p["schema"],
+        table=p.get("table"),
+        columns=p.get("column") or p.get("columns"),
+        where=p.get("where"),
+        split_pk=p.get("splitPk"),
+        num_partitions=int(p.get("numPartitions", p.get("channel", 4))),
+        query_sqls=qs,
+        fetch_size=int(p.get("fetchSize", 2048)),
+        connect_args=p.get("connectArgs"),
+    )
+
+
 @reader("streamreader")
 def stream_reader(spark: SparkSession, p: dict) -> DataFrame:
     """Synthetic source (streamreader StreamReader.java:175-301): N rows from

@@ -163,3 +163,64 @@ def test_bulk_payload_builders_match_shipped_bytes(spark, tmp_path):
                batch_size=10, endpoint_dir=spool, max_tasks=1)
     shipped = open(os.path.join(spool, os.listdir(spool)[0]), "rb").read()
     assert shipped == es_bulk_payload(rows, "i", "index", ["id"])
+
+
+# ------------------------------------------------------------- reader (split)
+
+def _mk_db(tmp_path, n=500):
+    db = str(tmp_path / "r.db")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE ev (id INTEGER, name TEXT, v REAL)")
+    con.executemany("INSERT INTO ev VALUES (?, ?, ?)",
+                    [(i, f"n{i}", i / 4.0) for i in range(n)])
+    con.execute("INSERT INTO ev VALUES (NULL, 'null-key', -1.0)")
+    con.commit(); con.close()
+    return db
+
+
+def test_split_queries_cover_all_rows_and_null_residual(tmp_path):
+    from datax_spark.sources.dbapi import build_split_queries
+
+    db = _mk_db(tmp_path)
+    qs = build_split_queries("sqlite3", db, "ev", ["id", "name", "v"],
+                            None, "id", 4)
+    assert len(qs) == 5  # 4 ranges + IS NULL residual
+    assert qs[-1].endswith("id IS NULL")
+    total = sum(len(query_sql("sqlite3", db, q)) for q in qs)
+    assert total == 501  # no row lost, none duplicated
+
+
+def test_dbapi_reader_split_read(spark, tmp_path):
+    from datax_spark.sources.readers import build_reader
+
+    db = _mk_db(tmp_path)
+    df = build_reader(spark, "dbapireader", {
+        "database": db, "table": "ev", "splitPk": "id", "numPartitions": 4,
+        "schema": "id long, name string, v double", "fetchSize": 64,
+    })
+    rows = df.collect()
+    assert len(rows) == 501
+    byid = {r.id: (r.name, r.v) for r in rows}
+    assert byid[123] == ("n123", 30.75)
+    assert byid[None] == ("null-key", -1.0)  # IS NULL residual slice
+    assert dict(df.dtypes) == {"id": "bigint", "name": "string", "v": "double"}
+
+
+def test_dbapi_reader_pushdown_and_querysql_list(spark, tmp_path):
+    from datax_spark.sources.readers import build_reader
+
+    db = _mk_db(tmp_path)
+    df = build_reader(spark, "dbapireader", {
+        "database": db, "table": "ev", "splitPk": "id", "numPartitions": 3,
+        "where": "v >= 100.0", "column": ["id", "v"], "schema": "id long, v double",
+    })
+    got = df.collect()
+    assert len(got) == 100 and all(r.v >= 100.0 for r in got)
+
+    # querySql mode: one SQL per task (ReaderSplitUtil:97-107)
+    df2 = build_reader(spark, "dbapireader", {
+        "database": db, "schema": "id long, name string",
+        "querySql": ["SELECT id, name FROM ev WHERE id < 10",
+                     "SELECT id, name FROM ev WHERE id >= 490"],
+    })
+    assert df2.count() == 20
