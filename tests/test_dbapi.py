@@ -224,3 +224,37 @@ def test_dbapi_reader_pushdown_and_querysql_list(spark, tmp_path):
                      "SELECT id, name FROM ev WHERE id >= 490"],
     })
     assert df2.count() == 20
+
+
+def test_db_to_db_sync_job(spark, tmp_path):
+    """The reference's signature job shape — RDBMS → RDBMS with split read,
+    transform chain, upsert write — end to end between two real sqlite DBs."""
+    src = str(tmp_path / "src.db")
+    dst = str(tmp_path / "dst.db")
+    con = sqlite3.connect(src)
+    con.execute("CREATE TABLE ev (id INTEGER, name TEXT, v REAL)")
+    con.executemany("INSERT INTO ev VALUES (?,?,?)",
+                    [(i, f"n{i}", float(i)) for i in range(300)])
+    con.commit(); con.close()
+    con = sqlite3.connect(dst)
+    con.execute("CREATE TABLE ev2 (id INTEGER PRIMARY KEY, name TEXT, v REAL)")
+    con.execute("INSERT INTO ev2 VALUES (5, 'stale', -1.0)")  # will be upserted
+    con.commit(); con.close()
+
+    job = {"job": {"content": [{
+        "reader": {"name": "dbapireader", "parameter": {
+            "database": src, "table": "ev", "splitPk": "id", "numPartitions": 3,
+            "schema": "id long, name string, v double"}},
+        "transformer": [
+            {"name": "dx_filter", "parameter": {"column": "id", "op": ">=", "value": "200"}},
+        ],
+        "writer": {"name": "dbapiwriter", "parameter": {
+            "database": dst, "table": "ev2", "writeMode": "update",
+            "keyCols": ["id"], "batchSize": 64}},
+    }]}}
+    stats = run_job(spark, job)
+    got = query_sql("sqlite3", dst, "SELECT id, name, v FROM ev2 ORDER BY id")
+    # dx_filter DROPS matching rows (FilterTransformer semantics): ids >= 200 removed
+    assert len(got) == 200
+    assert got[5] == (5, "n5", 5.0)  # stale row upserted by key
+    assert stats["contents"][0]["writer_result"]["written"] == 200
