@@ -184,6 +184,41 @@ def q_zipcsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dbapi_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split DB read (sources/dbapi.py:dbapi_read — CommonRdbmsReader
+    parity over real sqlite3): a deterministic 300-customer slice is loaded
+    into a sqlite table (bounded driver-side collect, documented), then read
+    back through 4 splitPk ranges + the IS NULL residual with projection
+    pushdown. The oracle selects the same slice straight from parquet."""
+    import sqlite3
+    import tempfile
+
+    from datax_spark.sources.readers import build_reader
+
+    rows = (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+        .limit(300)
+        .collect()
+    )
+    db = tempfile.mktemp(prefix="dsx-dbq-", suffix=".db")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE cust (c_custkey INTEGER, c_name TEXT, c_acctbal REAL)")
+    con.executemany(
+        "INSERT INTO cust VALUES (?,?,?)",
+        [(r.c_custkey, r.c_name, float(r.c_acctbal)) for r in rows],
+    )
+    con.commit()
+    con.close()
+    return build_reader(
+        spark, "dbapireader",
+        {"database": db, "table": "cust", "splitPk": "c_custkey",
+         "numPartitions": 4,
+         "schema": "c_custkey long, c_name string, c_acctbal double"},
+    )
+
+
 # ------------------------------------------------- dx_* transformer queries
 
 def q_dx_transform_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -880,6 +915,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_changelog": q_cdc_changelog,
     "cdc_rebucket": q_cdc_rebucket,
     "zipcsv_roundtrip": q_zipcsv_roundtrip,
+    "dbapi_roundtrip": q_dbapi_roundtrip,
     "dx_transform_chain": q_dx_transform_chain,
     "dx_filter": q_dx_filter,
     "dx_cast_chain": q_dx_cast_chain,
@@ -945,6 +981,10 @@ ORACLES: dict[str, str] = {
     """,
     "zipcsv_roundtrip": """
         SELECT doc_id, lang, text FROM documents ORDER BY doc_id LIMIT 200
+    """,
+    "dbapi_roundtrip": """
+        SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+        FROM customer ORDER BY c_custkey LIMIT 300
     """,
     "dx_transform_chain": """
         SELECT l_orderkey, l_linenumber,
