@@ -478,6 +478,35 @@ class LakeTable:
         df = self.spark.read.schema(snap.schema).parquet(*paths)
         return df.select(*columns) if columns else df
 
+    def lookup(self, keys: list, version: int | None = None,
+               columns: list[str] | None = None) -> DataFrame:
+        """Keyed point reads: the GetRow / PK-point analog of otsreader.
+
+        The requested bucket-key values are hashed to their buckets with the
+        SAME expression the write path uses (one trivial local job over the
+        key list — exact by construction, no driver-side hash reimplementation
+        to drift), then ONLY those buckets' files are read (manifest pruning)
+        and filtered to the exact keys. Cost is O(requested buckets), never
+        O(table): at 4096 buckets a single-conversation lookup opens ~1/4096
+        of the data files regardless of table size.
+        """
+        keys = list(keys)
+        if not keys:
+            return self.spark.createDataFrame(
+                [], self._projected_struct(self.snapshot(version), columns))
+        snap = self.snapshot(version)
+        key_field = snap.schema[snap.bucket_key]
+        kdf = self.spark.createDataFrame(
+            [(k,) for k in keys], T.StructType([key_field]))
+        buckets = sorted({
+            r[0] for r in kdf.select(self._bucket_expr(snap).alias("b")).collect()
+        })
+        need_key = columns is not None and snap.bucket_key not in columns
+        cols = ([snap.bucket_key] + columns) if need_key else columns
+        df = self.read(version, buckets=buckets, columns=cols)
+        df = df.filter(F.col(snap.bucket_key).isin(keys))
+        return df.select(*columns) if need_key else df
+
     @staticmethod
     def _projected_struct(snap: Snapshot, columns: list[str] | None) -> T.StructType:
         if not columns:

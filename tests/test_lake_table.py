@@ -165,3 +165,50 @@ def test_fs_seam_routes_metadata_io(spark, tmp_path):
     with _pytest.raises(CommitConflict):
         t._publish(Snapshot(snap.version, snap.schema, snap.bucket_key,
                             snap.n_buckets, snap.files, snap.properties))
+
+
+def test_lookup_point_reads(spark, tmp_path):
+    import datetime as dt
+
+    ts = dt.datetime(2025, 1, 1)
+    t = _mk(spark, tmp_path, n_buckets=8)
+    t.append(_rows(spark, [(f"c{i}", j, "user", f"m{i}-{j}", ts)
+                           for i in range(40) for j in range(2)]))
+
+    out = t.lookup(["c7"])
+    assert sorted((r.conv_id, r.turn_idx) for r in out.collect()) == [("c7", 0), ("c7", 1)]
+
+    # multi-key, with projection that omits the bucket key
+    out = t.lookup(["c1", "c2"], columns=["turn_idx", "text"])
+    assert out.columns == ["turn_idx", "text"]
+    assert out.count() == 4
+
+    # pruning: only the keys' buckets are opened (scan input is a strict
+    # subset of the table's files)
+    snap = t.snapshot()
+    kdf = spark.createDataFrame([("c7",)], "conv_id string")
+    b = kdf.select(t._bucket_expr(snap).alias("b")).collect()[0][0]
+    assert {r.conv_id for r in t.read(buckets=[b]).collect()} >= {"c7"}
+    total_files = sum(len(fl) for fl in snap.files.values())
+    assert len(snap.files[str(b)]) < total_files
+
+    assert t.lookup([]).count() == 0
+
+    # MoR snapshot: lookup resolves delta layers too
+    from pyspark.sql import types as T
+
+    src_schema = T.StructType(
+        list(TRANSCRIPTS_SCHEMA_V1.fields)
+        + [T.StructField("op", T.StringType()), T.StructField("seq", T.LongType())]
+    )
+    t.apply_cdc_stats(
+        spark.createDataFrame([("c7", 0, "user", "patched", ts, "U", 99)], src_schema),
+        key_cols=["conv_id", "turn_idx"], op_col="op", seq_col="seq",
+        write_mode="mor", compact_threshold=100,
+    )
+    got = {r.turn_idx: r.text for r in t.lookup(["c7"]).collect()}
+    assert got == {0: "patched", 1: "m7-1"}
+
+    # and after a rebucket, lookup follows the new layout
+    t.rebucket(5)
+    assert {r.text for r in t.lookup(["c7"]).collect()} == {"patched", "m7-1"}
