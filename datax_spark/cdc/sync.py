@@ -44,6 +44,81 @@ class SyncTarget:
     max_tasks: int | None = None
 
 
+class ChangelogFollower:
+    """At-least-once changelog consumption for ANY sink — the generic form of
+    :class:`IncrementalSync` (which is this pattern specialized to a DB-API
+    target). Pairs the lake table's ``read_changes`` CDC-out with arbitrary
+    consumers, e.g. the bulk appenders in ``sources/bulk.py`` for incremental
+    search-index refresh.
+
+    ``run_once(apply)`` reads the folded changes in
+    ``(watermark, current_version]``, calls ``apply(changes_df, start, end)``,
+    and advances the watermark ONLY after ``apply`` returns — a crash in
+    between replays the same window, so ``apply`` must produce idempotent
+    keyed effects (upsert/delete by key qualifies; blind appends do not).
+    ``follow(apply, poll_s, max_cycles)`` wraps it in a polling tail loop.
+    """
+
+    def __init__(self, table: LakeTable, state_path: str,
+                 fold_keys: list[str] | None = None):
+        self.table = table
+        self.state_path = state_path
+        self.fold_keys = fold_keys
+
+    def watermark(self) -> int:
+        try:
+            with open(self.state_path) as f:
+                return int(json.load(f)["synced_version"])
+        except FileNotFoundError:
+            return 0
+
+    def _advance(self, version: int) -> None:
+        os.makedirs(os.path.dirname(self.state_path) or ".", exist_ok=True)
+        tmp = f"{self.state_path}.tmp"
+        with open(tmp, "w") as f:
+            json.dump({"synced_version": version}, f)
+        os.replace(tmp, self.state_path)  # atomic on POSIX
+
+    def run_once(self, apply) -> dict:
+        start = self.watermark()
+        end = self.table.current_version()
+        if end is None or end <= start:
+            return {"synced_from": start, "synced_to": start, "skipped": True}
+        ch = self.table.read_changes(start, end)
+        keys = self.fold_keys
+        if keys is None:
+            snap = self.table.snapshot(end)
+            keys = [k for k in snap.properties.get("merge_keys", "").split(",") if k] \
+                or [snap.bucket_key]
+        w = Window.partitionBy(*keys).orderBy(
+            F.col("_commit_version").desc(), F.col("_seq").desc_nulls_last()
+        )
+        latest = (
+            ch.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        apply(latest, start, end)
+        self._advance(end)
+        return {"synced_from": start, "synced_to": end, "skipped": False}
+
+    def follow(self, apply, poll_s: float = 5.0, max_cycles: int | None = None) -> int:
+        """Tail loop: poll for new snapshots and ship each window through
+        ``apply``. Returns the number of non-empty windows shipped.
+        ``max_cycles`` bounds the loop for tests/batch catch-up runs."""
+        import time as _time
+
+        shipped = 0
+        cycles = 0
+        while max_cycles is None or cycles < max_cycles:
+            cycles += 1
+            if not self.run_once(apply)["skipped"]:
+                shipped += 1
+            elif max_cycles is None or cycles < max_cycles:
+                _time.sleep(poll_s)
+        return shipped
+
+
 class IncrementalSync:
     """Resumable changelog shipper for one (LakeTable, SyncTarget) pair.
 

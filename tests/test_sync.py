@@ -118,3 +118,81 @@ def test_sync_across_compaction(spark, setup):
     s = sync.run_once()
     assert (s["upserts"], s["deletes"]) == (1, 0)
     assert _sink_state(db) == _lake_state(t)
+
+
+def test_changelog_follower_generic_sink(spark, tmp_path):
+    """ChangelogFollower: at-least-once windows into an arbitrary idempotent
+    sink; watermark advances only after apply; crash-window replay converges."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from datax_spark.cdc.sync import ChangelogFollower
+    from datax_spark.lake.table import LakeTable
+
+    ts = dt.datetime(2025, 1, 1)
+    sch = T.StructType([
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+    ])
+    t = LakeTable.create(spark, str(tmp_path / "t"), sch, "conv_id", n_buckets=4)
+    src_schema = T.StructType(list(sch.fields) + [
+        T.StructField("op", T.StringType()), T.StructField("seq", T.LongType())])
+
+    def merge(rows):
+        t.apply_cdc_stats(spark.createDataFrame(rows, src_schema),
+                          key_cols=["conv_id", "turn_idx"], op_col="op",
+                          seq_col="seq", write_mode="mor", compact_threshold=100)
+
+    sink: dict = {}  # keyed upsert/delete sink — idempotent by construction
+
+    def apply(df, start, end):
+        for r in df.collect():
+            k = (r.conv_id, r.turn_idx)
+            if r._change_type == "delete":
+                sink.pop(k, None)
+            else:
+                sink[k] = r.text
+
+    f = ChangelogFollower(t, str(tmp_path / "wm.json"))
+    merge([("c1", 0, "a", "U", 1), ("c2", 0, "b", "U", 2)])
+    assert f.run_once(apply)["skipped"] is False
+    assert sink == {("c1", 0): "a", ("c2", 0): "b"}
+    assert f.run_once(apply)["skipped"] is True  # nothing new
+
+    # two commits in one window; fold ships only the terminal effect per key
+    merge([("c1", 0, "mid", "U", 3)])
+    merge([("c1", 0, None, "D", 4), ("c3", 1, "c", "U", 5)])
+    seen_counts = []
+
+    def apply_counting(df, start, end):
+        rows = df.collect()
+        seen_counts.append(len(rows))
+        apply(df, start, end)
+
+    f.run_once(apply_counting)
+    assert sink == {("c2", 0): "b", ("c3", 1): "c"}
+    assert seen_counts == [2]  # c1 folded to its terminal delete, c3 upsert
+
+    # crash between apply and watermark advance: replay converges (idempotent)
+    merge([("c2", 0, "b2", "U", 6)])
+    class Boom(Exception):
+        pass
+
+    def apply_then_crash(df, start, end):
+        apply(df, start, end)
+        raise Boom()
+
+    import pytest as _pytest
+    with _pytest.raises(Boom):
+        f.run_once(apply_then_crash)
+    assert sink[("c2", 0)] == "b2"            # effect landed
+    assert f.run_once(apply)["skipped"] is False  # window replayed
+    assert sink[("c2", 0)] == "b2"            # idempotent re-apply
+    assert f.run_once(apply)["skipped"] is True
+
+    # follow() catches up in bounded cycles
+    merge([("c4", 0, "d", "U", 7)])
+    assert f.follow(apply, poll_s=0.01, max_cycles=3) == 1
+    assert sink[("c4", 0)] == "d"
