@@ -1,4 +1,4 @@
 from datax_spark.cdc.generator import ChangeFeedSpec, generate_change_feed  # noqa: F401
 from datax_spark.cdc.merge import dedupe_latest  # noqa: F401
 from datax_spark.cdc.engine import CdcEngine, EngineConfig  # noqa: F401
-from datax_spark.cdc.sync import IncrementalSync, SyncTarget  # noqa: F401
+from datax_spark.cdc.sync import ChangelogFollower, IncrementalSync, SyncTarget  # noqa: F401
