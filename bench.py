@@ -173,11 +173,18 @@ def main() -> None:
     try:
         cdc = run_cdc_bench(spark, workdir, n_convs, n_epochs)
 
+        # per-query timings are best-of-N for the same reason the replay is:
+        # single samples on this host swing 2-3x with neighbor load
+        q_trials = int(os.environ.get("DSX_BENCH_QUERY_TRIALS", "2"))
         query_secs: dict[str, float] = {}
         for name, fn in entry_mod.queries().items():
-            t0 = time.time()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            query_secs[name] = round(time.time() - t0, 3)
+            best = None
+            for _ in range(q_trials):
+                t0 = time.time()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            query_secs[name] = round(best, 3)
 
         ops_scale = run_ops_scale_bench(
             spark, sf_dir, mult=int(os.environ.get("DSX_BENCH_OPS_MULT", "10"))
