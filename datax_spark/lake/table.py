@@ -932,9 +932,16 @@ class LakeTable:
         dfb = df.withColumn(_BUCKET_COL, self._bucket_expr(snap))
         new_files = self._write_data_files(dfb, snap)
         # snapshot-isolation semantics: overwrite replaces the whole table, so
-        # a rebase carries no concurrent files — retry unconditionally
+        # a rebase carries no concurrent files — retry unconditionally, except
+        # when the layout changed (our files carry the old bucket modulus)
         for attempt in range(6):
             base = snap if attempt == 0 else self.snapshot()
+            if base.n_buckets != snap.n_buckets or base.bucket_key != snap.bucket_key:
+                raise CommitConflict(
+                    f"table layout changed during overwrite (buckets "
+                    f"{snap.n_buckets}->{base.n_buckets}); staged files are "
+                    f"hashed with the old layout — re-run overwrite"
+                )
             try:
                 return self._commit(base, new_files, properties, operation="overwrite")
             except CommitConflict:
@@ -1021,6 +1028,21 @@ class LakeTable:
                     raise
                 max_retries -= 1
                 cur = self.snapshot()
+                # Layout guard (applies even to commutative appends): our data
+                # files were bucket-hashed with the PARENT's modulus/key. If a
+                # concurrent rebucket() changed the layout, rebasing would
+                # commit old-modulus files under the new layout — full scans
+                # would still see the rows, but bucket-pruned paths (lookup,
+                # colocated CDC merges) would silently miss them.
+                if (cur.n_buckets != parent.n_buckets
+                        or cur.bucket_key != parent.bucket_key):
+                    raise CommitConflict(
+                        f"table layout changed under a concurrent commit "
+                        f"(buckets {parent.n_buckets}->{cur.n_buckets}, key "
+                        f"{parent.bucket_key!r}->{cur.bucket_key!r}); staged "
+                        f"files are hashed with the old layout — re-plan and "
+                        f"rewrite from the current snapshot"
+                    )
                 if not commutative:
                     for b in changes:
                         if cur.files.get(b, []) != parent.files.get(b, []):
@@ -1764,7 +1786,9 @@ class LakeTable:
             if clash:
                 raise ValueError(
                     f"column(s) {clash} were dropped but still exist in data "
-                    f"files; rewrite first (rebucket/compact clears tombstones)"
+                    f"files; rebucket() first (a full rewrite — the only "
+                    f"operation that clears tombstones; compact() rewrites "
+                    f"only delta-holding buckets, so it cannot)"
                 )
             existing = {f.name for f in snap.schema.fields}
             added = [f for f in new_fields if f.name not in existing]
@@ -1781,11 +1805,13 @@ class LakeTable:
     def drop_columns(self, names: list[str], properties: dict | None = None) -> Snapshot:
         """Drop columns without rewriting any data file (metadata-only commit,
         Iceberg drop-column parity). The bytes stay in existing files until a
-        rewrite (compact/rebucket) passes over them; every read path projects
-        by the snapshot schema, so dropped columns never surface. Guards: the
-        bucket key and the merge key columns cannot be dropped. Each dropped
-        name leaves a tombstone that blocks re-adding it while old files could
-        resurrect its values; :meth:`rebucket` (a full rewrite) clears them."""
+        FULL rewrite passes over them (:meth:`rebucket`; :meth:`compact` only
+        rewrites buckets holding deltas, so it does NOT reliably purge dropped
+        bytes); every read path projects by the snapshot schema, so dropped
+        columns never surface. Guards: the bucket key and the merge key
+        columns cannot be dropped. Each dropped name leaves a tombstone that
+        blocks re-adding it while old files could resurrect its values; only
+        :meth:`rebucket` clears tombstones."""
         snap0 = self.snapshot()
         protected = {snap0.bucket_key}
         protected |= {k for k in snap0.properties.get("merge_keys", "").split(",") if k}

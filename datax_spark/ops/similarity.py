@@ -138,6 +138,13 @@ def band_buckets_expr(
     import numpy as np
 
     rows = n_planes // n_bands
+    if rows > 31:
+        # per-band ids are int32: 2^rows - 1 must fit (same silent-overflow
+        # class as the 63-plane packed-long form this function replaced)
+        raise ValueError(
+            f"n_planes // n_bands = {rows} > 31 overflows the int32 per-band "
+            f"bucket id; use more bands or fewer planes"
+        )
     rng = np.random.RandomState(zlib.crc32(f"{seed}:{n_planes}:{dim}".encode()) & 0x7FFFFFFF)
     planes = rng.uniform(-1.0, 1.0, size=(n_planes, dim)).astype("float64")
     band_w = (1 << np.arange(rows, dtype=np.int64))

@@ -136,9 +136,17 @@ def build_split_queries(
         f"{base_where}", connect_args,
     )[0]
     lo, hi = mm[0], mm[1]
+    if lo is None or hi is None:
+        # MIN/MAX NULL ⇒ every row has a NULL splitPk (or table empty): the
+        # unguarded query already covers them — no residual, or NULL-key rows
+        # would be read twice (SingleTableSplitUtil.java:59-126 early-returns
+        # here too)
+        return [base + base_where]
     out = []
-    if lo is None or hi is None or lo == hi:
-        out.append(base + base_where)
+    if lo == hi:
+        # single distinct non-NULL value: one guarded slice; the IS NULL
+        # residual below picks up the NULL-key rows exactly once
+        out.append(f"{base} WHERE {guard}{split_pk} IS NOT NULL")
     else:
         # even BigInteger-style ranges (RangeSplitUtil.doBigIntegerSplit:43-93)
         span = hi - lo + 1

@@ -154,6 +154,56 @@ def test_append_rebase_refuses_when_deltas_appear(spark, tmp_path):
         del t.snapshot
 
 
+def test_append_conflicts_when_racing_rebucket(spark, tmp_path):
+    """ADVICE r2: an append that loses a commit race to rebucket() must raise
+    CommitConflict — its files are hashed with the OLD bucket modulus, so a
+    silent rebase would commit them under the new layout and bucket-pruned
+    reads (lookup, colocated merges) would miss the rows."""
+    t = _mk(spark, tmp_path, n_buckets=4)
+    t.append(_rows(spark, [(f"c{i}", 0, "user", "x", TS) for i in range(16)]))
+    stale = t.snapshot()
+    t.rebucket(8)  # winner changes the layout
+
+    # loser: append() whose snapshot read happened before the rebucket
+    real_snapshot = t.snapshot
+    calls = {"n": 0}
+
+    def stale_once(version=None):
+        calls["n"] += 1
+        return stale if calls["n"] == 1 and version is None else real_snapshot(version)
+
+    t.snapshot = stale_once  # type: ignore[method-assign]
+    try:
+        with pytest.raises(CommitConflict, match="layout"):
+            t.append(_rows(spark, [("z1", 0, "user", "late", TS)]))
+    finally:
+        del t.snapshot
+    # retry from fresh state succeeds and the row is bucket-findable
+    t.append(_rows(spark, [("z1", 0, "user", "late", TS)]))
+    assert t.lookup(["z1"]).count() == 1
+
+
+def test_overwrite_conflicts_when_racing_rebucket(spark, tmp_path):
+    t = _mk(spark, tmp_path, n_buckets=4)
+    t.append(_rows(spark, [(f"c{i}", 0, "user", "x", TS) for i in range(16)]))
+    stale = t.snapshot()
+    t.rebucket(8)
+
+    real_snapshot = t.snapshot
+    calls = {"n": 0}
+
+    def stale_once(version=None):
+        calls["n"] += 1
+        return stale if calls["n"] == 1 and version is None else real_snapshot(version)
+
+    t.snapshot = stale_once  # type: ignore[method-assign]
+    try:
+        with pytest.raises(CommitConflict, match="layout"):
+            t.overwrite(_rows(spark, [("z1", 0, "user", "ow", TS)]))
+    finally:
+        del t.snapshot
+
+
 def test_concurrent_merge_and_compact_distinct_buckets(spark, tmp_path):
     """apply_cdc (merge) and compact racing on disjoint buckets both land."""
     t = _mk(spark, tmp_path, n_buckets=8)

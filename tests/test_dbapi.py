@@ -190,6 +190,34 @@ def test_split_queries_cover_all_rows_and_null_residual(tmp_path):
     assert total == 501  # no row lost, none duplicated
 
 
+def test_split_queries_degenerate_pk_no_duplicates(tmp_path):
+    """ADVICE r2: all-NULL splitPk must NOT emit the residual on top of the
+    unguarded query (rows were read twice); lo == hi must guard its slice
+    with IS NOT NULL (SingleTableSplitUtil.java:59-126 parity)."""
+    from datax_spark.sources.dbapi import build_split_queries
+
+    db = str(tmp_path / "d.db")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE ev (id INTEGER, name TEXT)")
+    con.executemany("INSERT INTO ev VALUES (?, ?)",
+                    [(None, f"x{i}") for i in range(7)])
+    con.commit(); con.close()
+
+    # every splitPk NULL → single unguarded query, exactly once per row
+    qs = build_split_queries("sqlite3", db, "ev", ["id", "name"], None, "id", 4)
+    assert len(qs) == 1
+    assert sum(len(query_sql("sqlite3", db, q)) for q in qs) == 7
+
+    # one distinct non-NULL value (lo == hi) → guarded slice + NULL residual
+    con = sqlite3.connect(db)
+    con.executemany("INSERT INTO ev VALUES (?, ?)", [(42, "a"), (42, "b")])
+    con.commit(); con.close()
+    qs = build_split_queries("sqlite3", db, "ev", ["id", "name"], None, "id", 4)
+    assert len(qs) == 2
+    assert "IS NOT NULL" in qs[0] and qs[1].endswith("id IS NULL")
+    assert sum(len(query_sql("sqlite3", db, q)) for q in qs) == 9
+
+
 def test_dbapi_reader_split_read(spark, tmp_path):
     from datax_spark.sources.readers import build_reader
 

@@ -258,3 +258,14 @@ def test_ivf_deterministic_across_partitionings(vectors):
             (x["probe_id"], x["rank"], x["neighbor_id"], x["cos"]) for x in r.collect()
         ))
     assert results[0] == results[1]
+
+
+def test_band_buckets_rejects_int32_overflow():
+    """ADVICE r2: > 31 sign bits per band would silently overflow the int32
+    per-band bucket id — must raise, not corrupt buckets."""
+    import pytest
+
+    with pytest.raises(ValueError, match="31"):
+        S.band_buckets_expr("embedding", n_planes=64, n_bands=1)
+    # boundary: 31 bits per band is still fine (expression builds)
+    S.band_buckets_expr("embedding", n_planes=62, n_bands=2)
