@@ -116,10 +116,13 @@ def _atomic_write_json(path: str, payload: dict) -> None:
 
 
 class CdcEngine:
-    def __init__(self, spark: SparkSession, cfg: EngineConfig):
+    def __init__(self, spark: SparkSession, cfg: EngineConfig, fs=None):
+        """``fs``: optional LakeFS for the table's metadata (e.g.
+        ObjectFS over an object store — lake/objectstore.py); checkpoint
+        manifests stay driver-local like Spark's own checkpoint files."""
         self.spark = spark
         self.cfg = cfg
-        self.table = LakeTable(spark, cfg.table_root)
+        self.table = LakeTable(spark, cfg.table_root, fs=fs)
         self.commits_dir = os.path.join(cfg.checkpoint_dir, "commits")
         self.quarantine_dir = os.path.join(cfg.checkpoint_dir, "quarantine")
         os.makedirs(self.commits_dir, exist_ok=True)

@@ -186,6 +186,10 @@ def _make_bucket_processor(payload_cols, key_cols, seq_col, op_col, delete_op,
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
+        # executors own the data-file byte path (pyarrow targets the store
+        # natively); on local disk that means creating the staging dir —
+        # fs.makedirs is a prefix no-op when metadata lives on an object store
+        _os.makedirs(staging, exist_ok=True)
         pay_fields = [ev.schema.field(c) for c in payload_cols]
         seq_minmax = pc.min_max(ev.column(seq_col))
         entry = {
@@ -663,6 +667,7 @@ class LakeTable:
                     if st is None:
                         name = f"b{b:05d}-{_uuid.uuid4().hex}.parquet"
                         path = _os.path.join(staging, name)
+                        _os.makedirs(staging, exist_ok=True)
                         st = states[b] = {
                             "writer": pq.ParquetWriter(path, sub.schema, compression="snappy"),
                             "rel": _os.path.join(staging_rel, name),
@@ -1299,6 +1304,7 @@ class LakeTable:
                     qt = events.select(qcols).rename_columns(
                         payload_cols + [seq_col, op_col, "_dirty_reason"]
                     )
+                    _os.makedirs(quarantine_dir, exist_ok=True)
                     pq.write_table(
                         qt,
                         _os.path.join(quarantine_dir, f"q-{_uuid.uuid4().hex}.parquet"),
@@ -1528,6 +1534,7 @@ class LakeTable:
                             "_dirty_reason", reason.filter(dirty_mask)
                         )
                         if qdir:
+                            _os.makedirs(qdir, exist_ok=True)
                             pq.write_table(
                                 qt,
                                 _os.path.join(qdir, f"q-{_uuid.uuid4().hex}.parquet"),

@@ -102,6 +102,39 @@ def csv_reader(spark: SparkSession, p: dict) -> DataFrame:
     return _apply_pushdown(_corrupt_capture(do_read, p, opts), p)
 
 
+def _csv_records(text: str, names: list[str], sep: str, skip_header: bool,
+                 null_fmt: str) -> list[list]:
+    """Parse one CSV text into raw string records + corrupt capture — the
+    shared record layer of zip/remote readers (UnstructuredStorageReaderUtil
+    parity: fieldDelimiter/skipHeader/nullFormat; malformed lines keep the
+    raw line in ``_corrupt_record`` instead of erroring)."""
+    import csv as _csv
+    import io
+
+    rows: list[list] = []
+    rdr = _csv.reader(io.StringIO(text), delimiter=sep)
+    for i, rec in enumerate(rdr):
+        if skip_header and i == 0:
+            continue
+        if not rec:
+            continue
+        if len(rec) != len(names):
+            rows.append([None] * len(names) + [sep.join(rec)])
+            continue
+        vals = [None if v == null_fmt else v for v in rec]
+        rows.append(vals + [None])
+    return rows
+
+
+def _typed_from_raw(df: DataFrame, target, capture: bool) -> DataFrame:
+    """Cast the all-string record layer to the declared schema in Catalyst;
+    without quarantine capture, DROPMALFORMED semantics."""
+    casted = [F.col(f.name).cast(f.dataType).alias(f.name) for f in target.fields]
+    if capture:
+        return df.select(*casted, F.col(_CORRUPT))
+    return df.filter(F.col(_CORRUPT).isNull()).select(*casted)
+
+
 @reader("zipcsvreader")
 def zip_csv_reader(spark: SparkSession, p: dict) -> DataFrame:
     """ZIP-compressed CSV (UnstructuredStorageReaderUtil's ``compress: zip``
@@ -119,6 +152,9 @@ def zip_csv_reader(spark: SparkSession, p: dict) -> DataFrame:
     ``fieldDelimiter``/``encoding``/``skipHeader``/``nullFormat`` honored;
     with ``quarantineDir`` malformed lines land in ``_corrupt_record``
     (PERMISSIVE parity) for run_job's quarantine pass instead of erroring.
+    ``maxBytesPerArchive`` (default 1 GiB) fails fast with the archive's
+    path instead of OOMing a task — zip is not splittable, so each archive
+    is held whole in executor memory by design.
     """
     schema = p.get("schema")
     if not schema:
@@ -132,12 +168,12 @@ def zip_csv_reader(spark: SparkSession, p: dict) -> DataFrame:
     skip_header = bool(p.get("skipHeader", False))
     null_fmt = p.get("nullFormat", "\\N")
     capture = bool(p.get("quarantineDir"))
+    max_bytes = int(p.get("maxBytesPerArchive", 1 << 30))
 
-    bin_df = spark.read.format("binaryFile").load(*_paths(p)).select("content")
+    bin_df = spark.read.format("binaryFile").load(*_paths(p)).select("path", "content")
     raw_schema = ", ".join(f"`{n}` string" for n in names) + f", {_CORRUPT} string"
 
     def extract(batches):
-        import csv as _csv
         import io
         import zipfile
 
@@ -145,33 +181,97 @@ def zip_csv_reader(spark: SparkSession, p: dict) -> DataFrame:
 
         for pdf in batches:
             rows: list[list] = []
-            for content in pdf["content"]:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                if len(content) > max_bytes:
+                    raise ValueError(
+                        f"zip archive {path} is {len(content)} bytes > "
+                        f"maxBytesPerArchive={max_bytes}; zip is not "
+                        f"splittable — split the archive or raise the limit"
+                    )
                 with zipfile.ZipFile(io.BytesIO(content)) as z:
                     for member in z.namelist():
                         if member.endswith("/"):
                             continue
                         text = z.read(member).decode(encoding, errors="replace")
-                        rdr = _csv.reader(io.StringIO(text), delimiter=sep)
-                        for i, rec in enumerate(rdr):
-                            if skip_header and i == 0:
-                                continue
-                            if not rec:
-                                continue
-                            if len(rec) != len(names):
-                                rows.append([None] * len(names) + [sep.join(rec)])
-                                continue
-                            vals = [None if v == null_fmt else v for v in rec]
-                            rows.append(vals + [None])
+                        rows += _csv_records(text, names, sep, skip_header, null_fmt)
             yield pd.DataFrame(rows, columns=names + [_CORRUPT], dtype=object)
 
     df = bin_df.mapInPandas(extract, schema=raw_schema)
-    casted = [F.col(f.name).cast(f.dataType).alias(f.name) for f in target.fields]
-    if capture:
-        df = df.select(*casted, F.col(_CORRUPT))
-    else:
-        # DROPMALFORMED semantics; set quarantineDir to keep malformed lines
-        df = df.filter(F.col(_CORRUPT).isNull()).select(*casted)
-    return _apply_pushdown(df, p)
+    return _apply_pushdown(_typed_from_raw(df, target, capture), p)
+
+
+@reader("ftpreader")
+@reader("ossreader")
+@reader("remotecsvreader")
+def remote_csv_reader(spark: SparkSession, p: dict) -> DataFrame:
+    """Remote-transport CSV read — the ftpreader/ossreader surface
+    (FtpReader.java:17,437 login+stream; OssReader.java bucket-object walk)
+    over the Transport seam (sources/transport.py).
+
+    Plan shape: the driver LISTs object names through the transport (a
+    metadata call, like the reference's master splitting files across
+    channels), names are distributed one-per-task-slice, and EACH TASK opens
+    its own connection and streams its files' bytes — the DataX
+    one-connection-per-channel model, so bytes never flow through the
+    driver. Parsing reuses the shared CSV record layer (same
+    fieldDelimiter/skipHeader/nullFormat/quarantine semantics as local
+    csv/zip readers); ``compress`` supports none/gzip/zip per object.
+    """
+    from datax_spark.sources.transport import make_transport
+
+    schema = p.get("schema")
+    if not schema:
+        raise ValueError("remote csv reader requires an explicit schema (DDL string)")
+    from pyspark.sql import types as T
+
+    target = T._parse_datatype_string(schema)
+    names = [f.name for f in target.fields]
+    sep = p.get("fieldDelimiter", ",")
+    encoding = p.get("encoding", "UTF-8")
+    skip_header = bool(p.get("skipHeader", False))
+    null_fmt = p.get("nullFormat", "\\N")
+    capture = bool(p.get("quarantineDir"))
+    compress = str(p.get("compress", "")).lower()
+    tspec = p["transport"]
+
+    driver_tr = make_transport(tspec)
+    suffix = p.get("suffix")
+    objects = [n for n in driver_tr.walk(p["path"])
+               if not suffix or n.endswith(suffix)]
+    if not objects:
+        empty = spark.createDataFrame([], target)
+        return _apply_pushdown(empty, p)
+    n_tasks = min(len(objects), max(spark.sparkContext.defaultParallelism, 1))
+    names_df = spark.createDataFrame([(o,) for o in objects], "name string") \
+        .repartition(n_tasks)
+    raw_schema = ", ".join(f"`{n}` string" for n in names) + f", {_CORRUPT} string"
+
+    def fetch(batches):
+        import gzip as _gzip
+        import io
+        import zipfile
+
+        import pandas as pd
+
+        tr = make_transport(tspec)  # one connection per task
+        for pdf in batches:
+            rows: list[list] = []
+            for obj in pdf["name"]:
+                data = tr.read_bytes(obj)
+                if compress == "zip":
+                    with zipfile.ZipFile(io.BytesIO(data)) as z:
+                        texts = [z.read(m).decode(encoding, errors="replace")
+                                 for m in z.namelist() if not m.endswith("/")]
+                elif compress in ("gzip", "gz"):
+                    texts = [_gzip.decompress(data).decode(encoding, errors="replace")]
+                else:
+                    texts = [data.decode(encoding, errors="replace")]
+                for text in texts:
+                    rows += _csv_records(text, names, sep, skip_header, null_fmt)
+            yield pd.DataFrame(rows, columns=names + [_CORRUPT], dtype=object)
+
+    df = names_df.mapInPandas(fetch, schema=raw_schema)
+    return _apply_pushdown(_typed_from_raw(df, target, capture), p)
 
 
 @reader("jdbcreader")

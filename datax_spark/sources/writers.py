@@ -70,6 +70,79 @@ def csv_writer(df: DataFrame, p: dict) -> dict:
     return {"path": p["path"], "mode": mode}
 
 
+@writer("ftpwriter")
+@writer("osswriter")
+@writer("remotecsvwriter")
+def remote_csv_writer(df: DataFrame, p: dict) -> dict:
+    """Remote-transport CSV write — the ftpwriter/osswriter surface over the
+    Transport seam (sources/transport.py). Each task serializes its partition
+    to one CSV object and PUTs it through its own connection (bytes never
+    pass through the driver); object names carry a fresh uuid, so concurrent
+    jobs never clobber each other. ``compress: gzip`` per object.
+    Non-splittable remote sinks get no Spark commit protocol — writeMode
+    ``truncate`` deletes the prefix's existing objects first (osswriter's
+    truncate), ``nonConflict`` errors if any object exists, ``append``
+    just adds objects (the reference's default)."""
+    import uuid as _uuid
+
+    from datax_spark.sources.transport import make_transport
+
+    tspec = p["transport"]
+    path = p["path"].rstrip("/")
+    sep = p.get("fieldDelimiter", ",")
+    header = bool(p.get("header", False))
+    null_fmt = p.get("nullFormat", "\\N")
+    compress = str(p.get("compress", "")).lower()
+    mode = p.get("writeMode", "append")
+
+    tr = make_transport(tspec)
+    existing = tr.walk(path)
+    if mode in ("truncate", "overwrite"):
+        for name in existing:
+            tr.delete(name)
+    elif mode == "nonConflict" and existing:
+        raise FileExistsError(f"{path} already holds {len(existing)} object(s)")
+
+    run_id = _uuid.uuid4().hex
+    cols = list(df.columns)
+
+    def put_partition(batches):
+        import io
+
+        import pyarrow as pa
+
+        tr = make_transport(tspec)  # one connection per task
+        buf = io.StringIO()
+        rows = 0
+        first = True
+        for batch in batches:
+            pdf = batch.to_pandas()
+            pdf.to_csv(buf, sep=sep, header=header and first, index=False,
+                       na_rep=null_fmt, lineterminator="\n")
+            rows += len(pdf)
+            first = False
+        if rows:
+            data = buf.getvalue().encode("utf-8")
+            ext = "csv.gz" if compress in ("gzip", "gz") else "csv"
+            if compress in ("gzip", "gz"):
+                import gzip as _gzip
+
+                data = _gzip.compress(data)
+            name = f"{path}/part-{_uuid.uuid4().hex}-{run_id}.{ext}"
+            tr.write_bytes(name, data)
+            yield pa.RecordBatch.from_pylist(
+                [{"object": name, "rows": rows}],
+                schema=pa.schema([("object", pa.string()), ("rows", pa.int64())]),
+            )
+
+    stats = df.mapInArrow(put_partition, schema="object string, rows long").collect()
+    return {
+        "path": path, "mode": mode,
+        "objects": sorted(r["object"] for r in stats),
+        "rows": sum(r["rows"] for r in stats),
+    }
+
+
 @writer("rcfilewriter")
 def rcfile_writer(df: DataFrame, p: dict) -> dict:
     """RCFile writer (hdfswriter RC parity) via Hive STORED AS RCFILE tables;
