@@ -51,6 +51,12 @@ class ChangelogFollower:
     consumers, e.g. the bulk appenders in ``sources/bulk.py`` for incremental
     search-index refresh.
 
+    For a continuous tail, prefer the streaming-native source
+    (``streaming/changelog.py``: ``read_changelog_stream``) — the same
+    per-commit planner driven by Spark's trigger/offset machinery instead of
+    this driver-side poll loop; keep the follower for batch catch-up runs
+    and sinks that need the fold-to-one-effect-per-key window shape.
+
     ``run_once(apply)`` reads the folded changes in
     ``(watermark, current_version]``, calls ``apply(changes_df, start, end)``,
     and advances the watermark ONLY after ``apply`` returns — a crash in

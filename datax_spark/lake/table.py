@@ -377,6 +377,58 @@ class CommitConflict(Exception):
     """Another writer published this snapshot version first (optimistic concurrency)."""
 
 
+def classify_commit(parent: "Snapshot", cur: "Snapshot") -> dict | None:
+    """Per-bucket changelog classification of one commit (the shared planner
+    behind :meth:`LakeTable.read_changes` and the streaming changelog source,
+    streaming/changelog.py). Returns None for logical no-ops (compact /
+    add_columns / drop_columns / rebucket), else::
+
+        {"delta": [rel paths],        # folded upserts+deletes — read directly
+         "insert": [rel paths],       # pure-insert base additions
+         "diff_buckets": [ints],      # rewritten buckets — need a state diff
+         "op_col", "delete_op", "seq_col",
+         "est_rows": int}             # manifest row estimate (pacing)
+    """
+    if cur.properties.get("operation") in (
+        "compact", "add_columns", "drop_columns", "rebucket"
+    ):
+        return None
+    delta_paths: list[str] = []
+    insert_paths: list[str] = []
+    diff_buckets: list[int] = []
+    est = 0
+    all_buckets = set(cur.files) | set(parent.files)
+    for b in all_buckets:
+        cur_fl = cur.files.get(b, [])
+        par_paths = {f["path"] for f in parent.files.get(b, [])}
+        added = [f for f in cur_fl if f["path"] not in par_paths]
+        cur_paths = {f["path"] for f in cur_fl}
+        removed = [p for p in par_paths if p not in cur_paths]
+        if not added and not removed:
+            continue
+        if added and not removed:
+            kinds = {f.get("kind", "base") for f in added}
+            if kinds == {"delta"}:
+                delta_paths += [f["path"] for f in added]
+                est += sum(f.get("rows", 0) for f in added)
+                continue
+            if kinds == {"base"}:
+                insert_paths += [f["path"] for f in added]
+                est += sum(f.get("rows", 0) for f in added)
+                continue
+        diff_buckets.append(int(b))
+        est += sum(f.get("rows", 0) for f in cur_fl)
+    return {
+        "delta": delta_paths,
+        "insert": insert_paths,
+        "diff_buckets": sorted(diff_buckets),
+        "op_col": cur.properties.get("merge_op_col", "op"),
+        "delete_op": cur.properties.get("merge_delete_op", "D"),
+        "seq_col": cur.properties.get("merge_seq_col", "seq"),
+        "est_rows": est,
+    }
+
+
 class LakeTable:
     def __init__(self, spark: SparkSession, root: str, fs: LakeFS | None = None):
         self.spark = spark
@@ -793,35 +845,13 @@ class LakeTable:
                     f"changelog for v{v} unavailable: snapshot expired "
                     f"(vacuum keep_last too small for this range)"
                 ) from e
-            if cur.properties.get("operation") in (
-                "compact", "add_columns", "drop_columns", "rebucket"
-            ):
+            plan = classify_commit(parent, cur)
+            if plan is None:
                 continue  # logical no-ops: no live-row change
-            op_col = cur.properties.get("merge_op_col", "op")
-            delete_op = cur.properties.get("merge_delete_op", "D")
-            seq_col = cur.properties.get("merge_seq_col", "seq")
-
-            delta_paths: list[str] = []   # folded upserts+deletes
-            insert_paths: list[str] = []  # pure-insert base additions
-            diff_buckets: list[int] = []  # rewritten: need a state diff
-            all_buckets = set(cur.files) | set(parent.files)
-            for b in all_buckets:
-                cur_fl = cur.files.get(b, [])
-                par_paths = {f["path"] for f in parent.files.get(b, [])}
-                added = [f for f in cur_fl if f["path"] not in par_paths]
-                cur_paths = {f["path"] for f in cur_fl}
-                removed = [p for p in par_paths if p not in cur_paths]
-                if not added and not removed:
-                    continue
-                if added and not removed:
-                    kinds = {f.get("kind", "base") for f in added}
-                    if kinds == {"delta"}:
-                        delta_paths += [os.path.join(self.root, f["path"]) for f in added]
-                        continue
-                    if kinds == {"base"}:
-                        insert_paths += [os.path.join(self.root, f["path"]) for f in added]
-                        continue
-                diff_buckets.append(int(b))
+            op_col, delete_op, seq_col = plan["op_col"], plan["delete_op"], plan["seq_col"]
+            delta_paths = [os.path.join(self.root, p) for p in plan["delta"]]
+            insert_paths = [os.path.join(self.root, p) for p in plan["insert"]]
+            diff_buckets = plan["diff_buckets"]
 
             payload = [F.col(f.name) for f in cur.schema.fields]
             if delta_paths:

@@ -1,0 +1,345 @@
+"""Streaming-native changelog source: a Structured Streaming reader over
+LakeTable's commit log (the CDC-out half, now as a real Spark source).
+
+The reference tails change streams with a cursor-paced pull loop per shard
+(``otsstreamreader/.../OTSStreamReaderSlaveProxy.java:41-109``;
+``loghubreader/.../LogHubReader.java:157-161`` paces on a server cursor).
+Round 2's :class:`~datax_spark.cdc.sync.ChangelogFollower` reproduced that as
+a driver-side poll loop; this module replaces it with a first-class Spark
+streaming source built on the Python Data Source API (Spark 4):
+
+- **offsets are table versions** — ``{"version": N}`` in Spark's offset log,
+  so the checkpoint IS the watermark and restart/replay is exactly-once by
+  the engine's own contract (each version window enters exactly one
+  microbatch; pair with an idempotent or transactional sink).
+- **per-trigger pacing** — ``maxVersionsPerTrigger`` caps commits per batch,
+  ``maxChangesPerTrigger`` caps estimated change rows (from manifest row
+  counts, a metadata-only computation) — the loghub cursor-pacing analog.
+- **planning = the shared classifier** (:func:`~datax_spark.lake.table
+  .classify_commit`, the same code path ``read_changes`` uses), so the
+  stream emits byte-identical semantics to the batch changelog: MoR delta
+  commits and pure appends are direct file reads (O(changes), no shuffle);
+  rewritten buckets get a per-bucket keyed state diff.
+- **distributed reads** — each data file (or diff bucket) is one input
+  partition; tasks read parquet with pyarrow directly. Nothing flows
+  through the driver.
+
+Schema is fixed at stream start (payload columns of the current snapshot +
+``_change_type``/``_commit_version``/``_seq``). Columns added by later
+schema evolution appear after a stream restart — the Delta CDF contract;
+files written before an evolution read NULL for added columns.
+
+The source reads table metadata through LocalFS paths (a shared POSIX /
+DFS mount, or the object-store data plane mounted by the cluster); Spark
+constructs data sources from string options only, so an ObjectFS-backed
+metadata plane needs the batch ``read_changes`` path or a mounted view.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator, Sequence
+
+from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPartition
+
+_META_COLS = '_change_type string, _commit_version long, _seq long'
+
+
+def _load_snapshot(root: str, version: int):
+    from datax_spark.lake.fs import LocalFS
+    from datax_spark.lake.table import Snapshot, _snapshot_name
+
+    fs = LocalFS()
+    return Snapshot.from_json(
+        json.loads(fs.read_text(os.path.join(root, "_meta", _snapshot_name(version))))
+    )
+
+
+def _current_version(root: str) -> int | None:
+    meta = os.path.join(root, "_meta")
+    if not os.path.isdir(meta):
+        return None
+    vs = [int(n[1:-5]) for n in os.listdir(meta)
+          if n.startswith("v") and n.endswith(".json")]
+    return max(vs) if vs else None
+
+
+class LakeChangelogDataSource(DataSource):
+    """``spark.readStream.format("lake_changelog").option("root", ...)``.
+
+    Options: ``root`` (table root, required), ``startingVersion`` (int,
+    default = the table's current version → only NEW commits stream; 0
+    replays the full history), ``maxVersionsPerTrigger``,
+    ``maxChangesPerTrigger`` (ints, optional pacing caps).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "lake_changelog"
+
+    def schema(self):
+        root = self.options["root"]
+        v = _current_version(root)
+        if v is None:
+            raise ValueError(f"no lake table at {root}")
+        snap = _load_snapshot(root, v)
+        payload = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in snap.schema.fields
+        )
+        return f"{payload}, {_META_COLS}"
+
+    def streamReader(self, schema):
+        return LakeChangelogStreamReader(self.options, schema)
+
+
+class LakeChangelogStreamReader(DataSourceStreamReader):
+    def __init__(self, options, schema):
+        self.root = options["root"]
+        sv = options.get("startingversion", options.get("startingVersion"))
+        cur = _current_version(self.root)
+        if cur is None:
+            raise ValueError(f"no lake table at {self.root}")
+        self.start_version = cur if sv is None else int(sv)
+        mv = options.get("maxversionspertrigger", options.get("maxVersionsPerTrigger"))
+        mc = options.get("maxchangespertrigger", options.get("maxChangesPerTrigger"))
+        self.max_versions = int(mv) if mv is not None else None
+        self.max_changes = int(mc) if mc is not None else None
+        self.stream_schema_json = json.dumps(schema.jsonValue())
+        # driver-side pacing state; re-seeded by partitions() after a restart
+        self._base: int | None = self.start_version
+
+    # ------------------------------------------------------------- offsets
+
+    def initialOffset(self) -> dict:
+        return {"version": self.start_version}
+
+    def latestOffset(self) -> dict:
+        cur = _current_version(self.root)
+        base = self._base
+        if base is None:
+            # restarted reader before its first planned batch: the engine
+            # replays from its own offset log; first trigger is unpaced
+            base = self.start_version
+        if cur is None or cur <= base:
+            return {"version": base}
+        end = cur
+        if self.max_versions is not None:
+            end = min(end, base + self.max_versions)
+        if self.max_changes is not None:
+            from datax_spark.lake.table import classify_commit
+
+            # accumulate whole commits until the row estimate would exceed
+            # the cap; always take at least one (a commit is atomic)
+            est, chosen = 0, base
+            parent = _load_snapshot(self.root, base)
+            for v in range(base + 1, end + 1):
+                snap = _load_snapshot(self.root, v)
+                plan = classify_commit(parent, snap)
+                parent = snap
+                rows = plan["est_rows"] if plan else 0
+                if chosen > base and est + rows > self.max_changes:
+                    break
+                est += rows
+                chosen = v
+                if est >= self.max_changes:
+                    break
+            end = chosen if chosen > base else base + 1
+        self._base = end
+        return {"version": end}
+
+    def commit(self, end: dict) -> None:
+        pass  # retention is the table's (vacuum keep_last), not the stream's
+
+    # ----------------------------------------------------------- planning
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        from datax_spark.lake.table import classify_commit
+
+        s, e = int(start["version"]), int(end["version"])
+        self._base = max(e, self._base or 0)  # re-seed pacing after restart
+        parts: list[InputPartition] = []
+        if e <= s:
+            return parts
+        try:
+            parent = _load_snapshot(self.root, s)
+        except FileNotFoundError as err:
+            raise ValueError(
+                f"changelog for v{s + 1} unavailable: snapshot expired "
+                f"(vacuum keep_last too small for this stream's lag)"
+            ) from err
+        for v in range(s + 1, e + 1):
+            cur = _load_snapshot(self.root, v)
+            plan = classify_commit(parent, cur)
+            if plan is not None:
+                common = {
+                    "root": self.root,
+                    "version": v,
+                    "cur_schema": json.dumps(cur.schema.jsonValue()),
+                    "stream_schema": self.stream_schema_json,
+                    "op_col": plan["op_col"],
+                    "seq_col": plan["seq_col"],
+                    "delete_op": plan["delete_op"],
+                }
+                for p in plan["delta"]:
+                    parts.append(InputPartition({**common, "kind": "delta", "paths": [p]}))
+                for p in plan["insert"]:
+                    parts.append(InputPartition({**common, "kind": "insert", "paths": [p]}))
+                if plan["diff_buckets"]:
+                    keys = [k for k in cur.properties.get("merge_keys", "").split(",") if k] \
+                        or [cur.bucket_key]
+                    for b in plan["diff_buckets"]:
+                        parts.append(InputPartition({
+                            **common, "kind": "diff", "keys": keys,
+                            "old_paths": [f["path"] for f in parent.files.get(str(b), [])],
+                            "new_paths": [f["path"] for f in cur.files.get(str(b), [])],
+                        }))
+            parent = cur
+        return parts
+
+    # ------------------------------------------------------------- reading
+
+    def read(self, partition: InputPartition) -> Iterator:
+        yield from _read_partition(partition.value)
+
+
+def _spark_to_arrow_schema(schema_json: str):
+    from pyspark.sql.types import StructType
+
+    from datax_spark.lake.table import _arrow_schema_for
+
+    return _arrow_schema_for(StructType.fromJson(json.loads(schema_json)))
+
+
+def _aligned(table, target):
+    """Project/cast an Arrow table onto the target schema; missing columns
+    (pre-evolution files, stream-schema payload) read as NULL."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cols = []
+    for f in target:
+        idx = table.schema.get_field_index(f.name)
+        if idx >= 0:
+            col = table.column(idx)
+            cols.append(col if col.type == f.type else pc.cast(col, f.type))
+        else:
+            cols.append(pa.nulls(table.num_rows, f.type))
+    return pa.table(cols, schema=target)
+
+
+def _read_partition(p: dict) -> Iterator:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    stream_schema = _spark_to_arrow_schema(p["stream_schema"])
+    payload_names = [f.name for f in stream_schema
+                     if f.name not in ("_change_type", "_commit_version", "_seq")]
+    payload_schema = pa.schema([stream_schema.field(n) for n in payload_names])
+    v = p["version"]
+
+    def finish(payload_t, change_type, seq_arr):
+        n = payload_t.num_rows
+        if n == 0:
+            return None
+        out = _aligned(payload_t, payload_schema)
+        out = out.append_column("_change_type", change_type)
+        out = out.append_column("_commit_version", pa.array([v] * n, pa.int64()))
+        out = out.append_column("_seq", seq_arr)
+        for batch in out.to_batches():
+            yield batch
+
+    if p["kind"] in ("delta", "insert"):
+        t = pa.concat_tables(
+            [pq.read_table(os.path.join(p["root"], rel)) for rel in p["paths"]],
+            promote_options="permissive",
+        )
+        n = t.num_rows
+        if p["kind"] == "delta":
+            ops = pc.cast(t.column(p["op_col"]), pa.string())
+            change = pc.if_else(
+                pc.equal(ops, p["delete_op"]),
+                pa.scalar("delete", pa.string()), pa.scalar("upsert", pa.string()),
+            )
+            seq = pc.cast(t.column(p["seq_col"]), pa.int64()) \
+                if p["seq_col"] in t.schema.names else pa.nulls(n, pa.int64())
+            drop = [c for c in (p["op_col"], p["seq_col"]) if c in t.schema.names]
+            yield from finish(t.drop_columns(drop), change, seq) or ()
+        else:
+            yield from finish(
+                t, pa.array(["upsert"] * n, pa.string()), pa.nulls(n, pa.int64())
+            ) or ()
+        return
+
+    # rewritten bucket: keyed state diff old vs new (bucket-local, bounded by
+    # bucket size — the same working-set bound as the merge kernel)
+    keys = p["keys"]
+
+    def read_side(paths):
+        if not paths:
+            return _aligned(pa.table({}), payload_schema)
+        t = pa.concat_tables(
+            [pq.read_table(os.path.join(p["root"], rel)) for rel in paths],
+            promote_options="permissive",
+        )
+        return _aligned(t, payload_schema)
+
+    old_t, new_t = read_side(p["old_paths"]), read_side(p["new_paths"])
+    nonkey = [n for n in payload_names if n not in keys]
+    old_r = old_t.rename_columns(
+        [f"_o_{n}" if n not in keys else n for n in payload_names]
+    ).append_column("_in_old", pa.array([True] * old_t.num_rows))
+    new_r = new_t.append_column("_in_new", pa.array([True] * new_t.num_rows))
+    j = new_r.join(old_r, keys=keys, join_type="full outer")
+    in_new = pc.fill_null(j.column("_in_new"), False)
+    in_old = pc.fill_null(j.column("_in_old"), False)
+
+    def neq(a, b):  # null-safe inequality
+        both_null = pc.and_(pc.is_null(a), pc.is_null(b))
+        eq = pc.fill_null(pc.equal(a, b), False)
+        return pc.invert(pc.or_(both_null, eq))
+
+    changed = pa.array([False] * j.num_rows)
+    for nkc in nonkey:
+        changed = pc.or_(changed, neq(j.column(nkc), j.column(f"_o_{nkc}")))
+    ups_mask = pc.and_(in_new, pc.or_(pc.invert(in_old), changed))
+    del_mask = pc.and_(in_old, pc.invert(in_new))
+
+    ups = j.filter(ups_mask)
+    ups_payload = pa.table(
+        {n: ups.column(n) for n in payload_names}
+    )
+    res = finish(ups_payload, pa.array(["upsert"] * ups.num_rows, pa.string()),
+                 pa.nulls(ups.num_rows, pa.int64()))
+    if res:
+        yield from res
+    dels = j.filter(del_mask)
+    del_payload = pa.table(
+        {n: dels.column(n if n in keys else f"_o_{n}") for n in payload_names}
+    )
+    res = finish(del_payload, pa.array(["delete"] * dels.num_rows, pa.string()),
+                 pa.nulls(dels.num_rows, pa.int64()))
+    if res:
+        yield from res
+
+
+def register(spark) -> None:
+    """Register the source for ``format("lake_changelog")``."""
+    spark.dataSource.register(LakeChangelogDataSource)
+
+
+def read_changelog_stream(spark, root: str, starting_version: int | None = None,
+                          max_versions_per_trigger: int | None = None,
+                          max_changes_per_trigger: int | None = None):
+    """Convenience: register + open the stream (ChangelogFollower's
+    replacement — the poll loop becomes Spark's trigger/offset machinery)."""
+    register(spark)
+    r = spark.readStream.format("lake_changelog").option("root", root)
+    if starting_version is not None:
+        r = r.option("startingVersion", str(starting_version))
+    if max_versions_per_trigger is not None:
+        r = r.option("maxVersionsPerTrigger", str(max_versions_per_trigger))
+    if max_changes_per_trigger is not None:
+        r = r.option("maxChangesPerTrigger", str(max_changes_per_trigger))
+    return r.load()

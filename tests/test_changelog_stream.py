@@ -1,0 +1,195 @@
+"""Streaming-native changelog source (streaming/changelog.py): version-window
+offsets in Spark's offset log, pacing, exactly-once across restart, and
+semantic parity with the batch read_changes for all three commit classes
+(delta / pure-insert / rewritten-bucket diff).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datax_spark.cdc.schema import TRANSCRIPTS_SCHEMA_V1
+from datax_spark.lake.table import LakeTable
+from datax_spark.streaming.changelog import read_changelog_stream
+
+TS = dt.datetime(2025, 1, 1)
+SRC_SCHEMA = T.StructType(
+    list(TRANSCRIPTS_SCHEMA_V1.fields)
+    + [T.StructField("op", T.StringType()), T.StructField("seq", T.LongType())]
+)
+
+
+def _mk(spark, tmp_path, n_buckets=4):
+    return LakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPTS_SCHEMA_V1,
+        bucket_key="conv_id", n_buckets=n_buckets,
+    )
+
+
+def _rows(spark, items):
+    return spark.createDataFrame(items, TRANSCRIPTS_SCHEMA_V1)
+
+
+def _events(spark, items):
+    return spark.createDataFrame(items, SRC_SCHEMA)
+
+
+def _mixed_history(spark, t):
+    """One commit of each changelog class + a logical no-op."""
+    # v1: append → pure-insert path
+    t.append(_rows(spark, [(f"c{i}", 0, "user", f"m{i}", TS) for i in range(20)]))
+    # v2: MoR apply → delta path (upserts + a delete)
+    t.apply_cdc_stats(
+        _events(spark, [
+            ("c0", 0, "user", "patched", TS, "U", 10),
+            ("c1", 0, "user", None, TS, "D", 11),
+            ("z9", 0, "user", "fresh", TS, "I", 12),
+        ]),
+        key_cols=["conv_id", "turn_idx"], write_mode="mor",
+    )
+    # v3: compact → logical no-op (skipped by the classifier)
+    t.compact()
+    # v4: CoW merge → rewritten-bucket diff path
+    t.apply_cdc_stats(
+        _events(spark, [("c2", 0, "user", "cow-patch", TS, "U", 20)]),
+        key_cols=["conv_id", "turn_idx"], write_mode="cow",
+    )
+
+
+def _canon(rows):
+    return sorted(
+        ((r.conv_id, r.turn_idx, r.role, r.text, r._change_type,
+          r._commit_version, r._seq) for r in rows),
+        key=lambda t: tuple((v is None, str(v)) for v in t),
+    )
+
+
+def _drain(df, name_or_path, ckpt, fmt="memory"):
+    """Start the stream, process everything available (Python sources fall
+    back to single-batch under AvailableNow, so pacing needs a live
+    trigger), stop, and return the query for progress inspection."""
+    w = df.writeStream.format(fmt).option("checkpointLocation", ckpt)
+    if fmt == "memory":
+        w = w.queryName(name_or_path)
+    else:
+        w = w.option("path", name_or_path)
+    q = w.start()
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+    return q
+
+
+def test_stream_matches_batch_changelog(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    _mixed_history(spark, t)
+    df = read_changelog_stream(spark, t.root, starting_version=0)
+    q = _drain(df, "chg_all", str(tmp_path / "ck"))
+    got = _canon(spark.table("chg_all").collect())
+    want = _canon(t.read_changes(0).collect())
+    assert got == want and len(got) > 0
+
+
+def test_default_start_tails_only_new_commits(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.append(_rows(spark, [("old", 0, "user", "before", TS)]))
+    # startingVersion defaults to the table's version at QUERY start → only
+    # commits made while the stream runs are shipped (tail semantics)
+    df = read_changelog_stream(spark, t.root)
+    q = (
+        df.writeStream.format("memory").queryName("chg_tail")
+        .option("checkpointLocation", str(tmp_path / "ck")).start()
+    )
+    q.processAllAvailable()
+    assert spark.table("chg_tail").count() == 0  # history not replayed
+    t.append(_rows(spark, [("new", 0, "user", "after", TS)]))
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+    got = [r.conv_id for r in spark.table("chg_tail").collect()]
+    assert got == ["new"]
+
+
+def test_max_versions_per_trigger_paces_batches(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    for i in range(4):
+        t.append(_rows(spark, [(f"c{i}", 0, "user", "x", TS)]))
+    df = read_changelog_stream(spark, t.root, starting_version=0,
+                               max_versions_per_trigger=1)
+    q = _drain(df, "chg_paced", str(tmp_path / "ck"))
+    batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(batches) == 4  # one commit per microbatch
+    assert spark.table("chg_paced").count() == 4
+
+
+def test_max_changes_per_trigger_paces_by_rows(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    for i in range(3):
+        t.append(_rows(spark, [(f"c{i}-{j}", 0, "user", "x", TS) for j in range(10)]))
+    df = read_changelog_stream(spark, t.root, starting_version=0,
+                               max_changes_per_trigger=10)
+    q = _drain(df, "chg_rowpaced", str(tmp_path / "ck"))
+    batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(batches) == 3  # 10-row commits, 10-row cap → one each
+    assert spark.table("chg_rowpaced").count() == 30
+
+
+def test_exactly_once_across_restart(spark, tmp_path):
+    """Stop the stream, commit more, restart on the same checkpoint: the sink
+    holds every change exactly once (offset log = the watermark)."""
+    t = _mk(spark, tmp_path)
+    _mixed_history(spark, t)
+    out = str(tmp_path / "sink")
+    ck = str(tmp_path / "ck")
+
+    def run_once():
+        df = read_changelog_stream(spark, t.root, starting_version=0)
+        _drain(df, out, ck, fmt="parquet")
+
+    run_once()
+    first = spark.read.parquet(out).count()
+    assert first == t.read_changes(0).count()
+
+    # more commits after the "crash"
+    t.apply_cdc_stats(
+        _events(spark, [("c5", 0, "user", "late-patch", TS, "U", 30),
+                        ("c6", 0, "user", None, TS, "D", 31)]),
+        key_cols=["conv_id", "turn_idx"], write_mode="mor",
+    )
+    run_once()
+    got = sorted(
+        (r.conv_id, r.turn_idx, r._change_type, r._commit_version, r._seq)
+        for r in spark.read.parquet(out).collect()
+    )
+    want = sorted(
+        (r.conv_id, r.turn_idx, r._change_type, r._commit_version, r._seq)
+        for r in t.read_changes(0).collect()
+    )
+    assert got == want  # no loss, no duplicates
+
+    # an idle restart ships nothing new
+    run_once()
+    assert spark.read.parquet(out).count() == len(want)
+
+
+def test_schema_evolution_nulls_for_old_files(spark, tmp_path):
+    """Files written before add_columns stream NULL for the added column."""
+    t = _mk(spark, tmp_path)
+    t.append(_rows(spark, [("c1", 0, "user", "pre-evolve", TS)]))
+    t.add_columns([T.StructField("tool", T.StringType())])
+    ev_schema = T.StructType(
+        list(t.snapshot().schema.fields)
+        + [T.StructField("op", T.StringType()), T.StructField("seq", T.LongType())]
+    )
+    t.apply_cdc(
+        spark.createDataFrame([("c2", 0, "asst", "post", TS, "bash", "I", 5)], ev_schema),
+        key_cols=["conv_id", "turn_idx"],
+    )
+    df = read_changelog_stream(spark, t.root, starting_version=0)
+    q = _drain(df, "chg_evo", str(tmp_path / "ck"))
+    rows = {r.conv_id: r.tool for r in spark.table("chg_evo").collect()}
+    assert rows == {"c1": None, "c2": "bash"}
+    assert "tool" in df.schema.fieldNames()
