@@ -97,6 +97,11 @@ class EngineConfig:
     # copy-on-write bucket rewrite every epoch.
     write_mode: str = "mor"
     compact_threshold: int = 8
+    # type-widening evolution: when the feed's type for an EXISTING column is
+    # a lossless promotion of the table's (int->long, float->double), widen
+    # the table metadata-only before the apply (ColumnCast free-cast parity,
+    # bounded to Iceberg's promotion lattice). False = fail the epoch instead.
+    type_widening: bool = True
     # "auto": use the zero-shuffle aligned apply when the feed's _dsx_feed.json
     # declares conv_id-hash sharding with modulus == the table's bucket count
     # (storage-partitioned-join applied to MERGE). True forces (error if the
@@ -145,44 +150,122 @@ class CdcEngine:
 
     def read_epoch(self, epoch: int) -> DataFrame:
         path = os.path.join(self.cfg.feed_dir, f"epoch={epoch}")
-        # mergeSchema=true: an upstream DDL means files inside/after an epoch can
-        # carry new columns; we must see the union schema to detect evolution.
-        return self.spark.read.option("mergeSchema", "true").parquet(path)
+        # An upstream DDL means files inside/after an epoch can carry new
+        # columns OR widened types; we must read the union schema to detect
+        # evolution. Spark's own mergeSchema REFUSES int/bigint unions, so
+        # the union (with type promotion) is computed from parquet footers
+        # driver-side (~1 ms/file) and passed explicitly — Spark's scan then
+        # widens narrow files natively. Partition columns (shard=K dirs)
+        # aren't in footers; appended from the first file's partition path.
+        import glob as _glob
+
+        files = sorted(
+            _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        )
+        union = self._union_schema_from_footers(files)
+        if union is None:
+            return self.spark.read.option("mergeSchema", "true").parquet(path)
+        shard_cols = sorted({
+            seg.split("=", 1)[0]
+            for f in files
+            for seg in os.path.relpath(f, path).split(os.sep)[:-1]
+            if "=" in seg
+        })
+        for c in shard_cols:
+            if c not in union.fieldNames():
+                union = T.StructType(
+                    list(union.fields) + [T.StructField(c, T.IntegerType(), True)]
+                )
+        return self.spark.read.schema(union).option("basePath", path).parquet(path)
+
+    def _union_schema_from_footers(self, files: list[str]) -> T.StructType | None:
+        """Union of the files' footer schemas with lossless type promotion
+        (int->long, float->double); None when no files or an unmergeable
+        conflict is found (caller falls back to Spark's error surface)."""
+        import pyarrow.parquet as pq
+
+        from datax_spark.lake.table import is_type_widening
+
+        fields: dict[str, T.StructField] = {}
+        for p in files:
+            for f in pq.read_schema(p):
+                st = _spark_type_for(f.type)
+                have = fields.get(f.name)
+                if have is None:
+                    fields[f.name] = T.StructField(f.name, st, True)
+                elif have.dataType != st:
+                    if is_type_widening(have.dataType, st):
+                        fields[f.name] = T.StructField(f.name, st, True)
+                    elif not is_type_widening(st, have.dataType):
+                        return None  # genuine conflict: let Spark report it
+        return T.StructType(list(fields.values())) if fields else None
 
     # -------------------------------------------------------- schema evolution
 
+    def _widen(self, widen: dict) -> None:
+        if not widen:
+            return
+        if not self.cfg.type_widening:
+            raise ValueError(
+                f"feed widened column type(s) {sorted(widen)} but "
+                f"type_widening is disabled; enable it or fix the feed"
+            )
+        self.table.widen_columns(widen, properties={"evolved_by": "cdc-engine"})
+
     def _evolve_schema(self, batch: DataFrame) -> None:
-        """Propagate new event payload columns to the table (DDL before DML)."""
+        """Propagate new event payload columns to the table, and widen
+        existing columns the feed promoted (int->long, float->double) —
+        DDL before DML, so the apply's type guard never fires mid-epoch."""
+        from datax_spark.lake.table import is_type_widening
+
         snap = self.table.snapshot()
-        table_cols = {f.name for f in snap.schema.fields}
+        table_types = {f.name: f.dataType for f in snap.schema.fields}
         meta_cols = {self.cfg.seq_col, self.cfg.op_col, "epoch_hint", "epoch", "shard"}
         new = [
             f for f in batch.schema.fields
-            if f.name not in table_cols and f.name not in meta_cols
+            if f.name not in table_types and f.name not in meta_cols
         ]
+        widen = {
+            f.name: f.dataType for f in batch.schema.fields
+            if f.name in table_types
+            and is_type_widening(table_types[f.name], f.dataType)
+        }
         if new:
             nullable = [T.StructField(f.name, f.dataType, True) for f in new]
             self.table.add_columns(nullable, properties={"evolved_by": "cdc-engine"})
+        self._widen(widen)
 
     def _evolve_schema_from_footers(self, files: list[str]) -> None:
         """Footer-only twin of :meth:`_evolve_schema` for the aligned path."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        from datax_spark.lake.table import is_type_widening
+
         snap = self.table.snapshot()
-        table_cols = {f.name for f in snap.schema.fields}
+        table_types = {f.name: f.dataType for f in snap.schema.fields}
         meta_cols = {self.cfg.seq_col, self.cfg.op_col, "epoch_hint", "epoch", "shard"}
         seen: dict[str, pa.DataType] = {}
+        widen: dict[str, T.DataType] = {}
         for p in files:
             for f in pq.read_schema(p):
-                if f.name not in table_cols and f.name not in meta_cols:
+                if f.name in meta_cols:
+                    continue
+                if f.name not in table_types:
                     seen.setdefault(f.name, f.type)
+                    continue
+                st = _spark_type_for(f.type)
+                # take the widest promotion seen across this epoch's shards
+                cur_best = widen.get(f.name, table_types[f.name])
+                if is_type_widening(cur_best, st):
+                    widen[f.name] = st
         if seen:
             new = [
                 T.StructField(name, _spark_type_for(typ), True)
                 for name, typ in seen.items()
             ]
             self.table.add_columns(new, properties={"evolved_by": "cdc-engine"})
+        self._widen(widen)
 
     # ----------------------------------------------------------------- metrics
 

@@ -39,7 +39,7 @@ import uuid
 from dataclasses import dataclass
 from typing import Iterable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -201,6 +201,7 @@ def _make_bucket_processor(payload_cols, key_cols, seq_col, op_col, delete_op,
             "max_seq": seq_minmax["max"].as_py(),
             "reason": None,
             "kind": "base",
+            "stats": None,
         }
 
         def key_arr(t):
@@ -239,11 +240,15 @@ def _make_bucket_processor(payload_cols, key_cols, seq_col, op_col, delete_op,
             # merge-on-read fast path: persist this epoch's latest-per-key
             # upserts+deletes as a DELTA layer (Iceberg v2 equality-delete
             # pattern) — no old file is read or rewritten
+            import json as _json
+
             name = f"b{b:05d}-d{_uuid.uuid4().hex}.parquet"
-            pq.write_table(ev_latest, _os.path.join(staging, name), compression="snappy")
+            full = _os.path.join(staging, name)
+            pq.write_table(ev_latest, full, compression="snappy")
             entry["path"] = _os.path.join(staging_rel, name)
             entry["rows"] = ev_latest.num_rows
             entry["kind"] = "delta"
+            entry["stats"] = _json.dumps(_footer_stats(full))
             return [entry]
 
         # full merge / compaction: newest-gen-wins cascade. Walk layers
@@ -280,10 +285,14 @@ def _make_bucket_processor(payload_cols, key_cols, seq_col, op_col, delete_op,
             seen.append(keys_t)
         final = pa.concat_tables(pieces)
         if final.num_rows:
+            import json as _json
+
             name = f"b{b:05d}-{_uuid.uuid4().hex}.parquet"
-            pq.write_table(final, _os.path.join(staging, name), compression="snappy")
+            full = _os.path.join(staging, name)
+            pq.write_table(final, full, compression="snappy")
             entry["path"] = _os.path.join(staging_rel, name)
             entry["rows"] = final.num_rows
+            entry["stats"] = _json.dumps(_footer_stats(full))
         return [entry]
 
     return process
@@ -340,6 +349,184 @@ class Snapshot:
         )
 
 
+def _make_footer_stats():
+    """Build the footer-stats reader as a LOCAL function: its qualname
+    contains ``<locals>``, so cloudpickle ships it by value inside the write
+    kernels — executors never need to import this package (the kernels'
+    self-containment contract: a bare spark-submit without --py-files still
+    runs the engine)."""
+
+    def footer_stats(path: str) -> dict:
+        """Per-file column zone maps {col: [min, max, null_count]} read from
+        the parquet FOOTER the writer already produced (free at write time —
+        the Iceberg write-metrics analog). A column is dropped when any row
+        group lacks sound min/max (parquet guarantees stored min/max bound
+        the values even when inexact/truncated, so what remains is always
+        safe to prune on). Nested paths and long strings are skipped to
+        bound manifest size."""
+        import datetime as _dt
+
+        import pyarrow.parquet as pq
+
+        def enc_stat(v):
+            if isinstance(v, bool) or v is None:
+                return None
+            if isinstance(v, (int, float)):
+                return v
+            if isinstance(v, str):
+                return v if len(v) <= 64 else None
+            if isinstance(v, _dt.datetime):
+                if v.tzinfo is not None:
+                    v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+                return v.isoformat()
+            if isinstance(v, _dt.date):
+                return v.isoformat()
+            return None
+
+        md = pq.read_metadata(path)
+        out: dict = {}
+        bad: set = set()
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                name = col.path_in_schema
+                if "." in name or name in bad:
+                    continue
+                st = col.statistics
+                enc = (None, None)
+                if st is not None and st.has_min_max:
+                    enc = (enc_stat(st.min), enc_stat(st.max))
+                if enc[0] is None or enc[1] is None:
+                    bad.add(name)
+                    out.pop(name, None)
+                    continue
+                nulls = st.null_count if st.null_count is not None else 0
+                prev = out.get(name)
+                if prev is None:
+                    out[name] = [enc[0], enc[1], nulls]
+                else:
+                    out[name] = [min(prev[0], enc[0]), max(prev[1], enc[1]),
+                                 prev[2] + nulls]
+        return out
+
+    return footer_stats
+
+
+_footer_stats = _make_footer_stats()
+
+
+_PRED_RE = None
+
+
+def _parse_prune_preds(where: str) -> list[tuple[str, str, object]]:
+    """Best-effort extraction of prunable conjuncts from a SQL-ish where
+    string: top-level `col OP literal` terms joined by AND (no parens, no
+    OR — those disable pruning entirely; the full predicate is always
+    re-applied as a filter, so pruning is only ever an optimization)."""
+    import re
+
+    global _PRED_RE
+    if _PRED_RE is None:
+        _PRED_RE = re.compile(
+            r"^\s*`?([A-Za-z_]\w*)`?\s*(>=|<=|==|=|<|>)\s*(.+?)\s*$"
+        )
+    if not where or "(" in where or re.search(r"\bor\b", where, re.I):
+        return []
+    preds = []
+    for term in re.split(r"\band\b", where, flags=re.I):
+        m = _PRED_RE.match(term)
+        if not m:
+            continue
+        col, op, lit = m.group(1), m.group(2), m.group(3)
+        if (lit.startswith("'") and lit.endswith("'")) or \
+           (lit.startswith('"') and lit.endswith('"')):
+            val: object = lit[1:-1]
+        else:
+            try:
+                val = int(lit)
+            except ValueError:
+                try:
+                    val = float(lit)
+                except ValueError:
+                    continue  # unparseable literal: no pruning on this term
+        preds.append((col, "=" if op == "==" else op, val))
+    return preds
+
+
+def _coerce_bound(a, b):
+    """Make a (stat bound) and b (literal) comparable, or raise TypeError.
+    ISO strings compare as datetimes when both parse (timestamp stats are
+    stored ISO; date-only literals mean midnight, matching SQL casts)."""
+    import datetime as _dt
+
+    if isinstance(a, str) and isinstance(b, str):
+        try:
+            return _dt.datetime.fromisoformat(a), _dt.datetime.fromisoformat(b)
+        except ValueError:
+            return a, b
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)) \
+            and not isinstance(a, bool) and not isinstance(b, bool):
+        return a, b
+    raise TypeError
+
+
+def _file_may_match(stats: dict | None, preds) -> bool:
+    """False only when the zone map PROVES no row satisfies the conjunction
+    (missing stats or incomparable types keep the file — pruning must never
+    lose rows)."""
+    if not stats:
+        return True
+    for col, op, lit in preds:
+        s = stats.get(col)
+        if not s:
+            continue
+        try:
+            if op == "in":
+                keep = False
+                for v in lit:
+                    try:
+                        lo, lv = _coerce_bound(s[0], v)
+                        hi, _ = _coerce_bound(s[1], v)
+                    except TypeError:
+                        keep = True
+                        break
+                    if lo <= lv <= hi:
+                        keep = True
+                        break
+                if not keep:
+                    return False
+                continue
+            lo, lv = _coerce_bound(s[0], lit)
+            hi, _ = _coerce_bound(s[1], lit)
+        except TypeError:
+            continue
+        if op == "=" and (lv < lo or lv > hi):
+            return False
+        if op == ">" and hi <= lv:
+            return False
+        if op == ">=" and hi < lv:
+            return False
+        if op == "<" and lo >= lv:
+            return False
+        if op == "<=" and lo > lv:
+            return False
+    return True
+
+
+def _aligned_src_col(name: str, f: T.StructField, src_types: dict) -> Column:
+    """Source column aligned to the table field: absent -> typed NULL;
+    narrower-in-lattice -> cast up (the post-widening steady state for feeds
+    still emitting the old width); anything else passes through untouched
+    (the Arrow kernel normalizes, exactly as before widening existed)."""
+    st = src_types.get(name)
+    if st is None:
+        return F.lit(None).cast(f.dataType).alias(name)
+    if st != f.dataType and is_type_widening(st, f.dataType):
+        return F.col(name).cast(f.dataType).alias(name)
+    return F.col(name).alias(name)
+
+
 def _collect_apply_entries(entries, next_gen: int) -> tuple[dict, dict]:
     """Fold task-reported apply entries into (new_files, stats)."""
     new_files: dict[str, list[dict]] = {}
@@ -356,10 +543,11 @@ def _collect_apply_entries(entries, next_gen: int) -> tuple[dict, dict]:
             "kind": r["kind"],
         }
         if r["rows"] and r["path"]:
-            new_files.setdefault(str(r["bucket"]), []).append(
-                {"path": r["path"], "rows": r["rows"],
-                 "kind": r["kind"], "gen": next_gen}
-            )
+            entry = {"path": r["path"], "rows": r["rows"],
+                     "kind": r["kind"], "gen": next_gen}
+            if r["stats"]:
+                entry["stats"] = json.loads(r["stats"])
+            new_files.setdefault(str(r["bucket"]), []).append(entry)
     stats = {
         "lineage": lineage,
         "dirty": dirty,
@@ -377,6 +565,19 @@ class CommitConflict(Exception):
     """Another writer published this snapshot version first (optimistic concurrency)."""
 
 
+_INT_RANK = {T.ByteType: 0, T.ShortType: 1, T.IntegerType: 2, T.LongType: 3}
+_FLOAT_RANK = {T.FloatType: 0, T.DoubleType: 1}
+
+
+def is_type_widening(src: T.DataType, dst: T.DataType) -> bool:
+    """True iff ``src -> dst`` is a STRICT lossless promotion (Iceberg
+    type-promotion lattice): byte < short < int < long; float < double."""
+    for rank in (_INT_RANK, _FLOAT_RANK):
+        if type(src) in rank and type(dst) in rank:
+            return rank[type(src)] < rank[type(dst)]
+    return False
+
+
 def classify_commit(parent: "Snapshot", cur: "Snapshot") -> dict | None:
     """Per-bucket changelog classification of one commit (the shared planner
     behind :meth:`LakeTable.read_changes` and the streaming changelog source,
@@ -390,7 +591,7 @@ def classify_commit(parent: "Snapshot", cur: "Snapshot") -> dict | None:
          "est_rows": int}             # manifest row estimate (pacing)
     """
     if cur.properties.get("operation") in (
-        "compact", "add_columns", "drop_columns", "rebucket"
+        "compact", "add_columns", "drop_columns", "widen_columns", "rebucket"
     ):
         return None
     delta_paths: list[str] = []
@@ -504,7 +705,8 @@ class LakeTable:
         return F.pmod(F.xxhash64(key.cast("string")), F.lit(snap.n_buckets)).cast("int")
 
     def read(self, version: int | None = None, buckets: Iterable[int] | None = None,
-             columns: list[str] | None = None) -> DataFrame:
+             columns: list[str] | None = None, where: str | None = None,
+             _in_pred: dict | None = None) -> DataFrame:
         """Read the table at a snapshot; ``buckets`` prunes at the file-list level
 
         (manifest-driven partition pruning — the scan never opens files of
@@ -515,16 +717,32 @@ class LakeTable:
         Catalyst prunes the plain-scan path by itself, but a mapInArrow merge
         read is opaque to it, so the projection is pushed into the per-file
         parquet reads here.
+
+        ``where`` additionally prunes FILES by the manifest's per-column
+        min/max zone maps (recorded free from parquet footers at write time)
+        before applying the predicate as a filter: a selective scan over a
+        many-generation table opens only files whose ranges can match.
+        Zone-map pruning runs only on base-only scans: under MoR deltas a
+        newer layer can rewrite a row INTO the predicate's range, so pruning
+        an old file there could surface a stale row — those scans merge
+        first and filter after (always correct, just unpruned). ``_in_pred``
+        ({col: values}) is the structured equality form :meth:`lookup` uses
+        for key-set pruning (same base-only scope).
         """
         snap = self.snapshot(version)
         if snap.has_deltas(buckets):
-            return self._read_merged(snap, buckets, columns)
+            df = self._read_merged(snap, buckets, columns)
+            return df.filter(where) if where else df
         wanted = None if buckets is None else {str(b) for b in buckets}
+        preds = list(_parse_prune_preds(where)) if where else []
+        if _in_pred:
+            preds += [(c, "in", list(vs)) for c, vs in _in_pred.items()]
         paths = [
             os.path.join(self.root, f["path"])
             for b, fl in snap.files.items()
             if wanted is None or b in wanted
             for f in fl
+            if not preds or _file_may_match(f.get("stats"), preds)
         ]
         if not paths:
             # project the empty result too, so schema matches the non-empty path
@@ -532,6 +750,8 @@ class LakeTable:
         # Explicit evolved schema: files written pre-evolution lack new columns
         # and read as NULL — schema evolution without rewrite.
         df = self.spark.read.schema(snap.schema).parquet(*paths)
+        if where:
+            df = df.filter(where)
         return df.select(*columns) if columns else df
 
     def lookup(self, keys: list, version: int | None = None,
@@ -559,7 +779,10 @@ class LakeTable:
         })
         need_key = columns is not None and snap.bucket_key not in columns
         cols = ([snap.bucket_key] + columns) if need_key else columns
-        df = self.read(version, buckets=buckets, columns=cols)
+        # zone-map key pruning: within the selected buckets, skip files whose
+        # bucket-key [min,max] excludes every requested key (base-only scans)
+        df = self.read(version, buckets=buckets, columns=cols,
+                       _in_pred={snap.bucket_key: keys})
         df = df.filter(F.col(snap.bucket_key).isin(keys))
         return df.select(*columns) if need_key else df
 
@@ -670,6 +893,27 @@ class LakeTable:
 
     # ----------------------------------------------------------------- writes
 
+    def _check_source_types(self, src: DataFrame, snap: Snapshot) -> None:
+        """Source columns may be NARROWER than the table (cast up in the
+        plan — the post-widening steady state for feeds still emitting the
+        old width); a WIDER or cross-family source must be rejected before a
+        silent Catalyst narrowing corrupts values — the caller widens the
+        table first (widen_columns / the engine's evolve step)."""
+        by_name = {f.name: f.dataType for f in snap.schema.fields}
+        for sf in src.schema.fields:
+            want = by_name.get(sf.name)
+            if want is None or sf.dataType == want:
+                continue
+            if is_type_widening(want, sf.dataType):
+                raise ValueError(
+                    f"source column {sf.name!r} is {sf.dataType.simpleString()} "
+                    f"but the table stores {want.simpleString()}; widen the "
+                    f"table first (LakeTable.widen_columns)"
+                )
+            # narrower-in-lattice sources cast up in the plan; any other
+            # mismatch (timestamp_ntz vs timestamp, etc.) flows to the merge
+            # kernel's Arrow normalization, as before widening existed
+
     def _write_data_files(self, df: DataFrame, snap: Snapshot) -> dict[str, list[dict]]:
         """Write df (must carry _dsx_bucket) as per-bucket parquet data files.
 
@@ -723,6 +967,7 @@ class LakeTable:
                         st = states[b] = {
                             "writer": pq.ParquetWriter(path, sub.schema, compression="snappy"),
                             "rel": _os.path.join(staging_rel, name),
+                            "full": path,
                             "rows": 0,
                             "buf": [],
                             "buf_bytes": 0,
@@ -733,15 +978,21 @@ class LakeTable:
                     if st["buf_bytes"] >= flush_bytes:
                         flush(st)
             if states:
+                import json as _json
+
                 out = []
                 for b, st in states.items():
                     flush(st)
                     st["writer"].close()
-                    out.append({"bucket": b, "path": st["rel"], "rows": st["rows"]})
+                    out.append({
+                        "bucket": b, "path": st["rel"], "rows": st["rows"],
+                        "stats": _json.dumps(_footer_stats(st["full"])),
+                    })
                 yield pa.RecordBatch.from_pylist(
                     out,
                     schema=pa.schema(
-                        [("bucket", pa.int32()), ("path", pa.string()), ("rows", pa.int64())]
+                        [("bucket", pa.int32()), ("path", pa.string()),
+                         ("rows", pa.int64()), ("stats", pa.string())]
                     ),
                 )
 
@@ -752,16 +1003,18 @@ class LakeTable:
             df.withColumn(_PID_COL, _steer_expr(assign, _partition_magic(n_tasks)))
             .repartition(n_tasks, F.col(_PID_COL))
             .drop(_PID_COL)
-            .mapInArrow(write_partition, schema="bucket int, path string, rows long")
+            .mapInArrow(write_partition,
+                        schema="bucket int, path string, rows long, stats string")
             .collect()
         )
         gen = snap.version + 1
         out: dict[str, list[dict]] = {}
         for r in sorted(entries, key=lambda r: (r["bucket"], r["path"])):
             if r["rows"]:
-                out.setdefault(str(r["bucket"]), []).append(
-                    {"path": r["path"], "rows": r["rows"], "kind": "base", "gen": gen}
-                )
+                entry = {"path": r["path"], "rows": r["rows"], "kind": "base", "gen": gen}
+                if r["stats"]:
+                    entry["stats"] = json.loads(r["stats"])
+                out.setdefault(str(r["bucket"]), []).append(entry)
         return out
 
     def live_row_count(self, version: int | None = None) -> int:
@@ -1175,9 +1428,11 @@ class LakeTable:
             .withColumn(seq_col, F.lit(-1).cast("long"))
             .withColumn(op_col, F.lit("U"))
         )
+        self._check_source_types(src, snap)
+        src_types = {f.name: f.dataType for f in src.schema.fields}
         src_aligned = src.select(
             *[
-                (F.col(c) if c in src.columns else F.lit(None).cast(f.dataType)).alias(c)
+                _aligned_src_col(c, f, src_types)
                 for c, f in ((f.name, f) for f in snap.schema.fields)
             ],
             F.col(seq_col).cast("long").alias(seq_col),
@@ -1265,9 +1520,11 @@ class LakeTable:
         }
         next_gen = snap.version + 1
         extra_cols = [F.col(dirty_reason_col)] if dirty_reason_col else []
+        self._check_source_types(src, snap)
+        src_types = {f.name: f.dataType for f in src.schema.fields}
         src_aligned = src.select(
             *[
-                (F.col(f.name) if f.name in src.columns else F.lit(None).cast(f.dataType)).alias(f.name)
+                _aligned_src_col(f.name, f, src_types)
                 for f in snap.schema.fields
             ],
             F.col(seq_col).cast("long").alias(seq_col),
@@ -1379,6 +1636,7 @@ class LakeTable:
                             ("max_seq", pa.int64()),
                             ("reason", pa.string()),
                             ("kind", pa.string()),
+                            ("stats", pa.string()),
                         ]
                     ),
                 )
@@ -1390,7 +1648,8 @@ class LakeTable:
             .mapInArrow(
                 merge_partition,
                 schema="bucket int, path string, rows long, events long, "
-                       "min_seq long, max_seq long, reason string, kind string",
+                       "min_seq long, max_seq long, reason string, kind string, "
+                       "stats string",
             )
             .collect()
         )
@@ -1596,6 +1855,7 @@ class LakeTable:
                             ("max_seq", pa.int64()),
                             ("reason", pa.string()),
                             ("kind", pa.string()),
+                            ("stats", pa.string()),
                         ]
                     ),
                 )
@@ -1608,7 +1868,8 @@ class LakeTable:
             .mapInArrow(
                 aligned_apply,
                 schema="bucket int, path string, rows long, events long, "
-                       "min_seq long, max_seq long, reason string, kind string",
+                       "min_seq long, max_seq long, reason string, kind string, "
+                       "stats string",
             )
             .collect()
         )
@@ -1711,6 +1972,7 @@ class LakeTable:
                             ("max_seq", pa.int64()),
                             ("reason", pa.string()),
                             ("kind", pa.string()),
+                            ("stats", pa.string()),
                         ]
                     ),
                 )
@@ -1723,7 +1985,8 @@ class LakeTable:
             .mapInArrow(
                 compact_task,
                 schema="bucket int, path string, rows long, events long, "
-                       "min_seq long, max_seq long, reason string, kind string",
+                       "min_seq long, max_seq long, reason string, kind string, "
+                       "stats string",
             )
             .collect()
         )
@@ -1835,6 +2098,55 @@ class LakeTable:
             try:
                 return self._commit(snap, dict(snap.files), properties,
                                     schema=schema, operation="add_columns")
+            except CommitConflict:
+                if attempt == 5:
+                    raise
+
+    def widen_columns(self, fields, properties: dict | None = None) -> Snapshot:
+        """Type-widening schema evolution: promote existing columns along the
+        lossless lattice (byte<short<int<long, float<double) in a
+        METADATA-ONLY commit — no data file is rewritten (Iceberg type
+        promotion). The reference can cast freely across its 8 scalar types
+        because every record is re-materialized per job (ColumnCast.java:
+        92-122, CommonRdbmsReader.buildRecord:241-350); a lake table instead
+        keeps old files at their narrow physical type and every read path
+        casts up: Spark's parquet scan widens natively from the snapshot
+        schema, the Arrow merge kernel casts each layer to the target schema,
+        and the changelog stream aligns per file. Narrowing or cross-family
+        changes raise ValueError. ``fields`` is a list of StructFields or a
+        ``{name: DataType}`` dict. Key columns may be widened: bucket/merge
+        hashing casts keys through string, so int32(5) and int64(5) land
+        identically."""
+        if isinstance(fields, dict):
+            wanted = dict(fields)
+        else:
+            wanted = {f.name: f.dataType for f in fields}
+        for attempt in range(6):
+            snap = self.snapshot()
+            by_name = {f.name: f for f in snap.schema.fields}
+            todo: dict[str, T.DataType] = {}
+            for name, dst in wanted.items():
+                cur = by_name.get(name)
+                if cur is None:
+                    raise ValueError(f"cannot widen unknown column {name!r}")
+                if cur.dataType == dst:
+                    continue  # already there (idempotent re-run / lost race)
+                if not is_type_widening(cur.dataType, dst):
+                    raise ValueError(
+                        f"{name}: {cur.dataType.simpleString()} -> "
+                        f"{dst.simpleString()} is not a lossless widening "
+                        f"(allowed: byte<short<int<long, float<double)"
+                    )
+                todo[name] = dst
+            if not todo:
+                return snap
+            schema = T.StructType([
+                T.StructField(f.name, todo.get(f.name, f.dataType), True)
+                for f in snap.schema.fields
+            ])
+            try:
+                return self._commit(snap, dict(snap.files), properties,
+                                    schema=schema, operation="widen_columns")
             except CommitConflict:
                 if attempt == 5:
                     raise

