@@ -633,6 +633,182 @@ def q_events_asof_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_remote_object_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remote-transport CSV round trip (sources/transport.py — the
+    ftpreader/ossreader surface): a deterministic 200-doc slice is written as
+    gzip CSV OBJECTS through the remote writer (each task PUTs its partition
+    over its own connection), then read back through the bucket-object walk
+    + per-task GET + shared CSV layer. The object store is the in-sandbox
+    emulation enforcing real object semantics (no mkdir/rename, whole-object
+    PUT); on a cluster the same five-call client is S3/OSS. Oracle selects
+    the slice straight from parquet."""
+    import tempfile
+
+    from datax_spark.sources.readers import build_reader
+    from datax_spark.sources.writers import build_writer
+
+    prefix = tempfile.mkdtemp(prefix="dsx-oss-") + "/objects"
+    df = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+        .orderBy("doc_id")
+        .limit(200)
+        .repartition(2)
+    )
+    build_writer(df, "osswriter", {
+        "path": prefix, "transport": {"kind": "object"}, "compress": "gzip",
+    })
+    return build_reader(spark, "ossreader", {
+        "path": prefix, "compress": "gzip",
+        "schema": "doc_id long, lang string, text string",
+        "transport": {"kind": "object"},
+    })
+
+
+def q_lake_objectfs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CDC fold on a lake table whose METADATA lives on an object store
+    (lake/objectstore.py: ObjectFS over the emulated client — conditional-PUT
+    snapshot publish, prefix LIST, no rename): apply the derived change feed
+    as MoR deltas, compact, vacuum old snapshots through the store API, and
+    read the final state. Oracle = the same latest-wins fold in SQL — the
+    storage backend must be value-invisible."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from datax_spark.lake.objectstore import LocalEmulatedObjectStore, ObjectFS
+    from datax_spark.lake.table import LakeTable
+
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("turn_idx", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    root = tempfile.mkdtemp(prefix="dsx-objfs-")
+    fs = ObjectFS(LocalEmulatedObjectStore())
+    t = LakeTable.create(spark, root, schema, bucket_key="user_id",
+                         n_buckets=8, fs=fs)
+    t.apply_cdc_stats(
+        _derived_changes(spark, sf_dir),
+        key_cols=["user_id", "turn_idx"], op_col="op", seq_col="seq",
+        write_mode="mor", compact_threshold=1000,
+    )
+    t.compact()
+    t.vacuum(keep_last=1)
+    return t.read().select("user_id", "turn_idx", "event_type", "value", "ts")
+
+
+def q_lake_widen_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-widening evolution mid-feed (LakeTable.widen_columns, Iceberg
+    promotion): epoch 1 applies with turn_idx as INT (a merge-key column);
+    the table is then widened int->long METADATA-ONLY (zero files
+    rewritten), and epoch 2 applies with long turn_idx. The final fold must
+    equal the all-long oracle — old int32 files widen at scan time, key
+    hashing is width-stable (keys hash through string)."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from datax_spark.lake.table import LakeTable
+
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    root = tempfile.mkdtemp(prefix="dsx-widen-")
+    t = LakeTable.create(spark, root, schema, bucket_key="user_id", n_buckets=8)
+    ch = _derived_changes(spark, sf_dir)
+    t.apply_cdc_stats(
+        ch.filter(F.pmod(F.col("seq"), F.lit(2)) == 0)
+        .withColumn("turn_idx", F.col("turn_idx").cast("int")),
+        key_cols=["user_id", "turn_idx"], op_col="op", seq_col="seq",
+        write_mode="mor", compact_threshold=1000,
+    )
+    t.widen_columns({"turn_idx": T.LongType()})
+    t.apply_cdc_stats(
+        ch.filter(F.pmod(F.col("seq"), F.lit(2)) == 1),
+        key_cols=["user_id", "turn_idx"], op_col="op", seq_col="seq",
+        write_mode="mor", compact_threshold=1000,
+    )
+    return t.read().select("user_id", "turn_idx", "event_type", "value", "ts")
+
+
+def q_lake_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map file pruning (manifest min/max stats): events land in three
+    appends with disjoint event_id ranges, so the selective read opens only
+    the files whose recorded [min,max] can match — verified value-equal to
+    the unpruned SQL filter by the oracle. Stats come free from the parquet
+    footers the writers produced."""
+    import tempfile
+
+    from datax_spark.lake.table import LakeTable
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    hi = ev.agg(F.max("event_id")).collect()[0][0] or 0
+    cut1, cut2 = hi // 3, 2 * hi // 3
+    root = tempfile.mkdtemp(prefix="dsx-prune-")
+    t = LakeTable.create(spark, root, ev.schema, bucket_key="user_id", n_buckets=4)
+    t.append(ev.filter(F.col("event_id") <= cut1))
+    t.append(ev.filter((F.col("event_id") > cut1) & (F.col("event_id") <= cut2)))
+    t.append(ev.filter(F.col("event_id") > cut2))
+    return t.read(where=f"event_id > {cut2} AND value >= 0.0").select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+
+
+def q_cdc_changelog_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-native changelog source (streaming/changelog.py): the same
+    two-epoch MoR table as cdc_changelog, but epoch 2's folded change stream
+    is consumed through format("lake_changelog") — version-window offsets in
+    Spark's offset log, per-file pyarrow reads in tasks — into a memory
+    sink. Must match the same SQL oracle as the batch read_changes form."""
+    import tempfile
+    import uuid as _uuid
+
+    from pyspark.sql import types as T
+
+    from datax_spark.lake.table import LakeTable
+    from datax_spark.streaming.changelog import read_changelog_stream
+
+    ch = _derived_changes(spark, sf_dir)
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("turn_idx", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    root = tempfile.mkdtemp(prefix="dsx-chstream-")
+    t = LakeTable.create(spark, root, schema, bucket_key="user_id", n_buckets=8)
+    for parity in (0, 1):
+        t.apply_cdc_stats(
+            ch.filter(F.pmod(F.col("seq"), F.lit(2)) == parity),
+            key_cols=["user_id", "turn_idx"], op_col="op", seq_col="seq",
+            write_mode="mor", compact_threshold=1000,
+        )
+    name = f"dsx_chg_{_uuid.uuid4().hex[:10]}"
+    sdf = read_changelog_stream(spark, root, starting_version=1)
+    q = (
+        sdf.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="dsx-chck-"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+    return spark.table(name).select(
+        "user_id", "turn_idx", "event_type", "value", "ts",
+        "_change_type", "_commit_version", "_seq",
+    )
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload column -> Arrow-batched feature
     extraction (ops.multimodal, mapInPandas; decode stubbed by design).
@@ -941,6 +1117,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_label_near_dup": q_emb_label_near_dup,
     "emb_lsh_near_dup": q_emb_lsh_near_dup,
     "events_asof_error": q_events_asof_error,
+    "remote_object_roundtrip": q_remote_object_roundtrip,
+    "lake_objectfs_roundtrip": q_lake_objectfs_roundtrip,
+    "lake_widen_fold": q_lake_widen_fold,
+    "lake_pruned_read": q_lake_pruned_read,
+    "cdc_changelog_stream": q_cdc_changelog_stream,
     "media_features": q_media_features,
     "media_resize": q_media_resize,
     "media_audio_energy": q_media_audio_energy,
@@ -981,6 +1162,39 @@ ORACLES: dict[str, str] = {
     """,
     "zipcsv_roundtrip": """
         SELECT doc_id, lang, text FROM documents ORDER BY doc_id LIMIT 200
+    """,
+    "remote_object_roundtrip": """
+        SELECT doc_id, lang, text FROM documents ORDER BY doc_id LIMIT 200
+    """,
+    "lake_objectfs_roundtrip": f"""
+        SELECT user_id, turn_idx, event_type, value, ts
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id, turn_idx ORDER BY seq DESC) AS rn
+            FROM ({_CHANGES_ORACLE})
+        ) WHERE rn = 1 AND op <> 'D'
+    """,
+    "lake_widen_fold": f"""
+        SELECT user_id, turn_idx, event_type, value, ts
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id, turn_idx ORDER BY seq DESC) AS rn
+            FROM ({_CHANGES_ORACLE})
+        ) WHERE rn = 1 AND op <> 'D'
+    """,
+    "lake_pruned_read": """
+        SELECT event_id, user_id, event_type, value, ts
+        FROM events
+        WHERE event_id > (2 * (SELECT max(event_id) FROM events)) // 3
+          AND value >= 0.0
+    """,
+    "cdc_changelog_stream": f"""
+        SELECT user_id, turn_idx, event_type, value, ts,
+               CASE WHEN op = 'D' THEN 'delete' ELSE 'upsert' END AS _change_type,
+               CAST(2 AS BIGINT) AS _commit_version,
+               seq AS _seq
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id, turn_idx ORDER BY seq DESC) AS rn
+            FROM ({_CHANGES_ORACLE}) WHERE seq % 2 = 1
+        ) WHERE rn = 1
     """,
     "dbapi_roundtrip": """
         SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal
