@@ -205,9 +205,16 @@ def _make_bucket_processor(payload_cols, key_cols, seq_col, op_col, delete_op,
         }
 
         def key_arr(t):
-            cols = [
-                pc.cast(t.column(k).combine_chunks(), pa.string()) for k in key_cols
-            ]
+            # NULL-safe key encoding: a raw cast leaves NULL keys NULL, which
+            # poisons is_in (shadow cascade) — encode validity explicitly so
+            # NULL is a distinct, matchable key value ("f" vs "t<value>").
+            cols = []
+            for k in key_cols:
+                s = pc.cast(t.column(k).combine_chunks(), pa.string())
+                cols.append(pc.binary_join_element_wise(
+                    pc.if_else(pc.is_valid(s), pa.scalar("t"), pa.scalar("f")),
+                    pc.fill_null(s, ""), "",
+                ))
             if len(cols) == 1:
                 return cols[0]
             return pc.binary_join_element_wise(*cols, "\x1f")
@@ -226,7 +233,15 @@ def _make_bucket_processor(payload_cols, key_cols, seq_col, op_col, delete_op,
             changed = None
             for k in key_cols:
                 col = srt.column(k).combine_chunks()
-                neq = pc.not_equal(col.slice(0, n - 1), col.slice(1))
+                lhs, rhs = col.slice(0, n - 1), col.slice(1)
+                # NULL-safe inequality: not_equal is NULL when either side is
+                # NULL, and filter() drops NULL-mask rows — which silently
+                # dropped rows whose key contains NULLs. Equal iff both valid
+                # and equal, or both NULL.
+                neq = pc.or_(
+                    pc.xor(pc.is_valid(lhs), pc.is_valid(rhs)),
+                    pc.fill_null(pc.not_equal(lhs, rhs), False),
+                )
                 changed = neq if changed is None else pc.or_(changed, neq)
             last_mask = pa.concat_arrays([changed, pa.array([True])])
             ev_latest = srt.filter(last_mask)
@@ -586,6 +601,8 @@ def classify_commit(parent: "Snapshot", cur: "Snapshot") -> dict | None:
 
         {"delta": [rel paths],        # folded upserts+deletes — read directly
          "insert": [rel paths],       # pure-insert base additions
+         "delta_buckets": [ints],     # buckets owning the delta paths
+         "insert_buckets": [ints],    # buckets owning the insert paths
          "diff_buckets": [ints],      # rewritten buckets — need a state diff
          "op_col", "delete_op", "seq_col",
          "est_rows": int}             # manifest row estimate (pacing)
@@ -596,6 +613,8 @@ def classify_commit(parent: "Snapshot", cur: "Snapshot") -> dict | None:
         return None
     delta_paths: list[str] = []
     insert_paths: list[str] = []
+    delta_buckets: list[int] = []
+    insert_buckets: list[int] = []
     diff_buckets: list[int] = []
     est = 0
     all_buckets = set(cur.files) | set(parent.files)
@@ -611,10 +630,12 @@ def classify_commit(parent: "Snapshot", cur: "Snapshot") -> dict | None:
             kinds = {f.get("kind", "base") for f in added}
             if kinds == {"delta"}:
                 delta_paths += [f["path"] for f in added]
+                delta_buckets.append(int(b))
                 est += sum(f.get("rows", 0) for f in added)
                 continue
             if kinds == {"base"}:
                 insert_paths += [f["path"] for f in added]
+                insert_buckets.append(int(b))
                 est += sum(f.get("rows", 0) for f in added)
                 continue
         diff_buckets.append(int(b))
@@ -622,6 +643,8 @@ def classify_commit(parent: "Snapshot", cur: "Snapshot") -> dict | None:
     return {
         "delta": delta_paths,
         "insert": insert_paths,
+        "delta_buckets": sorted(delta_buckets),
+        "insert_buckets": sorted(insert_buckets),
         "diff_buckets": sorted(diff_buckets),
         "op_col": cur.properties.get("merge_op_col", "op"),
         "delete_op": cur.properties.get("merge_delete_op", "D"),
@@ -1028,7 +1051,8 @@ class LakeTable:
     # -------------------------------------------------------- changelog reads
 
     def read_changes(self, start_version: int,
-                     end_version: int | None = None) -> DataFrame:
+                     end_version: int | None = None,
+                     include_preimages: bool = False) -> DataFrame:
         """Incremental changelog read: the folded change rows committed in
         ``(start_version, end_version]`` (Iceberg changelog scan / Delta CDF
         parity — the "CDC-out" half of a CDC engine: downstream consumers
@@ -1040,6 +1064,17 @@ class LakeTable:
         ``_change_type`` (``'upsert'`` | ``'delete'``), ``_commit_version``,
         and ``_seq`` (the winning event's source sequence when the commit
         recorded one, else NULL).
+
+        ``include_preimages=True`` switches to the full Delta-CDF vocabulary —
+        ``'insert'`` | ``'update_preimage'`` | ``'update_postimage'`` |
+        ``'delete'`` — where an update emits BOTH the old and new row and a
+        delete carries the deleted row's payload (pre-image). This is what
+        additive downstream maintenance (continuous aggregates, cdc/rollup.py)
+        needs: subtract the pre-image's contribution, add the post-image's.
+        Never-live delete markers are dropped (effective changes only). Cost:
+        the delta fast path gains a per-commit join against the parent
+        snapshot's state, pruned to the affected buckets — O(changes +
+        affected-bucket rows), still never O(table).
 
         Cost model — classification is per BUCKET within each commit, because
         one MoR apply commit routinely mixes delta appends (most buckets) with
@@ -1120,23 +1155,42 @@ class LakeTable:
                     + extra
                 )
                 df = self.spark.read.schema(scan_schema).parquet(*delta_paths)
-                parts.append(_align(df.select(
-                    *payload,
-                    F.when(F.col(op_col) == F.lit(delete_op), F.lit("delete"))
-                    .otherwise(F.lit("upsert")).alias("_change_type"),
-                    F.lit(v).cast("long").alias("_commit_version"),
-                    F.col(seq_col).cast("long").alias("_seq"),
-                )))
+                if include_preimages:
+                    parts.append(_align(self._cdf_against_parent(
+                        df, parent, cur, plan["delta_buckets"], v,
+                        delete_flag=(F.col(op_col) == F.lit(delete_op)),
+                        seq_expr=F.col(seq_col).cast("long"),
+                    )))
+                else:
+                    parts.append(_align(df.select(
+                        *payload,
+                        F.when(F.col(op_col) == F.lit(delete_op), F.lit("delete"))
+                        .otherwise(F.lit("upsert")).alias("_change_type"),
+                        F.lit(v).cast("long").alias("_commit_version"),
+                        F.col(seq_col).cast("long").alias("_seq"),
+                    )))
             if insert_paths:
                 df = self.spark.read.schema(cur.schema).parquet(*insert_paths)
-                parts.append(_align(df.select(
-                    *payload,
-                    F.lit("upsert").alias("_change_type"),
-                    F.lit(v).cast("long").alias("_commit_version"),
-                    F.lit(None).cast("long").alias("_seq"),
-                )))
+                if include_preimages:
+                    # append() rows can shadow same-key rows in older
+                    # generations — classify those as update pairs, not inserts
+                    parts.append(_align(self._cdf_against_parent(
+                        df, parent, cur, plan["insert_buckets"], v,
+                        delete_flag=F.lit(False),
+                        seq_expr=F.lit(None).cast("long"),
+                    )))
+                else:
+                    parts.append(_align(df.select(
+                        *payload,
+                        F.lit("upsert").alias("_change_type"),
+                        F.lit(v).cast("long").alias("_commit_version"),
+                        F.lit(None).cast("long").alias("_seq"),
+                    )))
             if diff_buckets:
-                parts.append(_align(self._diff_versions(parent, cur, sorted(diff_buckets), v)))
+                parts.append(_align(self._diff_versions(
+                    parent, cur, sorted(diff_buckets), v,
+                    preimages=include_preimages,
+                )))
 
         if not parts:
             return self.spark.createDataFrame([], out_struct)
@@ -1145,13 +1199,72 @@ class LakeTable:
             out = out.unionByName(p)
         return out
 
+    @staticmethod
+    def _merge_key_cols(cur: Snapshot) -> list[str]:
+        keys = [k for k in cur.properties.get("merge_keys", "").split(",") if k]
+        return keys or [cur.bucket_key]
+
+    def _cdf_against_parent(self, src: DataFrame, parent: Snapshot,
+                            cur: Snapshot, buckets: list[int], v: int,
+                            delete_flag, seq_expr) -> DataFrame:
+        """Classify one commit's folded change rows against the parent
+        snapshot's per-key state, emitting Delta-CDF rows: ``insert`` (key was
+        absent), ``update_preimage`` + ``update_postimage`` (key existed),
+        ``delete`` with the pre-image payload (key existed and the event is a
+        delete), nothing for never-live delete markers. One left join, pruned
+        to ``buckets`` — the commit's own affected buckets."""
+        key_cols = self._merge_key_cols(cur)
+        payload_names = [f.name for f in cur.schema.fields]
+        prev = self.read(parent.version, buckets=buckets) if buckets else \
+            self.spark.createDataFrame([], cur.schema)
+        for f in cur.schema.fields:  # align pre-evolution reads
+            if f.name not in prev.columns:
+                prev = prev.withColumn(f.name, F.lit(None).cast(f.dataType))
+        o = prev.select(
+            F.lit(True).alias("_o_present"),
+            *[F.col(c).alias(f"_o_{c}") for c in payload_names],
+        )
+        n = src.withColumn("_cdf_del", delete_flag).withColumn("_cdf_seq", seq_expr)
+        cond = None
+        for k in key_cols:
+            c = F.col(k).eqNullSafe(F.col(f"_o_{k}"))
+            cond = c if cond is None else cond & c
+        j = n.join(o, on=cond, how="left")
+        old_present = F.col("_o_present").isNotNull()
+
+        def img(side: str, ct: str):
+            cols = [
+                (F.col(f"_o_{c}") if side == "o" else F.col(c)).alias(c)
+                for c in payload_names
+            ]
+            return F.struct(*cols, F.lit(ct).alias("_change_type"))
+
+        rows = (
+            F.when(F.col("_cdf_del") & old_present, F.array(img("o", "delete")))
+            .when(F.col("_cdf_del"), F.lit(None))       # never-live marker
+            .when(~old_present, F.array(img("n", "insert")))
+            .otherwise(F.array(img("o", "update_preimage"),
+                               img("n", "update_postimage")))
+        )
+        return (
+            j.select(F.explode(rows).alias("_r"), F.col("_cdf_seq"))
+            .select(
+                "_r.*",
+                F.lit(v).cast("long").alias("_commit_version"),
+                F.col("_cdf_seq").alias("_seq"),
+            )
+        )
+
     def _diff_versions(self, parent: Snapshot, cur: Snapshot,
-                       buckets: list[int], v: int) -> DataFrame:
+                       buckets: list[int], v: int,
+                       preimages: bool = False) -> DataFrame:
         """Effective per-key state diff of rewritten buckets between two
         consecutive snapshots: inserts/updates → 'upsert' (post-image),
-        disappeared keys → 'delete' (pre-image). One join, pruned to the
-        rewritten buckets only — the bounded fallback for CoW commits, never
-        the hot path. Assumes keyed-unique state (merge tables)."""
+        disappeared keys → 'delete' (pre-image); with ``preimages=True``,
+        updates split into the Delta-CDF pre/post pair and inserts are
+        labelled distinctly. One join, pruned to the rewritten buckets only —
+        the bounded fallback for CoW commits, never the hot path. Assumes
+        keyed-unique state (merge tables)."""
         key_cols = [k for k in cur.properties.get("merge_keys", "").split(",") if k]
         if not key_cols:
             key_cols = [cur.bucket_key]
@@ -1178,6 +1291,23 @@ class LakeTable:
         else:
             changed = F.lit(False)
         kept = j.filter((~new_present) | (~old_present) | changed)
+        if preimages:
+            def img(side: str, ct: str):
+                cols = [F.col(f"_{side}_{f.name}").alias(f.name)
+                        for f in cur.schema.fields]
+                return F.struct(*cols, F.lit(ct).alias("_change_type"))
+
+            rows = (
+                F.when(~old_present, F.array(img("n", "insert")))
+                .when(~new_present, F.array(img("o", "delete")))
+                .otherwise(F.array(img("o", "update_preimage"),
+                                   img("n", "update_postimage")))
+            )
+            return kept.select(F.explode(rows).alias("_r")).select(
+                "_r.*",
+                F.lit(v).cast("long").alias("_commit_version"),
+                F.lit(None).cast("long").alias("_seq"),
+            )
         side = lambda c: F.when(new_present, F.col(f"_n_{c}")).otherwise(F.col(f"_o_{c}"))  # noqa: E731
         return kept.select(
             *[side(f.name).alias(f.name) for f in cur.schema.fields],
