@@ -148,6 +148,52 @@ def q_cdc_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read().select("user_id", "turn_idx", "event_type", "value", "ts")
 
 
+def q_cdc_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous aggregate (cdc/rollup.py): a per-event_type rollup
+    LakeTable maintained INCREMENTALLY from the base table's changelog.
+    The derived change feed is applied in two MoR epochs; the rollup is
+    seeded by one full aggregation after epoch 1, then epoch 2 is folded in
+    via ``read_changes(include_preimages=True)`` — signed pre/post-image
+    contributions, O(epoch-2 changes), never a recompute. The oracle
+    aggregates the final folded state directly: incremental maintenance must
+    be indistinguishable from recompute."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from datax_spark.cdc.rollup import AggSpec, ContinuousAggregate
+    from datax_spark.lake.table import LakeTable
+
+    ch = _derived_changes(spark, sf_dir)
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("turn_idx", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    root = tempfile.mkdtemp(prefix="dsx-rollup-")
+    t = LakeTable.create(spark, root, schema, bucket_key="user_id", n_buckets=8)
+    t.apply_cdc_stats(
+        ch.filter(F.pmod(F.col("seq"), F.lit(2)) == 0),
+        key_cols=["user_id", "turn_idx"], op_col="op", seq_col="seq",
+        write_mode="mor", compact_threshold=1000,
+    )
+    ca = ContinuousAggregate.create(
+        t, os.path.join(root, "_rollup"),
+        AggSpec(group_by={"event_type": "event_type"},
+                sums={"sum_turns": "turn_idx"}, count_col="n_rows"),
+        n_buckets=4,
+    )
+    t.apply_cdc_stats(
+        ch.filter(F.pmod(F.col("seq"), F.lit(2)) == 1),
+        key_cols=["user_id", "turn_idx"], op_col="op", seq_col="seq",
+        write_mode="mor", compact_threshold=1000,
+    )
+    ca.refresh()
+    return ca.agg.read().select("event_type", "sum_turns", "n_rows")
+
+
 def q_zipcsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ZIP-compressed CSV reader (compress:"zip", the reference CSV layer's
     zip codec — sources/readers.py:zip_csv_reader): a deterministic 200-doc
@@ -1090,6 +1136,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_op_mix": q_cdc_op_mix,
     "cdc_changelog": q_cdc_changelog,
     "cdc_rebucket": q_cdc_rebucket,
+    "cdc_incremental_rollup": q_cdc_incremental_rollup,
     "zipcsv_roundtrip": q_zipcsv_roundtrip,
     "dbapi_roundtrip": q_dbapi_roundtrip,
     "dx_transform_chain": q_dx_transform_chain,
@@ -1159,6 +1206,16 @@ ORACLES: dict[str, str] = {
             SELECT *, row_number() OVER (PARTITION BY user_id, turn_idx ORDER BY seq DESC) AS rn
             FROM ({_CHANGES_ORACLE})
         ) WHERE rn = 1 AND op <> 'D'
+    """,
+    "cdc_incremental_rollup": f"""
+        SELECT event_type,
+               CAST(SUM(turn_idx) AS BIGINT) AS sum_turns,
+               COUNT(*) AS n_rows
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id, turn_idx ORDER BY seq DESC) AS rn
+            FROM ({_CHANGES_ORACLE})
+        ) WHERE rn = 1 AND op <> 'D'
+        GROUP BY event_type
     """,
     "zipcsv_roundtrip": """
         SELECT doc_id, lang, text FROM documents ORDER BY doc_id LIMIT 200
