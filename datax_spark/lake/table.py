@@ -170,13 +170,20 @@ def _arrow_schema_for(schema: T.StructType):
 
 
 def _make_bucket_processor(payload_cols, key_cols, seq_col, op_col, delete_op,
-                           write_mode, compact_threshold, staging, staging_rel):
+                           write_mode, compact_threshold, staging, staging_rel,
+                           sort_by=None, max_rows_per_file=None):
     """Build the per-bucket merge kernel shared by the shuffled and the
     aligned (zero-shuffle) apply paths. The returned closure runs inside
     Python workers (pickled by value): given a bucket id, its deduplicatable
     event table (payload + seq + op, normalized types) and its existing
     [(path, kind, gen)] layers, it writes a delta or a compacted/merged base
-    file and returns the DataFile/lineage entries."""
+    file and returns the DataFile/lineage entries.
+
+    ``sort_by`` / ``max_rows_per_file`` (clustering rewrite, compact() only):
+    the merged bucket is sorted by the given columns and split into
+    range-disjoint files, so the manifest zone maps recorded per file become
+    tight and selective — the OPTIMIZE ... ZORDER shape that makes
+    ``read(where=...)`` file pruning effective on the sort columns."""
 
     def process(b, ev, files):
         import os as _os
@@ -302,12 +309,26 @@ def _make_bucket_processor(payload_cols, key_cols, seq_col, op_col, delete_op,
         if final.num_rows:
             import json as _json
 
-            name = f"b{b:05d}-{_uuid.uuid4().hex}.parquet"
-            full = _os.path.join(staging, name)
-            pq.write_table(final, full, compression="snappy")
-            entry["path"] = _os.path.join(staging_rel, name)
-            entry["rows"] = final.num_rows
-            entry["stats"] = _json.dumps(_footer_stats(full))
+            if sort_by:
+                final = final.sort_by([(c, "ascending") for c in sort_by])
+            n_files = 1
+            if max_rows_per_file and final.num_rows > max_rows_per_file:
+                n_files = -(-final.num_rows // max_rows_per_file)
+            step = -(-final.num_rows // n_files)
+            out_entries = []
+            for i in range(n_files):
+                chunk = final.slice(i * step, step)
+                if chunk.num_rows == 0:
+                    continue
+                name = f"b{b:05d}-{_uuid.uuid4().hex}.parquet"
+                full = _os.path.join(staging, name)
+                pq.write_table(chunk, full, compression="snappy")
+                e = dict(entry)
+                e["path"] = _os.path.join(staging_rel, name)
+                e["rows"] = chunk.num_rows
+                e["stats"] = _json.dumps(_footer_stats(full))
+                out_entries.append(e)
+            return out_entries
         return [entry]
 
     return process
@@ -2029,20 +2050,35 @@ class LakeTable:
         return self._rebase_commit(snap, changes, props, operation="apply_cdc"), stats
 
     def compact(self, buckets: Iterable[int] | None = None,
-                properties: dict | None = None) -> Snapshot:
+                properties: dict | None = None,
+                sort_by: list[str] | None = None,
+                max_rows_per_file: int | None = None) -> Snapshot:
         """Fold each bucket's delta layers into one fresh base file (Iceberg
         ``rewrite_data_files`` parity) — a maintenance job to run off the
         ingest path. Buckets without deltas are untouched; reads of the new
-        snapshot take the fast non-merging scan path again."""
+        snapshot take the fast non-merging scan path again.
+
+        ``sort_by`` turns this into a CLUSTERING rewrite (Delta
+        ``OPTIMIZE ... ZORDER BY`` / Iceberg sort-order rewrite): every
+        selected bucket — deltas or not — is merged, sorted by the given
+        columns, and (with ``max_rows_per_file``) split into range-disjoint
+        files. The zone maps the manifest records per file become tight and
+        non-overlapping on the sort columns, so ``read(where=...)`` skips
+        all but the matching range slices — at 4096 buckets × many
+        generations this is the difference between opening every file of a
+        bucket and opening one. Layout-only: live rows are unchanged
+        (tests assert bit-equality with the pre-clustering read)."""
         snap = self.snapshot()
         key_cols = [k for k in snap.properties.get("merge_keys", "").split(",") if k]
         op_col = snap.properties.get("merge_op_col", "op")
         delete_op = snap.properties.get("merge_delete_op", "D")
         wanted = None if buckets is None else {int(b) for b in buckets}
+        rewrite_all = bool(sort_by or max_rows_per_file)
         todo = sorted(
             int(b) for b, fl in snap.files.items()
             if (wanted is None or int(b) in wanted)
-            and any(f.get("kind", "base") == "delta" for f in fl)
+            and (rewrite_all or any(f.get("kind", "base") == "delta" for f in fl))
+            and fl
         )
         if not todo:
             return snap
@@ -2071,6 +2107,7 @@ class LakeTable:
         process_bucket = _make_bucket_processor(
             payload_cols, key_cols, seq_col, op_col, delete_op,
             "cow", 1, staging, staging_rel,
+            sort_by=sort_by, max_rows_per_file=max_rows_per_file,
         )
 
         def compact_task(batches):
@@ -2123,6 +2160,10 @@ class LakeTable:
         new_files, _stats = _collect_apply_entries(entries, snap.version + 1)
         props = dict(properties or {})
         props["compacted_buckets"] = len(todo)
+        if sort_by:
+            props["clustered_by"] = ",".join(sort_by)
+        if max_rows_per_file:
+            props["max_rows_per_file"] = str(int(max_rows_per_file))
         return self._rebase_commit(
             snap,
             {str(b): ("replace", new_files.get(str(b), [])) for b in todo},

@@ -40,6 +40,10 @@ def main(argv: list[str]) -> int:
     sub = ap.add_subparsers(dest="action", required=True)
     p = sub.add_parser("compact")
     p.add_argument("--buckets", default=None, help="comma-separated bucket ids (default: all with deltas)")
+    p.add_argument("--sort-by", default=None,
+                   help="comma-separated columns: clustering rewrite (sort + "
+                        "range-disjoint files, selects ALL buckets)")
+    p.add_argument("--max-rows-per-file", type=int, default=None)
     p = sub.add_parser("rebucket")
     p.add_argument("--n-buckets", type=int, required=True)
     p = sub.add_parser("vacuum")
@@ -61,9 +65,14 @@ def main(argv: list[str]) -> int:
         t = LakeTable(spark, args.table)
         if args.action == "compact":
             buckets = [int(b) for b in args.buckets.split(",")] if args.buckets else None
-            snap = t.compact(buckets=buckets)
+            snap = t.compact(
+                buckets=buckets,
+                sort_by=[c.strip() for c in args.sort_by.split(",")] if args.sort_by else None,
+                max_rows_per_file=args.max_rows_per_file,
+            )
             out = {"action": "compact", "version": snap.version,
-                   "compacted_buckets": snap.properties.get("compacted_buckets", 0)}
+                   "compacted_buckets": snap.properties.get("compacted_buckets", 0),
+                   "clustered_by": snap.properties.get("clustered_by")}
         elif args.action == "rebucket":
             snap = t.rebucket(args.n_buckets)
             out = {"action": "rebucket", "version": snap.version, "n_buckets": snap.n_buckets}

@@ -172,3 +172,81 @@ def test_stats_follow_compaction_and_rebucket(spark, tmp_path):
         for fl in snap.files.values() for f in fl
     )
     assert t.read(where="turn_idx >= 1000").count() == 25
+
+
+def test_clustering_compact_layout_only_and_selective(spark, tmp_path):
+    """compact(sort_by=..., max_rows_per_file=...) is a clustering rewrite:
+    live rows are bit-identical, each bucket splits into range-disjoint
+    files, and zone-map pruning on the sort column becomes selective."""
+    t = _mk(spark, tmp_path)
+    src = T.StructType(
+        list(TRANSCRIPTS_SCHEMA_V1.fields)
+        + [T.StructField("op", T.StringType()), T.StructField("seq", T.LongType())]
+    )
+    # turn_idx deliberately written in a scrambled order: pre-clustering,
+    # every file's [min,max] spans nearly the whole domain
+    t.apply_cdc(
+        spark.createDataFrame(
+            [(f"c{i}", (i * 37) % 2000, "user", f"m{i}", TS, "I", i)
+             for i in range(2000)], src),
+        key_cols=["conv_id", "turn_idx"], op_col="op", seq_col="seq",
+    )
+    before = sorted((r.conv_id, r.turn_idx, r.text)
+                    for r in t.read().collect())
+    preds = _parse_prune_preds("turn_idx >= 1900")
+    pre_files = [f for fl in t.snapshot().files.values() for f in fl]
+    pre_kept = [f for f in pre_files if _file_may_match(f.get("stats"), preds)]
+    assert len(pre_kept) == len(pre_files)  # unsorted: nothing prunable
+
+    t.compact(sort_by=["turn_idx"], max_rows_per_file=200)
+    snap = t.snapshot()
+    assert snap.properties["clustered_by"] == "turn_idx"
+    after = sorted((r.conv_id, r.turn_idx, r.text)
+                   for r in t.read().collect())
+    assert after == before  # layout-only
+
+    for b, fl in snap.files.items():
+        assert len(fl) >= 2  # split actually happened
+        spans = sorted((f["stats"]["turn_idx"][0], f["stats"]["turn_idx"][1])
+                       for f in fl)
+        for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+            assert hi1 <= lo2  # range-disjoint files within the bucket
+
+    post_files = [f for fl in snap.files.values() for f in fl]
+    post_kept = [f for f in post_files if _file_may_match(f.get("stats"), preds)]
+    assert len(post_kept) <= len(post_files) // 4  # selective now
+    got = sorted((r.conv_id, r.turn_idx)
+                 for r in t.read(where="turn_idx >= 1900").collect())
+    want = sorted((r.conv_id, r.turn_idx)
+                  for r in t.read().filter("turn_idx >= 1900").collect())
+    assert got == want and len(got) == 100
+
+
+def test_clustering_compact_folds_deltas_too(spark, tmp_path):
+    """A clustering rewrite on a MoR snapshot folds the delta layers in the
+    same pass (it is also a full compaction)."""
+    t = _mk(spark, tmp_path)
+    src = T.StructType(
+        list(TRANSCRIPTS_SCHEMA_V1.fields)
+        + [T.StructField("op", T.StringType()), T.StructField("seq", T.LongType())]
+    )
+    t.apply_cdc_stats(
+        spark.createDataFrame(
+            [(f"c{i}", i, "user", f"m{i}", TS, "I", i) for i in range(100)], src),
+        key_cols=["conv_id", "turn_idx"], op_col="op", seq_col="seq",
+        write_mode="mor", compact_threshold=1000,
+    )
+    t.apply_cdc_stats(
+        spark.createDataFrame(
+            [("c5", 5, "user", "UPDATED", TS, "U", 999),
+             ("c7", 7, "user", "m7", TS, "D", 1000)], src),
+        key_cols=["conv_id", "turn_idx"], op_col="op", seq_col="seq",
+        write_mode="mor", compact_threshold=1000,
+    )
+    assert t.snapshot().has_deltas()
+    t.compact(sort_by=["turn_idx"], max_rows_per_file=30)
+    snap = t.snapshot()
+    assert not snap.has_deltas()
+    rows = {(r.conv_id, r.turn_idx): r.text for r in t.read().collect()}
+    assert rows[("c5", 5)] == "UPDATED" and ("c7", 7) not in rows
+    assert len(rows) == 99
