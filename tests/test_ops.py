@@ -181,6 +181,39 @@ def test_lsh_ann_recall(vectors):
     assert recall >= 0.6  # same-cluster vectors share hyperplane buckets
 
 
+def test_lsh_multi_probe_improves_recall_at_fixed_bands(vectors):
+    """Multi-probe flips the probe's lowest-margin sign bits: recall must
+    dominate single-probe at the SAME bands/planes (corpus explode volume
+    unchanged), and every extra candidate is still exact-cosine-verified."""
+    df, _ = vectors
+    probes = df.where(F.col("vec_id") < 8)
+    exact = {(r["probe_id"], r["neighbor_id"])
+             for r in S.cosine_topk(probes, df, k=3).collect()}
+
+    def recall(multi_probe):
+        got = {(r["probe_id"], r["neighbor_id"])
+               for r in S.lsh_ann_topk(probes, df, k=3, dim=16,
+                                       n_planes=24, n_bands=2,
+                                       multi_probe=multi_probe).collect()}
+        return len(exact & got) / len(exact)
+
+    r0, r2 = recall(0), recall(2)
+    assert r2 >= r0
+    assert r2 >= 0.8  # narrow-band single-probe misses; probing recovers
+
+    # probe bucket ids live in the corpus bucket space: base bucket (j=0)
+    # must equal band_buckets_expr's id for the same vector
+    row = probes.select(
+        S.band_buckets_expr("embedding", 24, 2, dim=16).alias("base"),
+        S.probe_buckets_expr("embedding", 24, 2, dim=16, n_flip=2).alias("mp"),
+    ).first()
+    assert row["mp"][0] == row["base"][0] and row["mp"][3] == row["base"][1]
+    # flipped variants differ from base by exactly one power of two
+    for band, j in ((0, 1), (0, 2), (1, 4), (1, 5)):
+        d = row["mp"][j] ^ row["base"][band]
+        assert d > 0 and (d & (d - 1)) == 0
+
+
 def test_embedding_near_dupes(vectors):
     df, _ = vectors
     pairs = {(r["id_a"], r["id_b"]): r["cos"]
