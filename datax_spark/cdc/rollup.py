@@ -244,6 +244,24 @@ class ContinuousAggregate:
             deltas.unpersist()
         return {"from": start, "to": end, "groups_touched": n_groups}
 
+    def follow(self, poll_s: float = 5.0, max_cycles: int | None = None) -> int:
+        """Tail loop: poll the base table for new commits and fold each
+        window in (ChangelogFollower's loop shape, with this class's
+        exactly-once bookkeeping). Returns the number of non-empty windows
+        folded; ``max_cycles`` bounds the loop for tests/batch catch-up."""
+        import time as _time
+
+        folded = 0
+        cycles = 0
+        while max_cycles is None or cycles < max_cycles:
+            cycles += 1
+            r = self.refresh()
+            if r["to"] > r["from"]:
+                folded += 1
+            elif max_cycles is None or cycles < max_cycles:
+                _time.sleep(poll_s)
+        return folded
+
     def _merge(self, events: DataFrame, base_version: int) -> None:
         ev = events.withColumn(self._SEQ, F.lit(int(base_version)).cast("long"))
         if self._OP not in ev.columns:

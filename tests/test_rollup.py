@@ -291,3 +291,25 @@ def test_merge_null_key_values_survive_and_shadow(spark, tmp_path):
                   key=repr) == sorted([
         ("a", "g", 2), ("a", None, 9),
     ], key=repr)
+
+
+def test_follow_catches_up_in_bounded_cycles(spark, tmp_path):
+    """follow(max_cycles=N) is a batch catch-up: each non-empty commit
+    window folds exactly once; idle cycles fold nothing and don't corrupt
+    the rollup state."""
+    base = LakeTable.create(spark, str(tmp_path / "b"), SCHEMA, "k", n_buckets=2)
+    _cow_apply(base, _events(spark, [("a", "g1", 1, 1, "I"), ("b", "g2", 2, 2, "I")]))
+    ca = ContinuousAggregate.create(base, str(tmp_path / "agg"), SPEC, n_buckets=2)
+
+    # two commits land, then follow() drains them in one bounded loop
+    _cow_apply(base, _events(spark, [("a", "g1", 10, 10, "U")]))
+    _cow_apply(base, _events(spark, [("c", "g3", 3, 11, "I"), ("b", "g2", 2, 12, "D")]))
+    folded = ca.follow(poll_s=0.01, max_cycles=3)
+    assert folded >= 1
+    assert ca.consumed_version() == base.current_version()
+    assert _agg_state(ca.agg) == _recompute(base, SPEC)
+
+    # idle follow: no new commits -> nothing folds, state unchanged
+    before = _agg_state(ca.agg)
+    assert ca.follow(poll_s=0.01, max_cycles=2) == 0
+    assert _agg_state(ca.agg) == before
