@@ -45,7 +45,7 @@ import json
 import math
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from datax_spark.sources.readers import build_reader
@@ -192,19 +192,26 @@ def run_job(spark: SparkSession, job: dict) -> dict:
 
         if err:
             # filtered-record accounting (TransformerExchanger counters /
-            # ErrorRecordChecker thresholds). NB: chain "dirty" ≈ rows dropped
-            # by the chain — failed typed casts become NULLs, not exceptions.
-            df = df.persist()
-            out = apply_transform_chain(df, chain) if chain else df
-            read_rows = df.count() + entry.get("parse_dirty_rows", 0)
+            # ErrorRecordChecker thresholds), in ONE pass: an Observation on
+            # the pre-chain plan counts read rows during the same action that
+            # materializes the chained output into cache, so neither the scan
+            # nor the chain runs twice (CollectMetrics is a pushdown barrier,
+            # which is exactly the required "rows entering the chain"
+            # semantics). NB: chain "dirty" ≈ rows dropped by the chain —
+            # failed typed casts become NULLs, not exceptions.
+            obs = Observation()
+            observed = df.observe(obs, F.count(F.lit(1)).alias("n"))
+            out = (apply_transform_chain(observed, chain)
+                   if chain else observed).persist()
             out_rows = out.count()
+            read_rows = obs.get["n"] + entry.get("parse_dirty_rows", 0)
             filtered = read_rows - out_rows
             entry.update(read_rows=read_rows, written_rows=out_rows,
                          filtered_rows=filtered)
             try:
                 _check_error_limit(err, filtered, read_rows, f"content {i}")
             except JobErrorLimitExceeded:
-                df.unpersist()
+                out.unpersist()
                 raise
 
         w = content["writer"]
@@ -216,7 +223,7 @@ def run_job(spark: SparkSession, job: dict) -> dict:
         else:
             entry["writer_result"] = build_writer(out, w["name"], w.get("parameter", {}))
         if err:
-            df.unpersist()
+            out.unpersist()
         entry["duration_s"] = round(time.time() - t0, 3)
         stats["contents"].append(entry)
     stats["duration_s"] = round(time.time() - t_job, 3)
