@@ -550,6 +550,71 @@ def q_doc_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog-maintained near-dup index (cdc/dedup_index.py): documents
+    land in a LakeTable, a MinHashIndex seeds from that state, then a CDC
+    batch mutates the corpus — doc_id%7 texts get two tokens appended,
+    doc_id%11 docs are deleted (delete wins over update), and doc_id%13 docs
+    are re-inserted VERBATIM under id+1,000,000 (planted exact dups the index
+    can only find by folding the changes). ``refresh()`` re-shingles ONLY the
+    touched docs (O(changes)); the oracle runs the full batch MinHash+LSH
+    pipeline over the FINAL corpus state in SQL — incremental maintenance
+    must be indistinguishable from recompute."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from datax_spark.cdc.dedup_index import MinHashIndex
+    from datax_spark.lake.table import LakeTable
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    root = tempfile.mkdtemp(prefix="dsx-mhidx-")
+    t = LakeTable.create(spark, root, schema, bucket_key="doc_id", n_buckets=8)
+    t.apply_cdc(
+        d.withColumn("seq", F.lit(1).cast("long")).withColumn("op", F.lit("I")),
+        key_cols=["doc_id"], op_col="op", seq_col="seq",
+    )
+    idx = MinHashIndex.create(
+        t, os.path.join(root, "_mhidx"),
+        w=5, n_hashes=64, portable=True, n_buckets=8,
+    )
+    updates = (
+        d.filter(F.col("doc_id") % 7 == 0)
+        .select("doc_id", F.concat(F.col("text"), F.lit(" zz zz")).alias("text"),
+                F.lit(2).cast("long").alias("seq"), F.lit("U").alias("op"))
+    )
+    deletes = (
+        d.filter(F.col("doc_id") % 11 == 0)
+        .select("doc_id", "text",
+                F.lit(3).cast("long").alias("seq"), F.lit("D").alias("op"))
+    )
+    inserts = (
+        d.filter(F.col("doc_id") % 13 == 0)
+        .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text",
+                F.lit(2).cast("long").alias("seq"), F.lit("I").alias("op"))
+    )
+    t.apply_cdc(updates.unionByName(deletes).unionByName(inserts),
+                key_cols=["doc_id"], op_col="op", seq_col="seq")
+    idx.refresh()
+    return idx.near_dups(n_bands=32, threshold=0.2)
+
+
+_MINHASH_FINAL_STATE_SQL = """(
+    SELECT doc_id, concat(text, ' zz zz') AS text FROM documents
+    WHERE doc_id % 7 = 0 AND doc_id % 11 <> 0
+    UNION ALL
+    SELECT doc_id, text FROM documents
+    WHERE doc_id % 7 <> 0 AND doc_id % 11 <> 0
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text FROM documents
+    WHERE doc_id % 13 = 0
+)"""
+
+
 def q_doc_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs with GUARANTEED pigeonhole recall: 60-bit
     portable signature split into 4×15-bit blocks; any pair within Hamming
@@ -971,10 +1036,13 @@ _PLANTED_EMB_SQL = """
 """
 
 
-def _minhash_oracle_sql(n_hashes: int = 64, n_bands: int = 32, threshold: float = 0.2) -> str:
+def _minhash_oracle_sql(n_hashes: int = 64, n_bands: int = 32, threshold: float = 0.2,
+                        source: str = "documents") -> str:
     """DuckDB replication of the FULL portable MinHash+LSH pipeline — same
     md5-60 shingle hashes, same affine permutation constants (shared via
-    ops.dedup.minhash_perms), same band buckets, same exact-Jaccard verify."""
+    ops.dedup.minhash_perms), same band buckets, same exact-Jaccard verify.
+    ``source``: SQL relation (table name or parenthesized subquery) holding
+    the (doc_id, text) corpus the pipeline runs over."""
     from datax_spark.ops.dedup import P_MINHASH, minhash_perms
 
     r = n_hashes // n_bands
@@ -992,7 +1060,7 @@ def _minhash_oracle_sql(n_hashes: int = 64, n_bands: int = 32, threshold: float 
     return f"""
         WITH toks AS (
             SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
-            FROM documents
+            FROM {source} src
         ), sh0 AS (
             SELECT doc_id, ts, unnest(range(1, greatest(len(ts) - 4, 1) + 1)) AS i FROM toks
         ), shf AS (
@@ -1158,6 +1226,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_rolling_hash": q_doc_rolling_hash,
     "doc_ngram_jaccard": q_doc_ngram_jaccard,
     "doc_minhash_near_dup": q_doc_minhash_near_dup,
+    "doc_minhash_incremental": q_doc_minhash_incremental,
     "doc_simhash_near_dup": q_doc_simhash_near_dup,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -1488,6 +1557,8 @@ ORACLES: dict[str, str] = {
         SELECT probe_id, neighbor_id, rank, cos FROM r WHERE rank <= 1
     """,
     "doc_minhash_near_dup": _minhash_oracle_sql(n_hashes=64, n_bands=32, threshold=0.2),
+    "doc_minhash_incremental": _minhash_oracle_sql(
+        n_hashes=64, n_bands=32, threshold=0.2, source=_MINHASH_FINAL_STATE_SQL),
     "doc_simhash_near_dup": _simhash_oracle_sql(bits=60, max_hamming=3),
     "events_asof_error": """
         WITH err AS (

@@ -245,26 +245,28 @@ def lsh_candidates(
     )
 
 
-def minhash_near_dupes(
-    df: DataFrame,
+def jaccard_verify(
+    cand: DataFrame,
+    docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     w: int = 5,
-    n_hashes: int = 64,
-    n_bands: int = 16,
     threshold: float = 0.5,
-    portable: bool = False,
 ) -> DataFrame:
-    """LSH candidates verified by exact shingle Jaccard >= threshold.
+    """Exact shingle-Jaccard verification of candidate pairs ``(id_a, id_b)``.
 
-    The scale pipeline: signatures (1 pass) -> banded join (docs x bands) ->
-    exact verify only on candidates (tiny fraction of all pairs).
+    Shingles are derived ONLY for docs that appear in some candidate pair: a
+    semi-join prunes the tokenize/shingle pass to the candidate set, which at
+    banded-LSH selectivity is a tiny fraction of the corpus — the verify
+    stage's cost is O(candidate docs), not O(table).
     """
-    rows = n_hashes // n_bands
-    sig = minhash_signatures(df, text_col, id_col, w, n_hashes, portable=portable)
-    cand = lsh_candidates(sig, id_col, n_bands, rows, portable=portable)
-
-    sh = shingles_df(df, text_col, id_col, w)
+    ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .union(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    pruned = docs.select(id_col, text_col).join(ids, id_col, "left_semi")
+    sh = shingles_df(pruned, text_col, id_col, w)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a_sh = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b_sh = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -289,6 +291,27 @@ def minhash_near_dupes(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def minhash_near_dupes(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 5,
+    n_hashes: int = 64,
+    n_bands: int = 16,
+    threshold: float = 0.5,
+    portable: bool = False,
+) -> DataFrame:
+    """LSH candidates verified by exact shingle Jaccard >= threshold.
+
+    The scale pipeline: signatures (1 pass) -> banded join (docs x bands) ->
+    exact verify only on candidate docs (tiny fraction of all pairs).
+    """
+    rows = n_hashes // n_bands
+    sig = minhash_signatures(df, text_col, id_col, w, n_hashes, portable=portable)
+    cand = lsh_candidates(sig, id_col, n_bands, rows, portable=portable)
+    return jaccard_verify(cand, df, text_col, id_col, w, threshold)
 
 
 # ------------------------------------------------------------------- SimHash

@@ -1,0 +1,142 @@
+"""Changelog-maintained MinHash index (cdc/dedup_index.py).
+
+The load-bearing invariant: after any sequence of base-table commits,
+``MinHashIndex.refresh()`` + ``near_dups()`` must be indistinguishable from
+running the BATCH pipeline (``minhash_near_dupes``) on the base table's
+current state — incremental maintenance may never change the answer.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datax_spark.cdc.dedup_index import MinHashIndex
+from datax_spark.lake.table import LakeTable
+from datax_spark.ops.dedup import minhash_near_dupes
+
+SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("text", T.StringType()),
+])
+
+N_BANDS, THRESHOLD = 16, 0.4
+
+
+def _mk_text(i: int, mut: int = 0) -> str:
+    base = [f"tok{(i * 7 + j) % 23}" for j in range(30)]
+    for m in range(mut):
+        base[m * 3 % len(base)] = f"mut{i}_{m}"
+    return " ".join(base)
+
+
+def _events(spark, rows):
+    """rows: (doc_id, text, seq, op)"""
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, seq long, op string"
+    )
+
+
+def _apply(t, spark, rows, mode="mor"):
+    t.apply_cdc_stats(
+        _events(spark, rows), key_cols=["doc_id"], op_col="op", seq_col="seq",
+        write_mode=mode, compact_threshold=100,
+    )
+
+
+def _pairs(df):
+    return sorted((r["id_a"], r["id_b"], r["jaccard"]) for r in df.collect())
+
+
+def _batch(t):
+    return _pairs(minhash_near_dupes(
+        t.read().select("doc_id", "text"), "text", "doc_id",
+        n_bands=N_BANDS, threshold=THRESHOLD,
+    ))
+
+
+@pytest.fixture()
+def base(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "b"), SCHEMA, "doc_id", n_buckets=4)
+    # 3 clusters of near-identical docs + singletons
+    rows = []
+    seq = 1
+    for i in range(12):
+        rows.append((i, _mk_text(i % 4, mut=i // 4), seq, "I"))
+        seq += 1
+    for i in range(12, 20):
+        rows.append((i, _mk_text(100 + i), seq, "I"))
+        seq += 1
+    _apply(t, spark, rows)
+    return t
+
+
+def test_seed_matches_batch(spark, tmp_path, base):
+    idx = MinHashIndex.create(base, str(tmp_path / "idx"), n_buckets=4)
+    got = _pairs(idx.near_dups(N_BANDS, THRESHOLD))
+    assert got == _batch(base)
+    assert len(got) > 0  # non-vacuous: the planted clusters must show up
+    assert idx.consumed_version() == base.current_version()
+
+
+def test_refresh_tracks_updates_deletes_inserts(spark, tmp_path, base):
+    idx = MinHashIndex.create(base, str(tmp_path / "idx"), n_buckets=4)
+
+    # window 1: mutate a cluster member away, delete another, insert a dup
+    _apply(base, spark, [
+        (0, _mk_text(900), 100, "U"),           # leaves its cluster
+        (1, "", 101, "D"),                      # deleted
+        (50, _mk_text(2, mut=1), 102, "I"),     # joins cluster 2
+    ])
+    r = idx.refresh()
+    assert r["to"] == base.current_version() and r["docs_touched"] == 3
+    assert _pairs(idx.near_dups(N_BANDS, THRESHOLD)) == _batch(base)
+
+    # window 2: two commits folded in one refresh; update-then-delete same key
+    _apply(base, spark, [(50, _mk_text(3), 110, "U"), (51, _mk_text(2), 111, "I")])
+    _apply(base, spark, [(50, "", 112, "D")])
+    idx.refresh()
+    assert _pairs(idx.near_dups(N_BANDS, THRESHOLD)) == _batch(base)
+    # the deleted doc may not appear in any pair
+    assert not any(50 in (a, b) for a, b, _ in _pairs(idx.near_dups(N_BANDS, THRESHOLD)))
+
+
+def test_empty_text_upsert_drops_signature(spark, tmp_path, base):
+    idx = MinHashIndex.create(base, str(tmp_path / "idx"), n_buckets=4)
+    _apply(base, spark, [(2, "", 100, "U")])   # doc 2 becomes shingle-less
+    idx.refresh()
+    assert _pairs(idx.near_dups(N_BANDS, THRESHOLD)) == _batch(base)
+    sigs = {r["doc_id"] for r in idx.signatures().collect()}
+    assert 2 not in sigs
+
+
+def test_refresh_noop_and_exactly_once_replay(spark, tmp_path, base):
+    idx = MinHashIndex.create(base, str(tmp_path / "idx"), n_buckets=4)
+    v = idx.index.current_version()
+    r = idx.refresh()
+    assert r["docs_touched"] == 0
+    assert idx.index.current_version() == v  # no empty commit
+
+    _apply(base, spark, [(0, _mk_text(1), 100, "U")])
+    idx.refresh()
+    state = _pairs(idx.near_dups(N_BANDS, THRESHOLD))
+    # a crashed-then-replayed refresh window is a no-op (watermark advanced
+    # atomically with the data)
+    idx.refresh()
+    assert _pairs(idx.near_dups(N_BANDS, THRESHOLD)) == state
+
+
+def test_open_restores_params_and_watermark(spark, tmp_path, base):
+    MinHashIndex.create(base, str(tmp_path / "idx"), n_buckets=4, w=3, n_hashes=32)
+    idx2 = MinHashIndex.open(base, str(tmp_path / "idx"))
+    assert (idx2.w, idx2.n_hashes) == (3, 32)
+    assert idx2.consumed_version() == base.current_version()
+    _apply(base, spark, [(0, _mk_text(5), 100, "U")])
+    idx2.refresh()
+    got = _pairs(idx2.near_dups(N_BANDS, THRESHOLD))
+    want = _pairs(minhash_near_dupes(
+        base.read().select("doc_id", "text"), "text", "doc_id",
+        w=3, n_hashes=32, n_bands=N_BANDS, threshold=THRESHOLD,
+    ))
+    assert got == want
