@@ -206,5 +206,8 @@ class MinHashIndex:
         cand = lsh_candidates(self.signatures(), self.id_col, n_bands, rows,
                               portable=self.portable)
         docs = self.base.read().select(self.id_col, self.text_col)
+        # prune=True is safe AND profitable here: cand re-derives from the
+        # MATERIALIZED signature table (a cheap scan, not a recompute), and
+        # the verify stage then re-shingles only candidate docs
         return jaccard_verify(cand, docs, self.text_col, self.id_col,
-                              self.w, threshold)
+                              self.w, threshold, prune=True)

@@ -252,21 +252,27 @@ def jaccard_verify(
     id_col: str = "doc_id",
     w: int = 5,
     threshold: float = 0.5,
+    prune: bool = False,
 ) -> DataFrame:
     """Exact shingle-Jaccard verification of candidate pairs ``(id_a, id_b)``.
 
-    Shingles are derived ONLY for docs that appear in some candidate pair: a
-    semi-join prunes the tokenize/shingle pass to the candidate set, which at
-    banded-LSH selectivity is a tiny fraction of the corpus — the verify
-    stage's cost is O(candidate docs), not O(table).
+    ``prune=True`` derives shingles ONLY for docs that appear in some
+    candidate pair (a semi-join restricts the tokenize/shingle pass to the
+    candidate set). Use it ONLY when ``cand`` reads from materialized state
+    (e.g. a MinHashIndex signature table): the prune references ``cand``
+    a second time, and with a lazily-recomputed candidate pipeline that
+    re-executes the whole signature+banding subtree — measured 4.6x SLOWER
+    than just shingling the corpus once in the batch pipeline. Default is
+    the single-reference plan: shingle all of ``docs``, join candidates.
     """
-    ids = (
-        cand.select(F.col("id_a").alias(id_col))
-        .union(cand.select(F.col("id_b").alias(id_col)))
-        .distinct()
-    )
-    pruned = docs.select(id_col, text_col).join(ids, id_col, "left_semi")
-    sh = shingles_df(pruned, text_col, id_col, w)
+    if prune:
+        ids = (
+            cand.select(F.col("id_a").alias(id_col))
+            .union(cand.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        docs = docs.select(id_col, text_col).join(ids, id_col, "left_semi")
+    sh = shingles_df(docs, text_col, id_col, w)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a_sh = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b_sh = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -306,7 +312,7 @@ def minhash_near_dupes(
     """LSH candidates verified by exact shingle Jaccard >= threshold.
 
     The scale pipeline: signatures (1 pass) -> banded join (docs x bands) ->
-    exact verify only on candidate docs (tiny fraction of all pairs).
+    exact verify only on candidate pairs (tiny fraction of all pairs).
     """
     rows = n_hashes // n_bands
     sig = minhash_signatures(df, text_col, id_col, w, n_hashes, portable=portable)
