@@ -134,22 +134,28 @@ def run_ops_scale_bench(spark, sf_dir: str, mult: int = 10) -> dict:
     n_vecs = vecs.count()
 
     out = {"n_docs": n_docs, "n_vecs": n_vecs, "mult": mult}
-    t0 = time.time()
-    minhash_near_dupes(docs, threshold=0.5, n_bands=16).write.format("noop").mode("overwrite").save()
-    out["minhash_near_dup_sec"] = round(time.time() - t0, 3)
-    t0 = time.time()
-    simhash_near_dupes(docs, max_hamming=3).write.format("noop").mode("overwrite").save()
-    out["simhash_near_dup_sec"] = round(time.time() - t0, 3)
-    t0 = time.time()
-    # threshold matches auto-sized bands' near-identical regime (cos >= ~0.97);
-    # looser thresholds need explicit narrow bands and measure a different op
-    embedding_near_dupes(vecs, threshold=0.97, n_planes=None, n_bands=8, dim=64) \
-        .write.format("noop").mode("overwrite").save()
-    out["emb_lsh_near_dup_sec"] = round(time.time() - t0, 3)
     probes = vecs.filter(F.pmod(F.col("vec_id"), F.lit(397)) == 0)
-    t0 = time.time()
-    ivf_topk(probes, vecs, k=5, n_lists=32, n_probe=4).write.format("noop").mode("overwrite").save()
-    out["ivf_topk_sec"] = round(time.time() - t0, 3)
+    ops = {
+        "minhash_near_dup_sec": lambda: minhash_near_dupes(
+            docs, threshold=0.5, n_bands=16),
+        "simhash_near_dup_sec": lambda: simhash_near_dupes(docs, max_hamming=3),
+        # threshold matches auto-sized bands' near-identical regime
+        # (cos >= ~0.97); looser thresholds need explicit narrow bands and
+        # measure a different op
+        "emb_lsh_near_dup_sec": lambda: embedding_near_dupes(
+            vecs, threshold=0.97, n_planes=None, n_bands=8, dim=64),
+        "ivf_topk_sec": lambda: ivf_topk(probes, vecs, k=5, n_lists=32, n_probe=4),
+    }
+    # best-of-N, same neighbor-noise rejection as the replay and query sweeps
+    trials = int(os.environ.get("DSX_BENCH_OPS_TRIALS", "2"))
+    for key, op in ops.items():
+        best = None
+        for _ in range(trials):
+            t0 = time.time()
+            op().write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        out[key] = round(best, 3)
     docs.unpersist(); vecs.unpersist()
     return out
 
