@@ -603,6 +603,41 @@ def q_doc_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.near_dups(n_bands=32, threshold=0.2)
 
 
+def q_doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: the portable MinHash+LSH pair pipeline feeds
+    min-label-propagation connected components (ops/dedup.py:
+    connected_components) — pairwise output becomes actionable dedup
+    (cluster_id = canonical keeper). The oracle replays the full pair
+    pipeline in SQL, then computes components as a recursive transitive
+    closure — the distributed fixpoint loop must match exactly."""
+    from datax_spark.ops.dedup import connected_components, minhash_near_dupes
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_dupes(
+        d, w=5, threshold=0.2, n_hashes=64, n_bands=32, portable=True
+    )
+    return connected_components(pairs)
+
+
+def _cc_oracle_sql(pairs_sql: str) -> str:
+    """Recursive-CTE connected components over a pair relation: every node
+    collects the labels of everything it can reach; min = component id."""
+    return f"""
+        WITH RECURSIVE pairs AS ({pairs_sql}),
+        edges AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION
+            SELECT id_b AS u, id_a AS v FROM pairs
+        ),
+        reach(u, lbl) AS (
+            SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM edges) t
+            UNION
+            SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u
+        )
+        SELECT u AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY u
+    """
+
+
 _MINHASH_FINAL_STATE_SQL = """(
     SELECT doc_id, concat(text, ' zz zz') AS text FROM documents
     WHERE doc_id % 7 = 0 AND doc_id % 11 <> 0
@@ -1227,6 +1262,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_ngram_jaccard": q_doc_ngram_jaccard,
     "doc_minhash_near_dup": q_doc_minhash_near_dup,
     "doc_minhash_incremental": q_doc_minhash_incremental,
+    "doc_dedup_clusters": q_doc_dedup_clusters,
     "doc_simhash_near_dup": q_doc_simhash_near_dup,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -1559,6 +1595,8 @@ ORACLES: dict[str, str] = {
     "doc_minhash_near_dup": _minhash_oracle_sql(n_hashes=64, n_bands=32, threshold=0.2),
     "doc_minhash_incremental": _minhash_oracle_sql(
         n_hashes=64, n_bands=32, threshold=0.2, source=_MINHASH_FINAL_STATE_SQL),
+    "doc_dedup_clusters": _cc_oracle_sql(
+        _minhash_oracle_sql(n_hashes=64, n_bands=32, threshold=0.2)),
     "doc_simhash_near_dup": _simhash_oracle_sql(bits=60, max_hamming=3),
     "events_asof_error": """
         WITH err AS (

@@ -399,3 +399,90 @@ def simhash_near_dupes(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ------------------------------------------------- clustering / canonicalize
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    id_out: str = "doc_id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over near-dup pairs: ``(doc_id, cluster_id)``
+    with ``cluster_id`` = the smallest doc id in the component — the step
+    that turns pairwise near-dup output into actionable dedup (keep one
+    canonical doc per cluster, drop the rest).
+
+    Min-label propagation: every vertex repeatedly takes the minimum label
+    among itself and its neighbors until a fixpoint; each round is one
+    edge-join + min-aggregate (two shuffles on the PAIR set, which at LSH
+    selectivity is orders of magnitude smaller than the corpus). Rounds
+    needed = component diameter — near-dup clusters are dense little cliques
+    (diameter 1-3), so convergence is a handful of rounds. For adversarial
+    long-chain graphs the published upgrade is alternating large-star/
+    small-star contraction (Kiveris et al., "Connected Components in
+    MapReduce and Beyond"), which this deliberately is not: the dedup use
+    case never pays for it. Deterministic (min is order-free), so the DuckDB
+    oracle can replay it as a recursive transitive closure.
+
+    Only docs that appear in some pair are returned — singletons are their
+    own trivial cluster and are left to the caller (a left-anti join).
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select("u").distinct().withColumn("lbl", F.col("u")).persist()
+    labels.count()
+    try:
+        for _ in range(max_iter):
+            nbr = (
+                edges.join(labels.withColumnRenamed("u", "v"), "v")
+                .groupBy("u")
+                .agg(F.min("lbl").alias("nlbl"))
+            )
+            new_labels = (
+                labels.join(nbr, "u", "left")
+                .select("u", F.least(F.col("lbl"),
+                                     F.coalesce("nlbl", "lbl")).alias("lbl"))
+                .persist()
+            )
+            changed = (
+                new_labels.join(labels.withColumnRenamed("lbl", "_old"), "u")
+                .filter(F.col("lbl") != F.col("_old"))
+                .limit(1)
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if not changed:
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} rounds"
+            )
+        out = labels.select(
+            F.col("u").alias(id_out), F.col("lbl").alias("cluster_id")
+        )
+        # materialization boundary: the caller gets a plain DataFrame whose
+        # lineage doesn't reference the unpersisted loop state
+        return out.localCheckpoint(eager=True)
+    finally:
+        edges.unpersist()
+        labels.unpersist()
+
+
+def dedup_keep_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop every non-canonical member of each near-dup cluster: keep the
+    min-id doc per connected component plus all docs in no pair at all."""
+    cc = connected_components(pairs, id_out=id_col)
+    losers = cc.filter(F.col(id_col) != F.col("cluster_id")).select(id_col)
+    return df.join(losers, id_col, "left_anti")
