@@ -193,3 +193,45 @@ def test_schema_evolution_nulls_for_old_files(spark, tmp_path):
     rows = {r.conv_id: r.tool for r in spark.table("chg_evo").collect()}
     assert rows == {"c1": None, "c2": "bash"}
     assert "tool" in df.schema.fieldNames()
+
+
+def test_composes_with_stateful_session_tracker(spark, tmp_path):
+    """CDC-out -> stateful downstream: the changelog stream feeds the
+    applyInPandasWithState session tracker; per-conversation session stats
+    must reflect the table's full change history (inserts, the upserted
+    patch, and the delete's pre-image event all counted)."""
+    from datax_spark.streaming.stateful import conversation_sessions
+
+    t = _mk(spark, tmp_path)
+    _mixed_history(spark, t)
+    ch = read_changelog_stream(spark, t.root, starting_version=0)
+    events = ch.select(
+        "conv_id", "turn_idx",
+        F.when(F.col("_change_type") == "delete", F.lit("D"))
+        .otherwise(F.lit("U")).alias("op"),
+        "ts",
+    )
+    q = (
+        conversation_sessions(events).writeStream.format("memory")
+        .queryName("chg_sessions").outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck")).start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+    # outputMode=update: keep each conversation's LAST emitted state
+    rows = spark.table("chg_sessions").collect()
+    last = {}
+    for r in rows:
+        last[r.conv_id] = r
+    batch = t.read_changes(0).collect()
+    want_events = {}
+    want_deletes = {}
+    for r in batch:
+        want_events[r.conv_id] = want_events.get(r.conv_id, 0) + 1
+        if r._change_type == "delete":
+            want_deletes[r.conv_id] = want_deletes.get(r.conv_id, 0) + 1
+    assert {c: r.n_events for c, r in last.items()} == want_events
+    assert last["c1"].n_deletes == want_deletes.get("c1", 0) > 0
+    assert last["c0"].n_events >= 2  # insert + patched upsert
+    assert all(not r.closed for r in rows)
