@@ -47,7 +47,7 @@ def run_cdc_bench(spark, workdir: str, n_convs: int, n_epochs: int) -> dict:
     gen_s = time.time() - t0
 
     trials = []
-    for trial in range(int(os.environ.get("DSX_BENCH_TRIALS", "2"))):
+    for trial in range(int(os.environ.get("DSX_BENCH_TRIALS", "3"))):
         tdir = os.path.join(workdir, f"trial-{trial}")
         LakeTable.create(spark, os.path.join(tdir, "table"), TRANSCRIPTS_SCHEMA_V1,
                          bucket_key="conv_id", n_buckets=64)
@@ -77,7 +77,7 @@ def run_cdc_bench(spark, workdir: str, n_convs: int, n_epochs: int) -> dict:
             "epochs": summary["epochs_applied"],
             "final_rows": engine.table.live_row_count(),  # merged read, not raw file rows
         })
-        if trial + 1 < int(os.environ.get("DSX_BENCH_TRIALS", "2")):
+        if trial + 1 < int(os.environ.get("DSX_BENCH_TRIALS", "3")):
             shutil.rmtree(tdir, ignore_errors=True)  # keep tmpfs footprint flat
     best = max(trials, key=lambda t: t["sustained_events_per_sec"] or 0)
     return {
@@ -181,7 +181,7 @@ def main() -> None:
 
         # per-query timings are best-of-N for the same reason the replay is:
         # single samples on this host swing 2-3x with neighbor load
-        q_trials = int(os.environ.get("DSX_BENCH_QUERY_TRIALS", "2"))
+        q_trials = int(os.environ.get("DSX_BENCH_QUERY_TRIALS", "3"))
         query_secs: dict[str, float] = {}
         for name, fn in entry_mod.queries().items():
             best = None
