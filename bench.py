@@ -180,10 +180,12 @@ def main() -> None:
         cdc = run_cdc_bench(spark, workdir, n_convs, n_epochs)
 
         # per-query timings are best-of-N for the same reason the replay is:
-        # single samples on this host swing 2-3x with neighbor load
+        # single samples on this host swing 2-3x with neighbor load.
+        # DSX_BENCH_QUERY_TRIALS=0 / DSX_BENCH_OPS_MULT=0 skip a phase (for
+        # CDC-only points at larger feed sizes, e.g. the table-size ladder).
         q_trials = int(os.environ.get("DSX_BENCH_QUERY_TRIALS", "3"))
         query_secs: dict[str, float] = {}
-        for name, fn in entry_mod.queries().items():
+        for name, fn in entry_mod.queries().items() if q_trials else []:
             best = None
             for _ in range(q_trials):
                 t0 = time.time()
@@ -192,9 +194,9 @@ def main() -> None:
                 best = dt if best is None else min(best, dt)
             query_secs[name] = round(best, 3)
 
-        ops_scale = run_ops_scale_bench(
-            spark, sf_dir, mult=int(os.environ.get("DSX_BENCH_OPS_MULT", "10"))
-        )
+        ops_mult = int(os.environ.get("DSX_BENCH_OPS_MULT", "10"))
+        ops_scale = run_ops_scale_bench(spark, sf_dir, mult=ops_mult) \
+            if ops_mult else {}
 
         out = {
             # headline = the north-rule metric: sustained MERGE-apply
