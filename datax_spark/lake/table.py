@@ -123,9 +123,17 @@ def _assign_buckets_lpt(buckets: list[int], sizes: dict[int, int] | None,
 
 
 def _steer_expr(assign: dict[int, int], magic: list[int]) -> F.Column:
-    """Map the bucket column to its task's magic partition-steering value."""
-    pairs = [x for b, t in assign.items() for x in (F.lit(b), F.lit(magic[t]))]
-    return F.element_at(F.create_map(*pairs), F.col(_BUCKET_COL)).cast("int")
+    """Map the bucket column to its task's magic partition-steering value.
+
+    Built as ONE SQL expression string: the obvious
+    ``F.create_map(*[F.lit(..) ..])`` form makes 2 py4j round-trips per
+    bucket — measured 5.5 s of pure driver→JVM chatter at 4096 buckets,
+    dwarfing the epoch's actual work. One ``F.expr`` call parses the whole
+    map in milliseconds and keeps the driver cost O(1) in bucket count."""
+    entries = ", ".join(f"{b}, {magic[t]}" for b, t in assign.items())
+    return F.expr(
+        f"CAST(element_at(map({entries}), `{_BUCKET_COL}`) AS INT)"
+    )
 
 
 def _arrow_schema_for(schema: T.StructType):
