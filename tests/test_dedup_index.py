@@ -140,3 +140,23 @@ def test_open_restores_params_and_watermark(spark, tmp_path, base):
         w=3, n_hashes=32, n_bands=N_BANDS, threshold=THRESHOLD,
     ))
     assert got == want
+
+
+def test_maintenance_commits_do_not_disturb_index(spark, tmp_path, base):
+    """compact()/rebucket() between refreshes change files, not rows — the
+    index must fold them as no-ops (zero effective changes) and keep exact
+    batch equality; real changes landing AFTER maintenance still fold."""
+    idx = MinHashIndex.create(base, str(tmp_path / "idx"), n_buckets=4)
+    before = _pairs(idx.near_dups(N_BANDS, THRESHOLD))
+
+    base.compact()
+    base.rebucket(n_buckets=8)
+    r = idx.refresh()
+    assert r["docs_touched"] == 0
+    assert idx.consumed_version() == base.current_version()
+    assert _pairs(idx.near_dups(N_BANDS, THRESHOLD)) == before
+
+    # post-maintenance real change folds normally against the new layout
+    _apply(base, spark, [(0, _mk_text(1), 200, "U")])
+    idx.refresh()
+    assert _pairs(idx.near_dups(N_BANDS, THRESHOLD)) == _batch(base)
