@@ -750,6 +750,65 @@ def q_emb_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dupes(corpus, threshold=0.8, n_planes=96, n_bands=8, dim=64)
 
 
+def q_emb_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog-maintained embedding LSH index (cdc/dedup_index.py:
+    EmbeddingLshIndex): the planted corpus lands in a LakeTable, the index
+    seeds from that state, then a CDC batch mutates it — every 5th vector
+    deleted, fresh near-dup copies (different perturbation constants, ids
+    +2,000,000) of every 7th base vector inserted. ``refresh()`` re-derives
+    band signatures ONLY for changed vectors; the same empty-margin-band
+    argument as emb_lsh_near_dup (cos ≈ 0.9997 in-cluster vs ≤ ~0.6 across)
+    makes banded recall exact, so the O(n²) SQL oracle over the FINAL corpus
+    checks the maintained index exactly."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from datax_spark.cdc.dedup_index import EmbeddingLshIndex
+    from datax_spark.lake.table import LakeTable
+
+    corpus = _planted_embeddings(spark, sf_dir)
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        T.StructField("label", T.IntegerType()),
+    ])
+    root = tempfile.mkdtemp(prefix="dsx-embidx-")
+    t = LakeTable.create(spark, root, schema, bucket_key="vec_id", n_buckets=8)
+    t.apply_cdc(
+        corpus.withColumn("seq", F.lit(1).cast("long")).withColumn("op", F.lit("I")),
+        key_cols=["vec_id"], op_col="op", seq_col="seq",
+    )
+    idx = EmbeddingLshIndex.create(
+        t, os.path.join(root, "_embidx"),
+        n_planes=96, n_bands=8, dim=64, n_buckets=8,
+    )
+    e = _t(spark, sf_dir, "embeddings")
+    deletes = corpus.filter(F.col("vec_id") % 5 == 0).select(
+        "vec_id", "embedding", "label",
+        F.lit(2).cast("long").alias("seq"), F.lit("D").alias("op"))
+    inserts = (
+        e.filter(F.col("vec_id") % 7 == 0)
+        .withColumn(
+            "embedding",
+            F.transform(
+                "embedding",
+                lambda x, i: x.cast("double")
+                + (
+                    F.pmod(F.col("vec_id") * 29 + (i + F.lit(1)) * 23, F.lit(101)) - 50
+                ).cast("double")
+                / 10000.0,
+            ),
+        )
+        .select((F.col("vec_id") + 2_000_000).alias("vec_id"), "embedding", "label",
+                F.lit(2).cast("long").alias("seq"), F.lit("I").alias("op"))
+    )
+    t.apply_cdc(deletes.unionByName(inserts),
+                key_cols=["vec_id"], op_col="op", seq_col="seq")
+    idx.refresh()
+    return idx.near_dups(threshold=0.8)
+
+
 def q_events_asof_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (ops.asof.asof_join — union+window, ONE shuffle, no range
     explosion): each non-error event picks up the user's most recent error
@@ -1268,6 +1327,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "emb_label_near_dup": q_emb_label_near_dup,
     "emb_lsh_near_dup": q_emb_lsh_near_dup,
+    "emb_lsh_incremental": q_emb_lsh_incremental,
     "events_asof_error": q_events_asof_error,
     "remote_object_roundtrip": q_remote_object_roundtrip,
     "lake_objectfs_roundtrip": q_lake_objectfs_roundtrip,
@@ -1567,6 +1627,24 @@ ORACLES: dict[str, str] = {
     """,
     "emb_lsh_near_dup": f"""
         WITH c AS ({_PLANTED_EMB_SQL}),
+        s AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   {_cos_fold_sql('a.embedding', 'b.embedding')} AS cos
+            FROM c a JOIN c b ON a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b, cos FROM s WHERE cos >= 0.8
+    """,
+    "emb_lsh_incremental": f"""
+        WITH c AS (
+            SELECT * FROM ({_PLANTED_EMB_SQL}) p WHERE p.vec_id % 5 <> 0
+            UNION ALL
+            SELECT embeddings.vec_id + 2000000 AS vec_id,
+                   list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE)
+                       + CAST(((embeddings.vec_id * 29 + i * 23) % 101) - 50 AS DOUBLE) / 10000.0)
+                       AS embedding,
+                   label
+            FROM embeddings WHERE embeddings.vec_id % 7 = 0
+        ),
         s AS (
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    {_cos_fold_sql('a.embedding', 'b.embedding')} AS cos

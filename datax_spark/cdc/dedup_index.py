@@ -1,41 +1,53 @@
-"""Changelog-maintained near-duplicate index: MinHash signatures kept in
+"""Changelog-maintained near-duplicate indexes: per-doc signatures kept in
 lockstep with a CDC-ingested LakeTable at O(changes) per refresh.
 
 This composes the engine's two halves. The CDC half lands keyed
 upserts/deletes into a transcripts/documents LakeTable at 10^10-event scale;
 the data-pipeline half needs near-dup detection over that corpus — but
-re-running the batch MinHash pipeline (ops/dedup.py) after every ingest epoch
-re-shingles the WHOLE table, O(corpus) per epoch. This index maintains the
-expensive artifact — the per-doc MinHash signature — incrementally from
-``LakeTable.read_changes``:
+re-running a batch pipeline (ops/dedup.py, ops/similarity.py) after every
+ingest epoch re-derives signatures for the WHOLE table, O(corpus) per epoch.
+These indexes maintain the expensive artifact — the per-doc signature —
+incrementally from ``LakeTable.read_changes``:
 
-- ``create()`` seeds signatures with ONE O(table) pass (the same
-  one-aggregation ``minhash_signatures`` kernel the batch pipeline uses).
+- ``create()`` seeds signatures with ONE O(table) pass (the same kernels the
+  batch pipelines use).
 - ``refresh()`` folds a commit window: the window's folded changelog is
   collapsed to the last change per key, deletions drop signature rows, and
-  upserts re-shingle ONLY the changed docs — cost O(changed docs), never
-  O(corpus). The signature table is itself a LakeTable keyed and bucketed by
-  the doc id, so the apply is a colocated keyed MERGE.
+  upserts re-derive signatures ONLY for the changed docs — cost O(changed
+  docs), never O(corpus). The signature table is itself a LakeTable keyed
+  and bucketed by the doc id, so the apply is a colocated keyed MERGE.
 - ``near_dups()`` answers from the maintained signatures: banded LSH over
-  ids+signatures (no text moves through the shuffle), then exact-Jaccard
-  verification that re-shingles only the candidate docs (``jaccard_verify``).
+  ids+signatures (no text/vectors move through the shuffle), then exact
+  verification (Jaccard / cosine) that touches only candidate docs.
+
+Two concrete indexes share the skeleton:
+
+- :class:`MinHashIndex` — text near-dup (word-shingle MinHash, exact-Jaccard
+  verify), the maintained form of ``ops.dedup.minhash_near_dupes``.
+- :class:`EmbeddingLshIndex` — vector near-dup (random-hyperplane band
+  buckets, exact-cosine verify), the maintained form of
+  ``ops.similarity.embedding_near_dupes``. Signature parameters are FROZEN
+  at create time (mixing parameterizations would corrupt the index), so the
+  batch pipeline's corpus-sized band auto-sizing is deliberately unavailable
+  — pick planes/bands for the target corpus size and rebuild to resize,
+  the same contract as retraining a FAISS index.
 
 Delivery contract — exactly-once, same scheme as cdc/rollup.py: the consumed
-base version rides in the index table's own commit properties
-(``mhidx_base_version``), so the signature MERGE and the watermark advance
-are one atomic snapshot publish; a crashed refresh replays its window against
-unchanged state (and signature upserts are idempotent anyway).
+base version rides in the index table's own commit properties, so the
+signature MERGE and the watermark advance are one atomic snapshot publish; a
+crashed refresh replays its window against unchanged state (and signature
+upserts are idempotent anyway).
 
-Scale shape at 10^9 docs: per ingest epoch the index pays shingling for the
-epoch's changed docs only; signatures live bucketed next to the corpus;
-``near_dups`` shuffles O(docs x bands) ids and verifies O(candidates). The
-batch pipeline's one-shot cost is amortized into ingest — the near-dup
-answer is always warm.
+Scale shape at 10^9 docs: per ingest epoch the index pays signature
+derivation for the epoch's changed docs only; signatures live bucketed next
+to the corpus; ``near_dups`` shuffles O(docs x bands) ids and verifies
+O(candidates). The batch pipeline's one-shot cost is amortized into ingest —
+the near-dup answer is always warm.
 
 Reference contract: the reference has no incremental-index analog (each DataX
-job recomputes its full reader->writer pass; e.g. a dedupe would re-read the
-source — JobContainer schedule loop); this is the lake-native generalization
-the north rule's "training-data pipeline at 100 TB" story needs.
+job recomputes its full reader->writer pass — JobContainer schedule loop);
+this is the lake-native generalization the north rule's "training-data
+pipeline at 100 TB" story needs.
 """
 
 from __future__ import annotations
@@ -45,64 +57,59 @@ import json
 from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 from datax_spark.lake.table import LakeTable
-from datax_spark.ops.dedup import (
-    jaccard_verify,
-    lsh_candidates,
-    minhash_signatures,
-)
 
 
-class MinHashIndex:
-    """A LakeTable of per-doc MinHash signatures maintained from the base
-    table's changelog."""
+class _ChangelogIndex:
+    """Skeleton: a LakeTable of per-doc signatures maintained from the base
+    table's changelog. Subclasses define the signature schema + derivation."""
 
     _OP, _SEQ = "_idx_op", "_idx_seq"
     _PROP = "mhidx_base_version"
     _PARAMS = "mhidx_params"
 
-    def __init__(self, base: LakeTable, index: LakeTable, *,
-                 text_col: str = "text", id_col: str = "doc_id",
-                 w: int = 5, n_hashes: int = 64, portable: bool = False):
+    def __init__(self, base: LakeTable, index: LakeTable, **params):
         self.base = base
         self.index = index
-        self.text_col = text_col
-        self.id_col = id_col
-        self.w = w
-        self.n_hashes = n_hashes
-        self.portable = portable
+        for k, v in params.items():
+            setattr(self, k, v)
+        self._params = params
+
+    # -------------------------------------------------- subclass contract
+    def _derive(self, df: DataFrame) -> DataFrame:
+        """(id, *signature cols) for every input doc that HAS a signature;
+        docs yielding none (empty text, NULL vector) are simply absent."""
+        raise NotImplementedError
+
+    def _sig_fields(self, id_type: T.DataType) -> list[T.StructField]:
+        raise NotImplementedError
 
     # ------------------------------------------------------------ bootstrap
     @classmethod
     def create(cls, base: LakeTable, index_root: str, *,
-               text_col: str = "text", id_col: str = "doc_id",
-               w: int = 5, n_hashes: int = 64, portable: bool = False,
-               n_buckets: int = 16, fs=None) -> "MinHashIndex":
+               n_buckets: int = 16, fs=None, **params) -> "_ChangelogIndex":
         """Create the signature table and seed it from the base table's
-        CURRENT version — the one O(table) shingle pass."""
+        CURRENT version — the one O(table) derivation pass."""
+        params = {**cls._DEFAULTS, **params}
         base_version = base.current_version()
         if base_version is None:
             raise ValueError(f"base table has no snapshot: {base.root}")
+        id_col = params["id_col"]
         id_type = base.snapshot(base_version).schema[id_col].dataType
-        schema = T.StructType([
-            T.StructField(id_col, id_type, False),
-            T.StructField("minhash", T.ArrayType(T.LongType()), True),
-        ])
+        idx = cls(base, LakeTable.__new__(LakeTable), **params)  # temp for schema
+        schema = T.StructType(
+            [T.StructField(id_col, id_type, False)] + idx._sig_fields(id_type)
+        )
         index = LakeTable.create(base.spark, index_root, schema,
                                  bucket_key=id_col, n_buckets=n_buckets, fs=fs)
-        idx = cls(base, index, text_col=text_col, id_col=id_col,
-                  w=w, n_hashes=n_hashes, portable=portable)
-        seed = minhash_signatures(
-            base.read(base_version).select(id_col, text_col),
-            text_col, id_col, w, n_hashes, portable=portable,
-        ).withColumn(cls._OP, F.lit("U"))
-        idx._apply(seed, base_version, params=json.dumps({
-            "text_col": text_col, "id_col": id_col, "w": w,
-            "n_hashes": n_hashes, "portable": portable,
-        }))
+        idx.index = index
+        seed = idx._derive(base.read(base_version)).withColumn(
+            cls._OP, F.lit("U"))
+        idx._apply(seed, base_version,
+                   params=json.dumps({"class": cls.__name__, **params}))
         return idx
 
     @classmethod
-    def open(cls, base: LakeTable, index_root: str, fs=None) -> "MinHashIndex":
+    def open(cls, base: LakeTable, index_root: str, fs=None) -> "_ChangelogIndex":
         """Re-attach to an existing index; parameters come from the lineage
         recorded at create time (they define the signature function — mixing
         parameterizations would silently corrupt the index)."""
@@ -111,10 +118,16 @@ class MinHashIndex:
             p = entry.get("properties", {}).get(cls._PARAMS)
             if p is not None:
                 params = json.loads(p)
+                klass = params.pop("class", cls.__name__)
+                if klass != cls.__name__:
+                    raise ValueError(
+                        f"index at {index_root} was created as {klass}, "
+                        f"not {cls.__name__}"
+                    )
                 return cls(base, index, **params)
         raise ValueError(
             f"index at {index_root} has no {cls._PARAMS} lineage; "
-            "was it created via MinHashIndex.create()?"
+            "was it created via .create()?"
         )
 
     # ------------------------------------------------------------ watermark
@@ -127,7 +140,7 @@ class MinHashIndex:
                 return int(v)
         raise ValueError(
             f"index at {self.index.root} has no {self._PROP} lineage; "
-            "was it created via MinHashIndex.create()?"
+            "was it created via .create()?"
         )
 
     # -------------------------------------------------------------- refresh
@@ -140,7 +153,7 @@ class MinHashIndex:
         if end is None or end <= start:
             return {"from": start, "to": start, "docs_touched": 0}
 
-        idc, txc = self.id_col, self.text_col
+        idc = self.id_col
         ch = self.base.read_changes(start, end)
         # last effective change per doc in the window (a doc updated then
         # deleted across commits must end deleted); within one commit the
@@ -154,26 +167,24 @@ class MinHashIndex:
                 ),
             )
             .filter(F.col("_rn") == 1)
-            .select(idc, txc, "_change_type")
+            .drop("_rn")
             .persist()
         )
         try:
-            ups = last.filter(F.col("_change_type") != "delete").select(idc, txc)
-            sigs = minhash_signatures(
-                ups, txc, idc, self.w, self.n_hashes, portable=self.portable
-            )
-            # an upserted doc with no shingles (empty text) yields no
-            # signature row: any stale signature for it must be dropped
+            ups = last.filter(F.col("_change_type") != "delete")
+            sigs = self._derive(ups)
+            # an upserted doc with no derivable signature (empty text, NULL
+            # vector) yields no row: any stale signature for it must drop
             no_sig = ups.select(idc).join(sigs.select(idc), idc, "left_anti")
             dels = last.filter(F.col("_change_type") == "delete").select(idc)
+            null_sigs = no_sig.union(dels)
+            for f in self.index.snapshot().schema.fields:
+                if f.name != idc:
+                    null_sigs = null_sigs.withColumn(
+                        f.name, F.lit(None).cast(f.dataType))
             events = (
                 sigs.withColumn(self._OP, F.lit("U"))
-                .unionByName(
-                    no_sig.union(dels)
-                    .withColumn("minhash",
-                                F.lit(None).cast(T.ArrayType(T.LongType())))
-                    .withColumn(self._OP, F.lit("D"))
-                )
+                .unionByName(null_sigs.withColumn(self._OP, F.lit("D")))
             )
             n_docs = last.count()  # cheap: last is persisted
             self._apply(events, end)
@@ -192,22 +203,92 @@ class MinHashIndex:
             properties=props,
         )
 
-    # --------------------------------------------------------------- query
     def signatures(self) -> DataFrame:
-        return self.index.read().select(self.id_col, "minhash")
+        return self.index.read()
+
+
+class MinHashIndex(_ChangelogIndex):
+    """Text near-dup index: per-doc MinHash signatures; ``near_dups()`` =
+    banded LSH + exact-Jaccard verify over candidate docs only. Must equal
+    ``ops.dedup.minhash_near_dupes`` on the base's current state."""
+
+    _DEFAULTS = dict(text_col="text", id_col="doc_id",
+                     w=5, n_hashes=64, portable=False)
+
+    def _sig_fields(self, id_type):
+        return [T.StructField("minhash", T.ArrayType(T.LongType()), True)]
+
+    def _derive(self, df: DataFrame) -> DataFrame:
+        from datax_spark.ops.dedup import minhash_signatures
+
+        return minhash_signatures(
+            df.select(self.id_col, self.text_col),
+            self.text_col, self.id_col, self.w, self.n_hashes,
+            portable=self.portable,
+        )
 
     def near_dups(self, n_bands: int = 16,
                   threshold: float = 0.5) -> DataFrame:
-        """Near-duplicate pairs of the CURRENT indexed state: banded LSH over
-        the maintained signatures, exact-Jaccard verify over candidate docs
-        only. Must equal the batch pipeline (``minhash_near_dupes``) run on
-        the base table's current version — the oracle property."""
+        from datax_spark.ops.dedup import jaccard_verify, lsh_candidates
+
         rows = self.n_hashes // n_bands
-        cand = lsh_candidates(self.signatures(), self.id_col, n_bands, rows,
-                              portable=self.portable)
+        cand = lsh_candidates(
+            self.signatures().select(self.id_col, "minhash"),
+            self.id_col, n_bands, rows, portable=self.portable)
         docs = self.base.read().select(self.id_col, self.text_col)
         # prune=True is safe AND profitable here: cand re-derives from the
         # MATERIALIZED signature table (a cheap scan, not a recompute), and
         # the verify stage then re-shingles only candidate docs
         return jaccard_verify(cand, docs, self.text_col, self.id_col,
                               self.w, threshold, prune=True)
+
+
+class EmbeddingLshIndex(_ChangelogIndex):
+    """Vector near-dup index: per-vector random-hyperplane band buckets;
+    ``near_dups()`` = banded self-join over the stored buckets + exact-cosine
+    verify on candidate vectors fetched from the base. Must equal
+    ``ops.similarity.embedding_near_dupes`` (same explicit planes/bands) on
+    the base's current state."""
+
+    _DEFAULTS = dict(vec_col="embedding", id_col="vec_id",
+                     n_planes=96, n_bands=8, dim=64)
+
+    def _sig_fields(self, id_type):
+        return [T.StructField("bands", T.ArrayType(T.IntegerType()), True)]
+
+    def _derive(self, df: DataFrame) -> DataFrame:
+        from datax_spark.ops.similarity import band_buckets_expr
+
+        return (
+            df.select(self.id_col, self.vec_col)
+            .filter(F.col(self.vec_col).isNotNull())
+            .select(
+                self.id_col,
+                band_buckets_expr(self.vec_col, self.n_planes,
+                                  self.n_bands, self.dim).alias("bands"),
+            )
+        )
+
+    def near_dups(self, threshold: float = 0.95) -> DataFrame:
+        from datax_spark.ops.similarity import cosine_expr
+
+        idc = self.id_col
+        ex = self.signatures().select(
+            idc, F.posexplode("bands").alias("band", "bucket"))
+        a = ex.select(F.col(idc).alias("id_a"), "band", "bucket")
+        b = ex.select(F.col(idc).alias("id_b"), "band", "bucket")
+        pairs = (
+            a.join(b, ["band", "bucket"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        s = self.base.read().select(idc, self.vec_col)
+        va = s.select(F.col(idc).alias("id_a"), F.col(self.vec_col).alias("_va"))
+        vb = s.select(F.col(idc).alias("id_b"), F.col(self.vec_col).alias("_vb"))
+        return (
+            pairs.join(va, "id_a").join(vb, "id_b")
+            .withColumn("cos", cosine_expr(F.col("_va"), F.col("_vb")))
+            .where(F.col("cos") >= threshold)
+            .select("id_a", "id_b", "cos")
+        )
