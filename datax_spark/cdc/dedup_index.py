@@ -292,3 +292,65 @@ class EmbeddingLshIndex(_ChangelogIndex):
             .where(F.col("cos") >= threshold)
             .select("id_a", "id_b", "cos")
         )
+
+    def topk(self, probes: DataFrame, k: int = 5,
+             multi_probe: int = 0) -> DataFrame:
+        """Approximate top-k of each probe vector against the indexed corpus
+        — ``ops.similarity.lsh_ann_topk`` with the corpus side's banding
+        already materialized: query time pays ONLY the probe set's bucket
+        derivation plus the candidate join; no corpus pass at all. Equals
+        ``lsh_ann_topk(probes, base.read(), <frozen params>)`` exactly.
+        ``multi_probe=n`` flips the probe's n lowest-margin sign bits per
+        band (probe-side explode only — corpus shuffle volume unchanged)."""
+        from pyspark.sql.window import Window
+
+        from datax_spark.ops.similarity import (
+            band_buckets_expr,
+            cosine_expr,
+            probe_buckets_expr,
+        )
+
+        idc, vc = self.id_col, self.vec_col
+        if multi_probe:
+            pexpr = probe_buckets_expr(vc, self.n_planes, self.n_bands,
+                                       self.dim, n_flip=multi_probe)
+            probe_side = (
+                probes.select(F.col(idc).alias("probe_id"), pexpr.alias("_pb"))
+                .select("probe_id", F.posexplode("_pb").alias("pos", "bucket"))
+                .select("probe_id",
+                        (F.col("pos") / (1 + multi_probe)).cast("int").alias("band"),
+                        "bucket")
+                .distinct()
+            )
+        else:
+            bexpr = band_buckets_expr(vc, self.n_planes, self.n_bands, self.dim)
+            probe_side = (
+                probes.select(F.col(idc).alias("probe_id"), bexpr.alias("_b"))
+                .select("probe_id", F.posexplode("_b").alias("band", "bucket"))
+            )
+        corpus_side = self.signatures().select(
+            F.col(idc).alias("neighbor_id"),
+            F.posexplode("bands").alias("band", "bucket"),
+        )
+        cand = (
+            corpus_side.join(F.broadcast(probe_side), ["band", "bucket"])
+            .where(F.col("probe_id") != F.col("neighbor_id"))
+            .select("probe_id", "neighbor_id")
+            .distinct()
+        )
+        pv = probes.select(F.col(idc).alias("probe_id"), F.col(vc).alias("_probev"))
+        nv = self.base.read().select(
+            F.col(idc).alias("neighbor_id"), F.col(vc).alias("_neighborv"))
+        scored = (
+            cand.join(F.broadcast(pv), "probe_id")
+            .join(nv, "neighbor_id")
+            .withColumn("cos", F.round(
+                cosine_expr(F.col("_probev"), F.col("_neighborv")), 6))
+        )
+        w = Window.partitionBy("probe_id").orderBy(
+            F.col("cos").desc(), F.col("neighbor_id"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("probe_id", "neighbor_id", "rank", "cos")
+        )

@@ -113,3 +113,29 @@ def test_open_rejects_wrong_class_and_restores_params(spark, tmp_path, base):
     assert (idx2.n_planes, idx2.n_bands, idx2.dim) == (PLANES, BANDS, DIM)
     with pytest.raises(ValueError, match="created as EmbeddingLshIndex"):
         MinHashIndex.open(base, str(tmp_path / "idx"))
+
+
+def test_topk_matches_batch_lsh_ann(spark, tmp_path, base):
+    """topk() against the maintained index == lsh_ann_topk over the current
+    corpus with the frozen params — including after a refresh window and
+    with multi-probe on."""
+    from datax_spark.ops.similarity import lsh_ann_topk
+
+    idx = EmbeddingLshIndex.create(
+        base, str(tmp_path / "idx"), n_buckets=4,
+        n_planes=PLANES, n_bands=BANDS, dim=DIM,
+    )
+    _apply(base, spark, [
+        (0, _vec(2, jitter=0.01), 100, "U"),
+        (13, _vec(6), 101, "D"),
+        (60, _vec(3, jitter=0.015), 102, "I"),
+    ])
+    idx.refresh()
+    probes = base.read().filter("vec_id % 4 = 1").select("vec_id", "embedding")
+    for mp in (0, 2):
+        got = sorted(tuple(r) for r in idx.topk(probes, k=3, multi_probe=mp).collect())
+        want = sorted(tuple(r) for r in lsh_ann_topk(
+            probes, base.read().select("vec_id", "embedding"), k=3,
+            n_planes=PLANES, n_bands=BANDS, dim=DIM, multi_probe=mp,
+        ).collect())
+        assert got == want and len(got) > 0, f"multi_probe={mp}"
