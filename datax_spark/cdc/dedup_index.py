@@ -59,6 +59,46 @@ from pyspark.sql import DataFrame, Window, functions as F, types as T
 from datax_spark.lake.table import LakeTable
 
 
+def dedupe_table(table: LakeTable, pairs: DataFrame, id_col: str = "doc_id",
+                 seq: int = 0) -> dict:
+    """Delete every non-canonical member of each near-dup cluster from a
+    LakeTable IN PLACE: connected components over ``pairs`` pick the min-id
+    keeper per cluster, and the losers leave via ONE keyed CDC apply of
+    delete events — so the removal is itself a versioned, changelog-visible
+    commit (downstream ContinuousAggregates and signature indexes fold it
+    like any other change window). ``seq`` is the delete events' source
+    sequence; pick it above the feed's applied sequences so a replayed feed
+    cannot resurrect the losers. Returns ``{"clusters": n, "deleted": n}``."""
+    from datax_spark.ops.dedup import connected_components
+
+    # reuse the table's recorded merge convention: existing MoR delta files
+    # carry the ORIGINAL op/seq column names, and the per-bucket fold reads
+    # them by name — a differently-named apply would break the merge
+    props = table.snapshot().properties
+    op_col = props.get("merge_op_col", "op")
+    seq_col = props.get("merge_seq_col", "seq")
+    delete_op = props.get("merge_delete_op", "D")
+
+    cc = connected_components(pairs, id_out=id_col)
+    losers = cc.filter(F.col(id_col) != F.col("cluster_id")).select(id_col)
+    ev = (
+        table.read().join(losers, id_col, "inner")
+        .withColumn(op_col, F.lit(delete_op))
+        .withColumn(seq_col, F.lit(int(seq)).cast("long"))
+        .persist()
+    )
+    try:
+        n = ev.count()
+        n_clusters = cc.select("cluster_id").distinct().count()
+        if n:
+            table.apply_cdc(ev, key_cols=[id_col],
+                            op_col=op_col, seq_col=seq_col,
+                            delete_op=delete_op)
+    finally:
+        ev.unpersist()
+    return {"clusters": n_clusters, "deleted": n}
+
+
 class _ChangelogIndex:
     """Skeleton: a LakeTable of per-doc signatures maintained from the base
     table's changelog. Subclasses define the signature schema + derivation."""

@@ -160,3 +160,28 @@ def test_maintenance_commits_do_not_disturb_index(spark, tmp_path, base):
     _apply(base, spark, [(0, _mk_text(1), 200, "U")])
     idx.refresh()
     assert _pairs(idx.near_dups(N_BANDS, THRESHOLD)) == _batch(base)
+
+
+def test_dedupe_table_in_place_and_index_follows(spark, tmp_path, base):
+    """dedupe_table deletes cluster losers via ONE CDC apply; the removal is
+    changelog-visible, so a maintained index folds it like any other window
+    and its next near_dups() is pair-free."""
+    from datax_spark.cdc.dedup_index import dedupe_table
+
+    idx = MinHashIndex.create(base, str(tmp_path / "idx"), n_buckets=4)
+    pairs = idx.near_dups(N_BANDS, THRESHOLD)
+    assert pairs.count() > 0
+    before_rows = base.read().count()
+
+    r = dedupe_table(base, pairs, seq=10_000)
+    assert r["deleted"] > 0 and r["clusters"] > 0
+    kept = {x[0] for x in base.read().select("doc_id").collect()}
+    assert len(kept) == before_rows - r["deleted"]
+    # no near-dup pair survives intact (exactly the component min is kept)
+    for a, b, _ in _pairs(pairs):
+        assert not (a in kept and b in kept)
+
+    idx.refresh()
+    assert _pairs(idx.near_dups(N_BANDS, THRESHOLD)) == _batch(base)
+    # a deduped corpus has no remaining near-dup pairs above threshold
+    assert _pairs(idx.near_dups(N_BANDS, THRESHOLD)) == []
