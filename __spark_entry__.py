@@ -619,6 +619,62 @@ def q_doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+def q_doc_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup loop, end to end: documents land in a LakeTable, the
+    MinHash+LSH pipeline finds near-dup pairs, connected components pick one
+    canonical keeper per cluster, and ``dedupe_table`` deletes the losers via
+    ONE changelog-visible CDC apply. Returns the surviving corpus ids; the
+    oracle recomputes pairs + components in SQL and anti-joins the losers."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from datax_spark.cdc.dedup_index import dedupe_table
+    from datax_spark.lake.table import LakeTable
+    from datax_spark.ops.dedup import minhash_near_dupes
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    root = tempfile.mkdtemp(prefix="dsx-canon-")
+    t = LakeTable.create(spark, root, schema, bucket_key="doc_id", n_buckets=8)
+    t.apply_cdc(
+        d.withColumn("seq", F.lit(1).cast("long")).withColumn("op", F.lit("I")),
+        key_cols=["doc_id"], op_col="op", seq_col="seq",
+    )
+    pairs = minhash_near_dupes(
+        t.read(), w=5, threshold=0.2, n_hashes=64, n_bands=32, portable=True
+    )
+    dedupe_table(t, pairs, seq=1_000_000)
+    return t.read().select("doc_id", F.length("text").alias("n_chars"))
+
+
+def _canonical_oracle_sql(pairs_sql: str) -> str:
+    """Survivors of canonical dedup: everything except each component's
+    non-minimal members (losers), via the recursive transitive closure."""
+    return f"""
+        WITH RECURSIVE pairs AS ({pairs_sql}),
+        edges AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION
+            SELECT id_b AS u, id_a AS v FROM pairs
+        ),
+        reach(u, lbl) AS (
+            SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM edges) t
+            UNION
+            SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u
+        ),
+        losers AS (
+            SELECT u FROM reach GROUP BY u HAVING u <> min(lbl)
+        )
+        SELECT d.doc_id, CAST(length(d.text) AS INTEGER) AS n_chars
+        FROM documents d
+        WHERE d.doc_id NOT IN (SELECT u FROM losers)
+    """
+
+
 def _cc_oracle_sql(pairs_sql: str) -> str:
     """Recursive-CTE connected components over a pair relation: every node
     collects the labels of everything it can reach; min = component id."""
@@ -1322,6 +1378,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_minhash_near_dup": q_doc_minhash_near_dup,
     "doc_minhash_incremental": q_doc_minhash_incremental,
     "doc_dedup_clusters": q_doc_dedup_clusters,
+    "doc_dedup_canonical": q_doc_dedup_canonical,
     "doc_simhash_near_dup": q_doc_simhash_near_dup,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -1674,6 +1731,8 @@ ORACLES: dict[str, str] = {
     "doc_minhash_incremental": _minhash_oracle_sql(
         n_hashes=64, n_bands=32, threshold=0.2, source=_MINHASH_FINAL_STATE_SQL),
     "doc_dedup_clusters": _cc_oracle_sql(
+        _minhash_oracle_sql(n_hashes=64, n_bands=32, threshold=0.2)),
+    "doc_dedup_canonical": _canonical_oracle_sql(
         _minhash_oracle_sql(n_hashes=64, n_bands=32, threshold=0.2)),
     "doc_simhash_near_dup": _simhash_oracle_sql(bits=60, max_hamming=3),
     "events_asof_error": """
