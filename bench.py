@@ -94,7 +94,11 @@ def run_ops_scale_bench(spark, sf_dir: str, mult: int = 10) -> dict:
     numbers measure scaling of the bucketed algorithms, not fixed overhead."""
     from pyspark.sql import functions as F
 
-    from datax_spark.ops.dedup import minhash_near_dupes, simhash_near_dupes
+    from datax_spark.ops.dedup import (
+        connected_components,
+        minhash_near_dupes,
+        simhash_near_dupes,
+    )
     from datax_spark.ops.similarity import embedding_near_dupes, ivf_topk
 
     d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -135,6 +139,16 @@ def run_ops_scale_bench(spark, sf_dir: str, mult: int = 10) -> dict:
 
     out = {"n_docs": n_docs, "n_vecs": n_vecs, "mult": mult}
     probes = vecs.filter(F.pmod(F.col("vec_id"), F.lit(397)) == 0)
+    # clustering scale point: star-shaped near-dup clusters of size `mult`
+    # per base doc (the realistic dedup shape — every variant near-dups the
+    # base), so CC runs over n_docs edges and n_docs/mult components
+    base_ids = d.select("doc_id")
+    cc_pairs = None
+    for i in range(1, mult):
+        p = base_ids.select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 1_000_000 * i).alias("id_b"))
+        cc_pairs = p if cc_pairs is None else cc_pairs.unionByName(p)
     ops = {
         "minhash_near_dup_sec": lambda: minhash_near_dupes(
             docs, threshold=0.5, n_bands=16),
@@ -146,6 +160,9 @@ def run_ops_scale_bench(spark, sf_dir: str, mult: int = 10) -> dict:
             vecs, threshold=0.97, n_planes=None, n_bands=8, dim=64),
         "ivf_topk_sec": lambda: ivf_topk(probes, vecs, k=5, n_lists=32, n_probe=4),
     }
+    if cc_pairs is not None:
+        ops["cc_cluster_sec"] = lambda: connected_components(
+            cc_pairs, id_out="doc_id")
     # best-of-N, same neighbor-noise rejection as the replay and query sweeps
     trials = int(os.environ.get("DSX_BENCH_OPS_TRIALS", "2"))
     for key, op in ops.items():
@@ -205,6 +222,12 @@ def main() -> None:
             "value": cdc["sustained_events_per_sec"] or cdc["events_per_sec"],
             "unit": "events/sec",
             "queries": query_secs,
+            # fixture-heavy queries build a LakeTable / run CDC applies
+            # INSIDE the timed call — compare their times only against each
+            # other across rounds, not against the pure-Catalyst queries
+            "fixture_queries": sorted(
+                getattr(entry_mod, "FIXTURE_QUERIES", frozenset())
+                & set(query_secs)),
             "sf": float(sf),
             "cdc": cdc,
             "ops_scale": ops_scale,

@@ -59,6 +59,33 @@ from pyspark.sql import DataFrame, Window, functions as F, types as T
 from datax_spark.lake.table import LakeTable
 
 
+def delete_events(table: LakeTable, keys: DataFrame, id_col: str,
+                  op_col: str, seq_col: str, delete_op: str,
+                  seq: int = 0) -> DataFrame:
+    """Build minimal delete events for ``keys``: id + op + seq, every other
+    payload column a typed NULL literal (the MoR merge fold resolves deletes
+    by key/op/seq and never reads a delete's payload). When the table's
+    bucket key differs from ``id_col`` the events must still carry the real
+    bucket-key value to route to the right bucket, so ONLY that column is
+    fetched from the table — the wide payload (text, vectors) never enters
+    the apply's shuffle either way."""
+    snap = table.snapshot()
+    if snap.bucket_key == id_col:
+        ev = keys.select(id_col)
+    else:
+        ev = (
+            table.read(columns=[id_col, snap.bucket_key])
+            .join(keys.select(id_col), id_col, "left_semi")
+        )
+    for f in snap.schema.fields:
+        if f.name not in ev.columns:
+            ev = ev.withColumn(f.name, F.lit(None).cast(f.dataType))
+    return (
+        ev.withColumn(op_col, F.lit(delete_op))
+        .withColumn(seq_col, F.lit(int(seq)).cast("long"))
+    )
+
+
 def dedupe_table(table: LakeTable, pairs: DataFrame, id_col: str = "doc_id",
                  seq: int = 0) -> dict:
     """Delete every non-canonical member of each near-dup cluster from a
@@ -66,9 +93,16 @@ def dedupe_table(table: LakeTable, pairs: DataFrame, id_col: str = "doc_id",
     keeper per cluster, and the losers leave via ONE keyed CDC apply of
     delete events — so the removal is itself a versioned, changelog-visible
     commit (downstream ContinuousAggregates and signature indexes fold it
-    like any other change window). ``seq`` is the delete events' source
-    sequence; pick it above the feed's applied sequences so a replayed feed
-    cannot resurrect the losers. Returns ``{"clusters": n, "deleted": n}``."""
+    like any other change window). The delete events are keys-only (payload
+    columns are NULL literals — see :func:`delete_events`), so a 100-TB
+    corpus never hauls loser text through the apply. ``seq`` is the delete
+    events' source sequence and orders them only WITHIN this one apply
+    batch; cross-commit resolution is newest-generation-wins, so ``seq``
+    does NOT protect against a later re-apply of the original feed —
+    replay protection is the CdcEngine's epoch-manifest skip (a feed
+    re-applied through the engine is recognized and not re-applied; feeds
+    applied outside the engine have no such guard). Returns
+    ``{"clusters": n, "deleted": n}``."""
     from datax_spark.ops.dedup import connected_components
 
     # reuse the table's recorded merge convention: existing MoR delta files
@@ -79,23 +113,18 @@ def dedupe_table(table: LakeTable, pairs: DataFrame, id_col: str = "doc_id",
     seq_col = props.get("merge_seq_col", "seq")
     delete_op = props.get("merge_delete_op", "D")
 
+    # connected_components returns an eager localCheckpoint, so reusing
+    # `cc` below (losers + cluster count) does not recompute the loop
     cc = connected_components(pairs, id_out=id_col)
     losers = cc.filter(F.col(id_col) != F.col("cluster_id")).select(id_col)
-    ev = (
-        table.read().join(losers, id_col, "inner")
-        .withColumn(op_col, F.lit(delete_op))
-        .withColumn(seq_col, F.lit(int(seq)).cast("long"))
-        .persist()
-    )
-    try:
-        n = ev.count()
-        n_clusters = cc.select("cluster_id").distinct().count()
-        if n:
-            table.apply_cdc(ev, key_cols=[id_col],
-                            op_col=op_col, seq_col=seq_col,
-                            delete_op=delete_op)
-    finally:
-        ev.unpersist()
+    ev = delete_events(table, losers, id_col, op_col, seq_col, delete_op,
+                       seq=seq)
+    n = ev.count()
+    n_clusters = cc.select("cluster_id").distinct().count()
+    if n:
+        table.apply_cdc(ev, key_cols=[id_col],
+                        op_col=op_col, seq_col=seq_col,
+                        delete_op=delete_op)
     return {"clusters": n_clusters, "deleted": n}
 
 
@@ -323,7 +352,20 @@ class EmbeddingLshIndex(_ChangelogIndex):
             .select("id_a", "id_b")
             .distinct()
         )
-        s = self.base.read().select(idc, self.vec_col)
+        # semi-join prune: fetch vectors ONLY for candidate ids, so the plan
+        # never shuffles the full corpus vectors regardless of AQE broadcast
+        # thresholds. Referencing the pair subtree twice re-derives it from
+        # the MATERIALIZED signature table — a cheap ids+bands scan, the same
+        # prune=True justification as MinHashIndex.near_dups.
+        cand_ids = (
+            pairs.select(F.col("id_a").alias(idc))
+            .union(pairs.select(F.col("id_b").alias(idc)))
+            .distinct()
+        )
+        s = (
+            self.base.read(columns=[idc, self.vec_col])
+            .join(cand_ids, idc, "left_semi")
+        )
         va = s.select(F.col(idc).alias("id_a"), F.col(self.vec_col).alias("_va"))
         vb = s.select(F.col(idc).alias("id_b"), F.col(self.vec_col).alias("_vb"))
         return (
@@ -379,8 +421,15 @@ class EmbeddingLshIndex(_ChangelogIndex):
             .distinct()
         )
         pv = probes.select(F.col(idc).alias("probe_id"), F.col(vc).alias("_probev"))
-        nv = self.base.read().select(
-            F.col(idc).alias("neighbor_id"), F.col(vc).alias("_neighborv"))
+        # semi-join prune (same rationale as near_dups): only candidate
+        # neighbors' vectors are fetched; re-deriving `cand` for the semi
+        # side is a cheap scan of the materialized signature table
+        nv = (
+            self.base.read(columns=[idc, vc])
+            .join(cand.select(F.col("neighbor_id").alias(idc)).distinct(),
+                  idc, "left_semi")
+            .select(F.col(idc).alias("neighbor_id"), F.col(vc).alias("_neighborv"))
+        )
         scored = (
             cand.join(F.broadcast(pv), "probe_id")
             .join(nv, "neighbor_id")

@@ -94,7 +94,11 @@ class AggSpec:
             if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
                 out = T.LongType()
             elif isinstance(dt, T.DecimalType):
-                out = dt
+                # a maintained running SUM can exceed the source's exact
+                # precision; widen the way Spark's own sum(decimal) does
+                # (precision+10 capped at 38, same scale) so long-lived
+                # rollups don't silently overflow to NULL
+                out = T.DecimalType(min(dt.precision + 10, 38), dt.scale)
             else:
                 out = T.DoubleType()
             fields.append(T.StructField(c, out, True))

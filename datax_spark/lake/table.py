@@ -1127,6 +1127,16 @@ class LakeTable:
         part of the folded change log); the diff path emits only effective
         state changes. Raises if a snapshot in the range was expired by
         ``vacuum()``.
+
+        Precondition for ``include_preimages=True``: keyed-unique state —
+        the table must be maintained through keyed merges (``apply_cdc`` /
+        the engine), so that each key holds at most one live row per
+        snapshot. An ``append()`` batch with duplicate keys, or an
+        append-only table whose key falls back to the (non-unique)
+        bucket key, multiplies the classification join's rows into inflated
+        pre/post pairs — which would double-count in additive consumers
+        like ContinuousAggregate. The plain (``include_preimages=False``)
+        changelog has no such requirement.
         """
         end = self.current_version() if end_version is None else end_version
         if end is None:

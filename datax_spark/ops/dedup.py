@@ -429,6 +429,14 @@ def connected_components(
 
     Only docs that appear in some pair are returned — singletons are their
     own trivial cluster and are left to the caller (a left-anti join).
+
+    Durability: the result is an EAGER ``localCheckpoint`` — computed once,
+    blocks pinned on executors with lineage truncated. On a long-lived
+    cluster an executor loss after return makes downstream actions on the
+    result fail unrecoverably (unlike a reliable checkpoint); callers that
+    need the clustering to survive executor churn should write it to
+    storage immediately (``dedupe_table`` does — the clusters feed one CDC
+    apply right away, which is itself the durable artifact).
     """
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))

@@ -108,6 +108,67 @@ def query_sql(driver: str, database: str, sql: str,
         conn.close()
 
 
+_STR_RADIX = 128
+
+
+def _string_to_bigint(s: str, length: int) -> int:
+    """Fixed-length base-128 encoding of an ASCII string — RangeSplitUtil
+    .stringToBigInteger analog (``RangeSplitUtil.doAsciiStringSplit:14-30``).
+    Padding positions encode as digit 0 (< any real char), and a leading
+    1-digit preserves magnitude, so the mapping is order-isomorphic to
+    lexicographic ASCII comparison for strings up to ``length`` chars —
+    exactly what makes the derived range predicates partition correctly."""
+    n = 1
+    for i in range(length):
+        d = ord(s[i]) if i < len(s) else 0
+        if d >= _STR_RADIX:
+            raise ValueError(f"non-ASCII char in splitPk value: {s!r}")
+        n = n * _STR_RADIX + d
+    return n
+
+
+def _bigint_to_string(n: int, length: int) -> str:
+    digits = []
+    for _ in range(length):
+        n, d = divmod(n, _STR_RADIX)
+        digits.append(d)
+    return "".join(chr(d) for d in reversed(digits)).rstrip("\x00")
+
+
+def _sql_literal(v) -> str:
+    """Render a split boundary as a SQL literal (strings/dates quoted with
+    doubled single-quotes; numbers pass through)."""
+    if isinstance(v, (int, float)):
+        return repr(v)
+    s = str(v).replace("'", "''")
+    return f"'{s}'"
+
+
+def _quantile_boundaries(driver, database, table, split_pk, where,
+                         num_partitions, connect_args,
+                         sample_fn="RANDOM()", sample_rows=2000) -> list:
+    """Sample-based quantile boundaries for splitPk types without range
+    arithmetic (dates, mixed-collation strings) — the reference does the
+    same for Oracle via a random-sample query
+    (``SingleTableSplitUtil.genSplitSqlForOracle:317-412``)."""
+    guard = f"({where}) AND " if where else ""
+    rows = query_sql(
+        driver, database,
+        f"SELECT {split_pk} FROM {table} WHERE {guard}{split_pk} IS NOT NULL "
+        f"ORDER BY {sample_fn} LIMIT {int(sample_rows)}",
+        connect_args,
+    )
+    vals = sorted(r[0] for r in rows)
+    if not vals:
+        return []
+    bounds = []
+    for i in range(1, num_partitions):
+        b = vals[min(len(vals) - 1, (i * len(vals)) // num_partitions)]
+        if not bounds or b > bounds[-1]:
+            bounds.append(b)
+    return bounds
+
+
 def build_split_queries(
     driver: str,
     database: str,
@@ -117,17 +178,31 @@ def build_split_queries(
     split_pk: str | None,
     num_partitions: int,
     connect_args: dict | None = None,
+    hint: str | None = None,
 ) -> list[str]:
     """Range-split a table read into per-task SQL (SingleTableSplitUtil
     .splitSingleTable:35-129 parity): MIN/MAX of ``splitPk`` under ``where``,
-    even integer ranges [lo, hi) with the last range inclusive, plus the
+    even ranges [lo, hi) with the last range inclusive, plus the
     ``splitPk IS NULL`` residual slice (:113-126) so NULL-key rows are never
     dropped. Without a splitPk the read is one task — the reference behaves
     identically (parallelism ineffective without split,
-    mysqlreader.md:292-302)."""
+    mysqlreader.md:292-302).
+
+    SplitPk types: integers split by even bigint ranges
+    (``RangeSplitUtil.doBigIntegerSplit:43-93``); ASCII strings by base-128
+    bigint ranges (``RangeSplitUtil.doAsciiStringSplit:14-30``); anything
+    else (dates, non-ASCII strings) by sampled quantile boundaries
+    (``SingleTableSplitUtil.genSplitSqlForOracle:317-412`` analog). All
+    three shapes tile the non-NULL key space exactly once.
+
+    ``hint`` is injected right after SELECT in every split query — the
+    reference's jdbc reader hint knob (``OriginalConfPretreatmentUtil``),
+    the lever DBAs use to force an index or parallel scan on the source.
+    """
     cols = ", ".join(columns) if columns and columns != ["*"] else "*"
+    sel = f"SELECT {hint} {cols}" if hint else f"SELECT {cols}"
     base_where = f" WHERE {where}" if where else ""
-    base = f"SELECT {cols} FROM {table}"
+    base = f"{sel} FROM {table}"
     if not split_pk or num_partitions <= 1:
         return [base + base_where]
     guard = f"({where}) AND " if where else ""
@@ -148,7 +223,7 @@ def build_split_queries(
         # single distinct non-NULL value: one guarded slice; the IS NULL
         # residual below picks up the NULL-key rows exactly once
         out.append(f"{base} WHERE {guard}{split_pk} IS NOT NULL")
-    else:
+    elif isinstance(lo, int) and isinstance(hi, int):
         # even BigInteger-style ranges (RangeSplitUtil.doBigIntegerSplit:43-93)
         span = hi - lo + 1
         step, rem = divmod(span, num_partitions)
@@ -164,6 +239,36 @@ def build_split_queries(
                 f"{op_hi} {nxt - 1 if op_hi == '<=' else nxt}"
             )
             cur = nxt
+    else:
+        bounds = None
+        if isinstance(lo, str) and isinstance(hi, str):
+            try:
+                length = max(len(lo), len(hi))
+                blo, bhi = (_string_to_bigint(lo, length),
+                            _string_to_bigint(hi, length))
+                step, rem = divmod(bhi - blo, num_partitions)
+                cuts, cur = [], blo
+                for i in range(num_partitions - 1):
+                    cur += step + (1 if i < rem else 0)
+                    cuts.append(_bigint_to_string(cur, length))
+                bounds = [b for i, b in enumerate(cuts)
+                          if lo < b <= hi and (i == 0 or b > cuts[i - 1])]
+            except ValueError:
+                bounds = None  # non-ASCII → sampled quantiles below
+        if bounds is None:
+            bounds = _quantile_boundaries(
+                driver, database, table, split_pk, where,
+                num_partitions, connect_args)
+            bounds = [b for b in bounds if lo < b <= hi]
+        edges = [lo, *bounds]
+        for i, b in enumerate(edges):
+            lo_pred = f"{split_pk} >= {_sql_literal(b)}"
+            if i + 1 < len(edges):
+                out.append(f"{base} WHERE {guard}{lo_pred} AND "
+                           f"{split_pk} < {_sql_literal(edges[i + 1])}")
+            else:
+                out.append(f"{base} WHERE {guard}{lo_pred} AND "
+                           f"{split_pk} <= {_sql_literal(hi)}")
     out.append(f"{base} WHERE {guard}{split_pk} IS NULL")
     return out
 
@@ -181,6 +286,8 @@ def dbapi_read(
     query_sqls: list[str] | None = None,
     fetch_size: int = 2048,
     connect_args: dict | None = None,
+    session: list[str] | None = None,
+    hint: str | None = None,
 ) -> DataFrame:
     """Parallel DB read over any DB-API 2.0 driver — the reference's
     CommonRdbmsReader.java:42-353 semantics, testable in-sandbox against a
@@ -199,6 +306,12 @@ def dbapi_read(
     - ``schema`` (DDL string) fixes the output types; DB-API cursors don't
       expose reliable type metadata, same reason the reference requires a
       ``column`` spec with types on file sources.
+    - ``session``: statements executed on EVERY task connection before its
+      split query (``CommonRdbmsReader.Task.startRead`` session parity —
+      the per-connection isolation/timeout/sort_buffer knobs DBAs use to
+      tame a production extract); ``hint`` is injected after SELECT in the
+      generated split queries (ignored in ``query_sqls`` mode, where the
+      user controls the SQL text).
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
@@ -210,10 +323,11 @@ def dbapi_read(
             raise ValueError("dbapi_read needs table= or query_sqls=")
         query_sqls = build_split_queries(
             driver, database, table, columns or names, where,
-            split_pk, num_partitions, connect_args,
+            split_pk, num_partitions, connect_args, hint=hint,
         )
     raw_schema = ", ".join(f"`{n}` string" for n in names)
     cargs = connect_args or {}
+    session_sqls = list(session or [])
 
     def read_split(batches):
         import pandas as pd
@@ -223,6 +337,8 @@ def dbapi_read(
                 conn = _connect(driver, database, cargs)
                 try:
                     cur = conn.cursor()
+                    for stmt in session_sqls:
+                        cur.execute(stmt)
                     cur.execute(sql)
                     while True:
                         rows = cur.fetchmany(fetch_size)
@@ -256,10 +372,13 @@ def dbapi_write(
     connect_args: dict | None = None,
     max_tasks: int | None = None,
     dialect: str | None = None,
+    session: list[str] | None = None,
 ) -> dict:
     """Write ``df`` into a DB-API target with keyed write semantics.
 
-    Returns ``{"written": n, "dirty": n, "dirty_reasons": {...}}``.
+    ``session`` statements run on every task connection before its batches
+    (``WriterUtil.dealSessionConfig`` parity). Returns
+    ``{"written": n, "dirty": n, "dirty_reasons": {...}}``.
     """
     dialect = dialect or ("sqlite" if driver == "sqlite3" else driver)
     columns = list(df.columns)
@@ -270,6 +389,7 @@ def dbapi_write(
         df = df.coalesce(max_tasks)
 
     cargs = dict(connect_args or {})
+    session_sqls = list(session or [])
 
     def write_partition(arrow_batches):
         # self-contained closure: only stdlib/pyarrow imports, no module-level
@@ -291,6 +411,8 @@ def dbapi_write(
         if driver == "sqlite3":
             conn.execute("PRAGMA busy_timeout = 60000")
         cur = conn.cursor()
+        for stmt in session_sqls:
+            cur.execute(stmt)
         written = 0
         dirty: list[tuple] = []
         reasons: dict[str, int] = {}

@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import json
 import os
+from collections import OrderedDict
 from typing import Iterator, Sequence
 
 from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPartition
@@ -108,6 +109,44 @@ class LakeChangelogStreamReader(DataSourceStreamReader):
         self.stream_schema_json = json.dumps(schema.jsonValue())
         # driver-side pacing state; re-seeded by partitions() after a restart
         self._base: int | None = self.start_version
+        # LRU caches across triggers: snapshots are IMMUTABLE once published
+        # (atomic create-if-absent), so caching by version is always sound.
+        # Without these, latestOffset + partitions re-parse the manifest JSON
+        # of every version in the window on EVERY trigger — O(lag x manifest
+        # bytes) of driver JSON parsing for a stream catching up on a
+        # many-bucket table. One parse (and one classify) per version per
+        # reader lifetime instead.
+        self._snap_cache: OrderedDict[int, object] = OrderedDict()
+        self._plan_cache: OrderedDict[int, object] = OrderedDict()
+
+    _CACHE_SIZE = 128  # bounds driver memory for deep catch-up windows
+
+    def _snapshot(self, version: int):
+        c = self._snap_cache
+        if version in c:
+            c.move_to_end(version)
+            return c[version]
+        snap = _load_snapshot(self.root, version)
+        c[version] = snap
+        if len(c) > self._CACHE_SIZE:
+            c.popitem(last=False)
+        return snap
+
+    def _plan(self, parent, cur):
+        """classify_commit, cached by the child version (parents are always
+        the immediately preceding snapshot on both call paths)."""
+        c = self._plan_cache
+        v = cur.version
+        if v in c:
+            c.move_to_end(v)
+            return c[v]
+        from datax_spark.lake.table import classify_commit
+
+        plan = classify_commit(parent, cur)
+        c[v] = plan
+        if len(c) > self._CACHE_SIZE:
+            c.popitem(last=False)
+        return plan
 
     # ------------------------------------------------------------- offsets
 
@@ -127,15 +166,13 @@ class LakeChangelogStreamReader(DataSourceStreamReader):
         if self.max_versions is not None:
             end = min(end, base + self.max_versions)
         if self.max_changes is not None:
-            from datax_spark.lake.table import classify_commit
-
             # accumulate whole commits until the row estimate would exceed
             # the cap; always take at least one (a commit is atomic)
             est, chosen = 0, base
-            parent = _load_snapshot(self.root, base)
+            parent = self._snapshot(base)
             for v in range(base + 1, end + 1):
-                snap = _load_snapshot(self.root, v)
-                plan = classify_commit(parent, snap)
+                snap = self._snapshot(v)
+                plan = self._plan(parent, snap)
                 parent = snap
                 rows = plan["est_rows"] if plan else 0
                 if chosen > base and est + rows > self.max_changes:
@@ -154,23 +191,21 @@ class LakeChangelogStreamReader(DataSourceStreamReader):
     # ----------------------------------------------------------- planning
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
-        from datax_spark.lake.table import classify_commit
-
         s, e = int(start["version"]), int(end["version"])
         self._base = max(e, self._base or 0)  # re-seed pacing after restart
         parts: list[InputPartition] = []
         if e <= s:
             return parts
         try:
-            parent = _load_snapshot(self.root, s)
+            parent = self._snapshot(s)
         except FileNotFoundError as err:
             raise ValueError(
                 f"changelog for v{s + 1} unavailable: snapshot expired "
                 f"(vacuum keep_last too small for this stream's lag)"
             ) from err
         for v in range(s + 1, e + 1):
-            cur = _load_snapshot(self.root, v)
-            plan = classify_commit(parent, cur)
+            cur = self._snapshot(v)
+            plan = self._plan(parent, cur)
             if plan is not None:
                 common = {
                     "root": self.root,

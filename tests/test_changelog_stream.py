@@ -235,3 +235,37 @@ def test_composes_with_stateful_session_tracker(spark, tmp_path):
     assert last["c1"].n_deletes == want_deletes.get("c1", 0) > 0
     assert last["c0"].n_events >= 2  # insert + patched upsert
     assert all(not r.closed for r in rows)
+
+
+def test_snapshot_cache_one_parse_per_version(spark, tmp_path, monkeypatch):
+    """Driver-side cost guard: the reader parses each version's manifest
+    JSON (and classifies each commit) at most ONCE per reader lifetime, no
+    matter how many triggers re-scan the same window — latestOffset with
+    row pacing plus partitions() used to re-parse every version on every
+    call (O(lag x manifest bytes) per trigger)."""
+    import datax_spark.streaming.changelog as cl
+
+    t = _mk(spark, tmp_path)
+    _mixed_history(spark, t)  # v1..v4
+
+    loads: list[int] = []
+    real_load = cl._load_snapshot
+
+    def counting_load(root, version):
+        loads.append(version)
+        return real_load(root, version)
+
+    monkeypatch.setattr(cl, "_load_snapshot", counting_load)
+
+    reader = cl.LakeChangelogStreamReader(
+        {"root": str(t.root), "startingversion": "0",
+         "maxchangespertrigger": "1000000"},
+        t.snapshot().schema,
+    )
+    # simulate several trigger cycles over the same catch-up window
+    for _ in range(3):
+        end = reader.latestOffset()
+        reader.partitions({"version": 0}, end)
+        reader._base = 0  # rewind pacing so the next cycle re-covers v0..v4
+    assert sorted(set(loads)) == [0, 1, 2, 3, 4]
+    assert len(loads) == 5, f"re-parsed versions: {sorted(loads)}"

@@ -286,3 +286,88 @@ def test_db_to_db_sync_job(spark, tmp_path):
     assert len(got) == 200
     assert got[5] == (5, "n5", 5.0)  # stale row upserted by key
     assert stats["contents"][0]["writer_result"]["written"] == 200
+
+
+def test_split_queries_string_pk(tmp_path):
+    """String splitPk splits via base-128 bigint arithmetic
+    (RangeSplitUtil.doAsciiStringSplit:14-30 analog): N non-empty slices
+    whose union equals the full table, NULL residual intact."""
+    from datax_spark.sources.dbapi import build_split_queries
+
+    db = str(tmp_path / "s.db")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE ev (pk TEXT, v INTEGER)")
+    con.executemany("INSERT INTO ev VALUES (?, ?)",
+                    [(f"user-{i:04d}", i) for i in range(400)])
+    con.execute("INSERT INTO ev VALUES (NULL, -1)")
+    con.commit(); con.close()
+
+    qs = build_split_queries("sqlite3", db, "ev", ["pk", "v"], None, "pk", 4)
+    assert qs[-1].endswith("pk IS NULL")
+    counts = [len(query_sql("sqlite3", db, q)) for q in qs]
+    assert sum(counts) == 401          # union == full table, no dup/loss
+    assert counts[-1] == 1             # the NULL residual
+    ranges = counts[:-1]
+    assert len(ranges) == 4 and all(c > 0 for c in ranges)  # N non-empty
+
+
+def test_split_queries_string_pk_with_where(tmp_path):
+    from datax_spark.sources.dbapi import build_split_queries
+
+    db = str(tmp_path / "sw.db")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE ev (pk TEXT, v INTEGER)")
+    con.executemany("INSERT INTO ev VALUES (?, ?)",
+                    [(f"k{i:03d}", i) for i in range(300)])
+    con.commit(); con.close()
+    qs = build_split_queries("sqlite3", db, "ev", ["pk"], "v < 200", "pk", 3)
+    total = sum(len(query_sql("sqlite3", db, q)) for q in qs)
+    assert total == 200
+
+
+def test_split_queries_quantile_fallback_for_dates(tmp_path):
+    """Non-integer, non-ASCII-string splitPk (dates) falls back to sampled
+    quantile boundaries (genSplitSqlForOracle:317-412 analog)."""
+    from datax_spark.sources import dbapi
+    from datax_spark.sources.dbapi import build_split_queries
+
+    db = str(tmp_path / "q.db")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE ev (d REAL, v INTEGER)")  # REAL pk: no int path
+    con.executemany("INSERT INTO ev VALUES (?, ?)",
+                    [(i + 0.5, i) for i in range(250)])
+    con.execute("INSERT INTO ev VALUES (NULL, -1)")
+    con.commit(); con.close()
+
+    qs = build_split_queries("sqlite3", db, "ev", ["d", "v"], None, "d", 4)
+    counts = [len(query_sql("sqlite3", db, q)) for q in qs]
+    assert sum(counts) == 251
+    assert len([c for c in counts[:-1] if c > 0]) >= 3  # quantiles spread
+
+
+def test_session_statements_run_per_connection(spark, tmp_path):
+    """`session` executes on every task connection BEFORE the split query —
+    visible here because the session statement creates a temp view the
+    split query then reads (CommonRdbmsReader.Task.startRead parity)."""
+    from datax_spark.sources.dbapi import dbapi_read
+
+    db = _mk_db(tmp_path, n=100)
+    df = dbapi_read(
+        spark, "sqlite3", db, "id long, name string",
+        query_sqls=["SELECT id, name FROM sess_view WHERE id < 50",
+                    "SELECT id, name FROM sess_view WHERE id >= 50"],
+        session=["CREATE TEMP VIEW sess_view AS SELECT id, name FROM ev "
+                 "WHERE id IS NOT NULL"],
+    )
+    assert df.count() == 100  # both connections saw their session view
+
+
+def test_hint_injected_after_select(tmp_path):
+    from datax_spark.sources.dbapi import build_split_queries
+
+    db = _mk_db(tmp_path, n=10)
+    qs = build_split_queries("sqlite3", db, "ev", ["id", "name"], None,
+                             "id", 2, hint="/*+ parallel(4) */")
+    assert all(q.startswith("SELECT /*+ parallel(4) */ id, name") for q in qs)
+    total = sum(len(query_sql("sqlite3", db, q)) for q in qs)
+    assert total == 11

@@ -185,3 +185,47 @@ def test_dedupe_table_in_place_and_index_follows(spark, tmp_path, base):
     assert _pairs(idx.near_dups(N_BANDS, THRESHOLD)) == _batch(base)
     # a deduped corpus has no remaining near-dup pairs above threshold
     assert _pairs(idx.near_dups(N_BANDS, THRESHOLD)) == []
+
+
+def test_delete_events_carry_no_payload(spark, tmp_path, base):
+    """The dedupe apply's delete events are keys-only: when the table is
+    bucketed by the id, the event plan never touches the base table at all
+    (no loser text flows through persist/shuffle/write), and payload columns
+    are NULL literals."""
+    from datax_spark.cdc.dedup_index import delete_events
+
+    losers = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    ev = delete_events(base, losers, "doc_id", "op", "seq", "D", seq=7)
+    plan = ev._jdf.queryExecution().optimizedPlan().toString()
+    assert str(base.root) not in plan  # built from keys + literals only
+    rows = ev.orderBy("doc_id").collect()
+    assert [r["doc_id"] for r in rows] == [1, 2]
+    assert all(r["text"] is None and r["op"] == "D" and r["seq"] == 7
+               for r in rows)
+
+
+def test_dedupe_table_nonbucket_id_routes_correctly(spark, tmp_path):
+    """When the bucket key differs from the dedup id, delete events fetch
+    ONLY the bucket-key column (never the wide payload) and still route to
+    the right buckets — final state equals a batch anti-join."""
+    from datax_spark.cdc.dedup_index import dedupe_table
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("grp", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ])
+    t = LakeTable.create(spark, str(tmp_path / "g"), schema, "grp", n_buckets=4)
+    rows = [(i, f"g{i % 5}", _mk_text(i % 3, mut=i // 3), i + 1, "I")
+            for i in range(12)]
+    t.apply_cdc_stats(
+        spark.createDataFrame(
+            rows, "doc_id long, grp string, text string, seq long, op string"),
+        key_cols=["doc_id"], op_col="op", seq_col="seq",
+    )
+    pairs = spark.createDataFrame(
+        [(0, 3), (3, 6), (1, 4)], "id_a long, id_b long")
+    r = dedupe_table(t, pairs, id_col="doc_id", seq=100)
+    assert r == {"clusters": 2, "deleted": 3}
+    kept = sorted(x[0] for x in t.read().select("doc_id").collect())
+    assert kept == [0, 1, 2, 5, 7, 8, 9, 10, 11]
