@@ -36,6 +36,8 @@ import json
 import os
 import time
 import uuid
+from collections import OrderedDict
+from collections.abc import Mapping
 from dataclasses import dataclass
 from typing import Iterable
 
@@ -191,7 +193,12 @@ def _make_bucket_processor(payload_cols, key_cols, seq_col, op_col, delete_op,
     the merged bucket is sorted by the given columns and split into
     range-disjoint files, so the manifest zone maps recorded per file become
     tight and selective — the OPTIMIZE ... ZORDER shape that makes
-    ``read(where=...)`` file pruning effective on the sort columns."""
+    ``read(where=...)`` file pruning effective on the sort columns.
+
+    ``DSX_WRITE_STATS=0`` (read on the DRIVER at kernel-build time, shipped
+    by value) skips footer zone-map recording — the A/B lever for isolating
+    stats cost in the write path; pruning then simply sees no stats."""
+    record_stats = os.environ.get("DSX_WRITE_STATS", "1") != "0"
 
     def process(b, ev, files):
         import os as _os
@@ -278,7 +285,8 @@ def _make_bucket_processor(payload_cols, key_cols, seq_col, op_col, delete_op,
             entry["path"] = _os.path.join(staging_rel, name)
             entry["rows"] = ev_latest.num_rows
             entry["kind"] = "delta"
-            entry["stats"] = _json.dumps(_footer_stats(full))
+            if record_stats:
+                entry["stats"] = _json.dumps(_footer_stats(full))
             return [entry]
 
         # full merge / compaction: newest-gen-wins cascade. Walk layers
@@ -334,12 +342,89 @@ def _make_bucket_processor(payload_cols, key_cols, seq_col, op_col, delete_op,
                 e = dict(entry)
                 e["path"] = _os.path.join(staging_rel, name)
                 e["rows"] = chunk.num_rows
-                e["stats"] = _json.dumps(_footer_stats(full))
+                if record_stats:
+                    e["stats"] = _json.dumps(_footer_stats(full))
                 out_entries.append(e)
             return out_entries
         return [entry]
 
     return process
+
+
+def _enc_ref(bucket: str, ref: dict) -> list:
+    """Compact on-disk manifest ref: [uuid-hex, files, rows, deltas01] —
+    the path prefix ``m-{bucket}-`` and ``.json`` suffix reconstruct from
+    the bucket id, so a 4096-bucket manifest list stays small."""
+    suffix = ref["path"]
+    prefix = f"m-{bucket}-"
+    if suffix.startswith(prefix) and suffix.endswith(".json"):
+        suffix = suffix[len(prefix):-5]
+    return [suffix, ref["files"], ref["rows"], 1 if ref["deltas"] else 0]
+
+
+def _dec_ref(bucket: str, enc: list) -> dict:
+    return {
+        "path": f"m-{bucket}-{enc[0]}.json",
+        "files": enc[1],
+        "rows": enc[2],
+        "deltas": bool(enc[3]),
+    }
+
+
+# decoded FULL manifest lists by (meta_dir, version): full lists are
+# immutable once published, so sharing across Snapshot loads is sound
+_BASE_REFS_CACHE: "OrderedDict[tuple, dict]" = OrderedDict()
+
+
+class _LazyFiles(Mapping):
+    """Per-bucket manifest loader: a dict-shaped view over the snapshot's
+    manifest refs that parses each bucket's manifest file ONLY when that
+    bucket is actually touched (and caches it). Full-table scans still load
+    everything — they read every file anyway — but bucket-pruned reads,
+    keyed lookups, colocated merges, and changelog classification now parse
+    O(touched buckets) of metadata instead of one monolithic JSON."""
+
+    def __init__(self, fs: LakeFS, meta_dir: str, refs: dict[str, dict]):
+        self._fs = fs
+        self._meta = meta_dir
+        self._refs = refs
+        self._cache: dict[str, list[dict]] = {}
+
+    def __getitem__(self, bucket: str) -> list[dict]:
+        fl = self._cache.get(bucket)
+        if fl is None:
+            ref = self._refs[bucket]  # KeyError propagates, dict-style
+            fl = json.loads(
+                self._fs.read_text(os.path.join(self._meta, ref["path"])))
+            self._cache[bucket] = fl
+        return fl
+
+    def __iter__(self):
+        return iter(self._refs)
+
+    def __len__(self) -> int:
+        return len(self._refs)
+
+
+class _OverlayFiles(Mapping):
+    """Base files mapping + per-bucket overrides — lets a commit carry the
+    parent's untouched buckets WITHOUT loading their manifests."""
+
+    def __init__(self, base: Mapping, overlay: dict[str, list[dict]]):
+        self._base = base
+        self._overlay = overlay
+        self._keys = list(dict.fromkeys([*base, *overlay]))
+
+    def __getitem__(self, bucket: str) -> list[dict]:
+        if bucket in self._overlay:
+            return self._overlay[bucket]
+        return self._base[bucket]
+
+    def __iter__(self):
+        return iter(self._keys)
+
+    def __len__(self) -> int:
+        return len(self._keys)
 
 
 @dataclass
@@ -353,18 +438,42 @@ class Snapshot:
     # kind/gen absent => base/0 (pre-MoR snapshots). A "delta" file holds the
     # latest-per-key upserts+deletes of one apply (Iceberg-v2-equality-delete
     # style); readers/compaction resolve newest-gen-wins per key.
-    files: dict[str, list[dict]]
+    # May be a plain dict (in-memory / legacy format) or a _LazyFiles view
+    # over per-bucket manifest files (segmented format).
+    files: Mapping
     properties: dict
+    # Segmented metadata (Iceberg manifest-list analog): bucket id ->
+    # {"path": manifest file name, "files": n, "rows": n, "deltas": bool}.
+    # None for legacy monolithic snapshots and hand-built Snapshot objects.
+    # Always the MERGED view (full), regardless of how it was stored.
+    manifest_refs: dict | None = None
+    # How the manifest list was stored on disk: version of the nearest FULL
+    # list, and this snapshot's cumulative delta against it (bucket -> ref,
+    # or None for a removed bucket). A full-form snapshot has
+    # manifest_base == its own version and an empty delta. The next commit
+    # extends the delta until it exceeds the rewrite threshold.
+    manifest_base: int | None = None
+    manifest_delta: dict | None = None
 
     def total_rows(self) -> int:
         """PHYSICAL rows across data files. On MoR snapshots delta layers
         include delete markers and superseded key versions, so this
         over-counts live rows — use :meth:`LakeTable.live_row_count` (a
         merged read) for the logical table size."""
+        if self.manifest_refs is not None:
+            return sum(r["rows"] for r in self.manifest_refs.values())
         return sum(f["rows"] for fl in self.files.values() for f in fl)
 
     def has_deltas(self, buckets=None) -> bool:
         wanted = None if buckets is None else {str(b) for b in buckets}
+        if self.manifest_refs is not None:
+            # metadata-only answer from the manifest-list summaries: no
+            # per-bucket manifest is parsed
+            return any(
+                r["deltas"]
+                for b, r in self.manifest_refs.items()
+                if wanted is None or b in wanted
+            )
         return any(
             f.get("kind", "base") == "delta"
             for b, fl in self.files.items()
@@ -373,23 +482,90 @@ class Snapshot:
         )
 
     def to_json(self) -> dict:
+        """Full (monolithic) JSON form — materializes every bucket's file
+        list; the publish path uses :meth:`meta_json` instead."""
         return {
             "version": self.version,
             "schema": self.schema.jsonValue(),
             "partition": {"kind": "bucket", "key": self.bucket_key, "n": self.n_buckets},
-            "files": self.files,
+            "files": {b: list(fl) for b, fl in self.files.items()},
+            "properties": self.properties,
+        }
+
+    def meta_json(self) -> dict:
+        """Segmented JSON form (FULL manifest list): the snapshot carries
+        only per-bucket refs + summaries; file lists live in per-bucket
+        manifest files. ``_commit`` usually stores the cheaper DELTA form
+        instead (``manifests_base``/``manifests_delta``) — see
+        :meth:`from_json` for both."""
+        return {
+            "version": self.version,
+            "schema": self.schema.jsonValue(),
+            "partition": {"kind": "bucket", "key": self.bucket_key, "n": self.n_buckets},
+            "manifests": {b: _enc_ref(b, r) for b, r in self.manifest_refs.items()},
             "properties": self.properties,
         }
 
     @staticmethod
-    def from_json(d: dict) -> "Snapshot":
+    def from_json(d: dict, fs: LakeFS | None = None,
+                  meta_dir: str | None = None) -> "Snapshot":
+        refs = None
+        base = None
+        delta = None
+        if "manifests" in d:
+            refs = {b: _dec_ref(b, e) for b, e in d["manifests"].items()}
+            base, delta = d["version"], {}
+        elif "manifests_base" in d:
+            # delta form: merge the nearest FULL list with this snapshot's
+            # cumulative delta — at most two small JSON parses per load,
+            # and the base's decoded refs are cached process-wide (full
+            # lists are immutable), so a stream catching up over many
+            # versions parses each base once, not once per version
+            if fs is None or meta_dir is None:
+                raise ValueError(
+                    "segmented snapshot needs fs + meta_dir to resolve "
+                    "its manifest-list base")
+            base = int(d["manifests_base"])
+            ck = (meta_dir, base)
+            cached = _BASE_REFS_CACHE.get(ck)
+            if cached is None:
+                bd = json.loads(
+                    fs.read_text(os.path.join(meta_dir, _snapshot_name(base))))
+                if "manifests" not in bd:
+                    raise ValueError(
+                        f"manifest-list base v{base} is not a full-form snapshot")
+                cached = {b: _dec_ref(b, e) for b, e in bd["manifests"].items()}
+                _BASE_REFS_CACHE[ck] = cached
+                if len(_BASE_REFS_CACHE) > 8:
+                    _BASE_REFS_CACHE.popitem(last=False)
+            else:
+                _BASE_REFS_CACHE.move_to_end(ck)
+            refs = dict(cached)  # ref values shared + treated immutable
+            delta = {b: (_dec_ref(b, e) if e is not None else None)
+                     for b, e in d["manifests_delta"].items()}
+            for b, r in delta.items():
+                if r is None:
+                    refs.pop(b, None)
+                else:
+                    refs[b] = r
+        if refs is not None:
+            if fs is None or meta_dir is None:
+                raise ValueError(
+                    "segmented snapshot needs fs + meta_dir to resolve "
+                    "per-bucket manifests")
+            files: Mapping = _LazyFiles(fs, meta_dir, refs)
+        else:
+            files = d["files"]
         return Snapshot(
             version=d["version"],
             schema=T.StructType.fromJson(d["schema"]),
             bucket_key=d["partition"]["key"],
             n_buckets=d["partition"]["n"],
-            files=d["files"],
+            files=files,
             properties=d.get("properties", {}),
+            manifest_refs=refs,
+            manifest_base=base,
+            manifest_delta=delta,
         )
 
 
@@ -646,7 +822,17 @@ def classify_commit(parent: "Snapshot", cur: "Snapshot") -> dict | None:
     insert_buckets: list[int] = []
     diff_buckets: list[int] = []
     est = 0
-    all_buckets = set(cur.files) | set(parent.files)
+    if parent.manifest_refs is not None and cur.manifest_refs is not None:
+        # segmented metadata: a bucket whose manifest REF is identical in
+        # both snapshots is provably unchanged — classification loads only
+        # the changed buckets' manifests, O(touched) instead of O(table)
+        pr, cr = parent.manifest_refs, cur.manifest_refs
+        all_buckets = {
+            b for b in set(cr) | set(pr)
+            if pr.get(b, {}).get("path") != cr.get(b, {}).get("path")
+        }
+    else:
+        all_buckets = set(cur.files) | set(parent.files)
     for b in all_buckets:
         cur_fl = cur.files.get(b, [])
         par_paths = {f["path"] for f in parent.files.get(b, [])}
@@ -714,6 +900,7 @@ class LakeTable:
             n_buckets=n_buckets,
             files={},
             properties=properties or {},
+            manifest_refs={},
         )
         t._publish(snap)
         return t
@@ -738,17 +925,40 @@ class LakeTable:
         if v is None:
             raise ValueError(f"no snapshot at {self.root}")
         return Snapshot.from_json(
-            json.loads(self.fs.read_text(os.path.join(self.root, _META, _snapshot_name(v))))
+            json.loads(self.fs.read_text(os.path.join(self.root, _META, _snapshot_name(v)))),
+            fs=self.fs, meta_dir=os.path.join(self.root, _META),
         )
 
-    def _publish(self, snap: Snapshot) -> None:
+    def _publish(self, snap: Snapshot, payload: dict | None = None) -> None:
         """Atomic publish: create-if-absent fails if the version already exists
-        (hard link on LocalFS; conditional PUT on an object store)."""
+        (hard link on LocalFS; conditional PUT on an object store). Snapshots
+        carrying manifest refs publish the segmented form (full manifest
+        list, or the delta form ``_commit`` prepared in ``payload``);
+        hand-built snapshots without refs fall back to the monolithic form —
+        all three load back through :meth:`snapshot`."""
         final = os.path.join(self.root, _META, _snapshot_name(snap.version))
+        if payload is None:
+            payload = snap.meta_json() if snap.manifest_refs is not None else snap.to_json()
         try:
-            self.fs.publish_atomic(final, json.dumps(snap.to_json()))
+            self.fs.publish_atomic(final, json.dumps(payload))
         except FileExistsError as e:
             raise CommitConflict(f"snapshot v{snap.version} already committed") from e
+
+    def _write_manifest(self, bucket: str, fl: list[dict]) -> dict:
+        """Write one bucket's manifest file and return its manifest-list ref
+        (path + the summaries that answer has_deltas/total_rows/pacing
+        without opening the manifest). Manifests are immutable and uniquely
+        named, so concurrent committers can never collide on one; a manifest
+        orphaned by a lost commit race is swept by vacuum()."""
+        name = f"m-{bucket}-{uuid.uuid4().hex[:16]}.json"
+        self.fs.publish_atomic(
+            os.path.join(self.root, _META, name), json.dumps(fl))
+        return {
+            "path": name,
+            "files": len(fl),
+            "rows": sum(f.get("rows", 0) for f in fl),
+            "deltas": any(f.get("kind", "base") == "delta" for f in fl),
+        }
 
     # ------------------------------------------------------------------ reads
 
@@ -789,11 +999,13 @@ class LakeTable:
         preds = list(_parse_prune_preds(where)) if where else []
         if _in_pred:
             preds += [(c, "in", list(vs)) for c, vs in _in_pred.items()]
+        # iterate keys first (manifest-list only), then load file lists for
+        # just the selected buckets — a pruned read parses O(wanted) manifests
+        bucket_ids = [b for b in snap.files if wanted is None or b in wanted]
         paths = [
             os.path.join(self.root, f["path"])
-            for b, fl in snap.files.items()
-            if wanted is None or b in wanted
-            for f in fl
+            for b in bucket_ids
+            for f in snap.files[b]
             if not preds or _file_may_match(f.get("stats"), preds)
         ]
         if not paths:
@@ -857,11 +1069,15 @@ class LakeTable:
         out_cols = list(columns) if columns else [f.name for f in snap.schema.fields]
         # the cascade itself needs the merge keys even if not requested
         internal_cols = list(dict.fromkeys(out_cols + key_cols))
-        items = (
-            sorted(int(b) for b in snap.files if snap.files[b])
-            if buckets is None else sorted({int(b) for b in buckets})
-        )
-        items = [b for b in items if snap.files.get(str(b))]
+        if buckets is None:
+            # v2 refs never hold empty buckets — keys alone suffice; v1
+            # needs the emptiness check (which loads nothing: plain dict)
+            items = (sorted(int(b) for b in snap.manifest_refs)
+                     if snap.manifest_refs is not None
+                     else sorted(int(b) for b in snap.files if snap.files[b]))
+        else:
+            items = sorted({int(b) for b in buckets})
+            items = [b for b in items if snap.files.get(str(b))]
         if not items:
             return self.spark.createDataFrame([], self._projected_struct(snap, columns))
         table_root = self.root
@@ -984,6 +1200,7 @@ class LakeTable:
         staging = os.path.join(self.root, staging_rel)
         self.fs.makedirs(staging)
         flush_bytes = 128 << 20
+        record_stats = os.environ.get("DSX_WRITE_STATS", "1") != "0"
 
         def write_partition(batches):
             import os as _os
@@ -1038,7 +1255,8 @@ class LakeTable:
                     st["writer"].close()
                     out.append({
                         "bucket": b, "path": st["rel"], "rows": st["rows"],
-                        "stats": _json.dumps(_footer_stats(st["full"])),
+                        "stats": (_json.dumps(_footer_stats(st["full"]))
+                                  if record_stats else None),
                     })
                 yield pa.RecordBatch.from_pylist(
                     out,
@@ -1408,12 +1626,21 @@ class LakeTable:
     def _commit(
         self,
         parent: Snapshot,
-        files: dict[str, list[dict]],
+        files: Mapping,
         properties: dict | None = None,
         schema: T.StructType | None = None,
         operation: str | None = None,
         n_buckets: int | None = None,
+        touched: set[str] | None = None,
     ) -> Snapshot:
+        """Publish ``files`` as the next snapshot. ``touched`` names the
+        buckets whose file list changed vs ``parent``: only those get new
+        manifest files written — untouched buckets REUSE the parent's
+        manifest ref (Iceberg manifest-list reuse), so the metadata written
+        per commit is O(touched buckets), not O(table). ``touched=None``
+        (full rewrites: overwrite, rebucket) writes every bucket;
+        ``touched=set()`` (metadata-only commits: add/widen/drop columns)
+        writes none."""
         props = dict(parent.properties)
         props.update(properties or {})
         if operation is not None and "operation" not in (properties or {}):
@@ -1421,15 +1648,65 @@ class LakeTable:
             # commits (compact/add_columns are logical no-ops) without a scan
             props["operation"] = operation
         props["committed_at"] = time.time()
+        parent_refs = parent.manifest_refs
+        refs: dict[str, dict] = {}
+        seed: dict[str, list[dict]] = {}
+        for b in files:
+            if (touched is not None and b not in touched
+                    and parent_refs is not None and b in parent_refs):
+                refs[b] = parent_refs[b]
+                continue
+            fl = files[b]
+            if not fl:
+                continue  # empty bucket: no manifest, no ref
+            refs[b] = self._write_manifest(b, fl)
+            seed[b] = list(fl)
+        lazy = _LazyFiles(self.fs, os.path.join(self.root, _META), refs)
+        lazy._cache.update(seed)  # just-written buckets: no re-read
+        out_buckets = n_buckets or parent.n_buckets
         new = Snapshot(
             version=parent.version + 1,
             schema=schema or parent.schema,
             bucket_key=parent.bucket_key,
-            n_buckets=n_buckets or parent.n_buckets,
-            files=files,
+            n_buckets=out_buckets,
+            files=lazy,
             properties=props,
+            manifest_refs=refs,
         )
-        self._publish(new)
+        # Storage form: a commit stores only the refs that CHANGED vs the
+        # nearest full manifest list (cumulative delta), rewriting the full
+        # list when the delta outgrows it — so a small epoch on a 4096-bucket
+        # table writes O(touched) manifest-list bytes, not O(buckets).
+        changed: dict[str, dict | None] = {}
+        pr = parent.manifest_refs or {}
+        for b in set(refs) | set(pr):
+            if refs.get(b) is not pr.get(b) and refs.get(b) != pr.get(b):
+                changed[b] = refs.get(b)
+        payload = None
+        if (parent.manifest_base is not None
+                and parent.manifest_delta is not None
+                and out_buckets == parent.n_buckets):
+            delta = dict(parent.manifest_delta)
+            delta.update(changed)
+            if len(delta) <= max(64, out_buckets // 4):
+                new.manifest_base = parent.manifest_base
+                new.manifest_delta = delta
+                payload = {
+                    "version": new.version,
+                    "schema": new.schema.jsonValue(),
+                    "partition": {"kind": "bucket", "key": new.bucket_key,
+                                  "n": new.n_buckets},
+                    "manifests_base": parent.manifest_base,
+                    "manifests_delta": {
+                        b: (_enc_ref(b, r) if r is not None else None)
+                        for b, r in delta.items()
+                    },
+                    "properties": props,
+                }
+        if payload is None:  # full rewrite (threshold hit / legacy / rebucket)
+            new.manifest_base = new.version
+            new.manifest_delta = {}
+        self._publish(new, payload=payload)
         return new
 
     def _rebase_commit(
@@ -1471,15 +1748,21 @@ class LakeTable:
         delta layers appeared).
         """
         base = parent
+        touched = {str(b) for b in changes}
         while True:
-            files = {b: list(fl) for b, fl in base.files.items()}
+            # overlay view: untouched buckets ride through by manifest REF —
+            # their manifests are never parsed, and the commit writes only
+            # the touched buckets' manifests (O(touched) metadata per commit)
+            overlay = {}
             for b, (mode, fl) in changes.items():
                 if mode == "extend":
-                    files.setdefault(b, []).extend(fl)
+                    overlay[b] = list(base.files.get(b, [])) + list(fl)
                 else:
-                    files[b] = list(fl)
+                    overlay[b] = list(fl)
+            files = _OverlayFiles(base.files, overlay)
             try:
-                return self._commit(base, files, properties, schema=schema, operation=operation)
+                return self._commit(base, files, properties, schema=schema,
+                                    operation=operation, touched=touched)
             except CommitConflict:
                 if max_retries <= 0:
                     raise
@@ -1501,7 +1784,16 @@ class LakeTable:
                         f"rewrite from the current snapshot"
                     )
                 if not commutative:
+                    pr = parent.manifest_refs or {}
+                    cr = cur.manifest_refs or {}
                     for b in changes:
+                        # identical manifest ref => bucket provably unchanged
+                        # without parsing either manifest
+                        if (parent.manifest_refs is not None
+                                and cur.manifest_refs is not None
+                                and pr.get(b, {}).get("path")
+                                == cr.get(b, {}).get("path")):
+                            continue
                         if cur.files.get(b, []) != parent.files.get(b, []):
                             raise CommitConflict(
                                 f"bucket {b} changed under a concurrent commit "
@@ -1675,6 +1967,7 @@ class LakeTable:
             self.fs.makedirs(quarantine_dir)
 
         payload_cols = [f.name for f in snap.schema.fields]
+        # load manifests for the affected buckets ONLY (manifest-list prune)
         bucket_files = {
             int(b): [
                 (
@@ -1682,10 +1975,10 @@ class LakeTable:
                     f.get("kind", "base"),
                     f.get("gen", 0),
                 )
-                for f in fl
+                for f in snap.files[str(b)]
             ]
-            for b, fl in snap.files.items()
-            if int(b) in set(affected)
+            for b in affected
+            if str(b) in snap.files
         }
         next_gen = snap.version + 1
         extra_cols = [F.col(dirty_reason_col)] if dirty_reason_col else []
@@ -1909,15 +2202,17 @@ class LakeTable:
 
         payload_cols = [f.name for f in snap.schema.fields]
         target = _arrow_schema_for(snap.schema)
+        buckets = sorted(int(b) for b in feed_files if b is not None)
+        # manifests loaded only for the feed's shard buckets
         bucket_files = {
             int(b): [
                 (os.path.join(self.root, f["path"]), f.get("kind", "base"),
                  f.get("gen", 0))
-                for f in fl
+                for f in snap.files[str(b)]
             ]
-            for b, fl in snap.files.items()
+            for b in buckets
+            if str(b) in snap.files
         }
-        buckets = sorted(int(b) for b in feed_files if b is not None)
         null_files = list(feed_files.get(None, []))
         feed_map = {int(b): list(feed_files[b]) for b in buckets}
         if null_files:
@@ -2092,12 +2387,21 @@ class LakeTable:
         delete_op = snap.properties.get("merge_delete_op", "D")
         wanted = None if buckets is None else {int(b) for b in buckets}
         rewrite_all = bool(sort_by or max_rows_per_file)
-        todo = sorted(
-            int(b) for b, fl in snap.files.items()
-            if (wanted is None or int(b) in wanted)
-            and (rewrite_all or any(f.get("kind", "base") == "delta" for f in fl))
-            and fl
-        )
+        if snap.manifest_refs is not None:
+            # pick delta-holding buckets from the manifest-list summaries —
+            # no per-bucket manifest parsed for buckets we won't rewrite
+            todo = sorted(
+                int(b) for b, r in snap.manifest_refs.items()
+                if (wanted is None or int(b) in wanted)
+                and (rewrite_all or r["deltas"])
+            )
+        else:
+            todo = sorted(
+                int(b) for b, fl in snap.files.items()
+                if (wanted is None or int(b) in wanted)
+                and (rewrite_all or any(f.get("kind", "base") == "delta" for f in fl))
+                and fl
+            )
         if not todo:
             return snap
         if not key_cols:
@@ -2112,10 +2416,10 @@ class LakeTable:
             int(b): [
                 (os.path.join(self.root, f["path"]), f.get("kind", "base"),
                  f.get("gen", 0))
-                for f in fl
+                for f in snap.files[str(b)]
             ]
-            for b, fl in snap.files.items()
-            if int(b) in set(todo)
+            for b in todo
+            if str(b) in snap.files
         }
         sizes = {b: sum(f["rows"] for f in snap.files[str(b)]) + 1 for b in todo}
         n_tasks = min(len(todo), max(self.spark.sparkContext.defaultParallelism, 1))
@@ -2285,8 +2589,9 @@ class LakeTable:
                 return snap
             schema = T.StructType(list(snap.schema.fields) + added)
             try:
-                return self._commit(snap, dict(snap.files), properties,
-                                    schema=schema, operation="add_columns")
+                return self._commit(snap, snap.files, properties,
+                                    schema=schema, operation="add_columns",
+                                    touched=set())
             except CommitConflict:
                 if attempt == 5:
                     raise
@@ -2334,8 +2639,9 @@ class LakeTable:
                 for f in snap.schema.fields
             ])
             try:
-                return self._commit(snap, dict(snap.files), properties,
-                                    schema=schema, operation="widen_columns")
+                return self._commit(snap, snap.files, properties,
+                                    schema=schema, operation="widen_columns",
+                                    touched=set())
             except CommitConflict:
                 if attempt == 5:
                     raise
@@ -2370,8 +2676,9 @@ class LakeTable:
             props = dict(properties or {})
             props["tombstoned_cols"] = tombs
             try:
-                return self._commit(snap, dict(snap.files), props,
-                                    schema=schema, operation="drop_columns")
+                return self._commit(snap, snap.files, props,
+                                    schema=schema, operation="drop_columns",
+                                    touched=set())
             except CommitConflict:
                 if attempt == 5:
                     raise
@@ -2384,21 +2691,29 @@ class LakeTable:
         for n in sorted(self.fs.listdir(meta)):
             if n.startswith("v") and n.endswith(".json"):
                 d = json.loads(self.fs.read_text(os.path.join(meta, n)))
+                if "files" in d:  # legacy monolithic snapshot
+                    rows = sum(x["rows"] for fl in d["files"].values() for x in fl)
+                    nfiles = sum(len(fl) for fl in d["files"].values())
+                else:  # segmented: summaries come from the manifest list
+                    s = self.snapshot(d["version"])
+                    rows = s.total_rows()
+                    nfiles = sum(r["files"] for r in s.manifest_refs.values())
                 out.append(
                     {
                         "version": d["version"],
                         "properties": d.get("properties", {}),
-                        "rows": sum(x["rows"] for fl in d["files"].values() for x in fl),
-                        "files": sum(len(fl) for fl in d["files"].values()),
+                        "rows": rows,
+                        "files": nfiles,
                     }
                 )
         return out
 
     def vacuum(self, keep_last: int = 2) -> int:
         """Expire old snapshots: delete data files referenced only by expired
-        snapshots AND the expired snapshot manifests themselves (Iceberg
-        ``expire_snapshots`` semantics — a manifest must never outlive its
-        files). Returns the number of data files removed."""
+        snapshots AND the expired snapshot metadata itself — the snapshot
+        JSONs plus any per-bucket manifest file no kept snapshot references
+        (orphans from expired versions and from lost commit races). Returns
+        the number of data files removed."""
         meta = os.path.join(self.root, _META)
         versions = sorted(
             int(n[1:-5])
@@ -2407,9 +2722,18 @@ class LakeTable:
         )
         keep = set(versions[-keep_last:])
         live: set[str] = set()
-        for v in keep:
+        live_manifests: set[str] = set()
+        for v in sorted(keep):
             s = self.snapshot(v)
             live |= {f["path"] for fl in s.files.values() for f in fl}
+            if s.manifest_refs is not None:
+                live_manifests |= {r["path"] for r in s.manifest_refs.values()}
+            if s.manifest_base is not None:
+                # a delta-form snapshot resolves through its FULL base's
+                # JSON: that version file must outlive it (its data files
+                # and manifests may still be collected — reading the base
+                # VERSION itself stays an expired-snapshot error)
+                keep.add(s.manifest_base)
         removed = 0
         data_root = os.path.join(self.root, _DATA)
         for full in self.fs.walk_files(data_root):
@@ -2420,4 +2744,7 @@ class LakeTable:
         for v in versions:
             if v not in keep:
                 self.fs.remove(os.path.join(self.root, _META, _snapshot_name(v)))
+        for n in self.fs.listdir(meta):
+            if n.startswith("m-") and n.endswith(".json") and n not in live_manifests:
+                self.fs.remove(os.path.join(meta, n))
         return removed

@@ -52,8 +52,10 @@ def _load_snapshot(root: str, version: int):
     from datax_spark.lake.table import Snapshot, _snapshot_name
 
     fs = LocalFS()
+    meta = os.path.join(root, "_meta")
     return Snapshot.from_json(
-        json.loads(fs.read_text(os.path.join(root, "_meta", _snapshot_name(version))))
+        json.loads(fs.read_text(os.path.join(meta, _snapshot_name(version)))),
+        fs=fs, meta_dir=meta,
     )
 
 

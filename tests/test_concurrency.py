@@ -90,7 +90,9 @@ def test_rebase_preserves_winners_files_disjoint_buckets(spark, tmp_path):
         stale, {loser_bucket: ("replace", [])}, operation="apply_cdc"
     )
     assert new.version == winner_snap.version + 1
-    assert new.files[loser_bucket] == []  # loser's change applied
+    # loser's change applied: the emptied bucket drops out of the manifest
+    # list entirely (segmented metadata stores no ref for an empty bucket)
+    assert new.files.get(loser_bucket, []) == []
     for b in winner_buckets:  # winner's files survived the rebase
         assert new.files[b] == winner_snap.files[b]
 

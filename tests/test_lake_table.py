@@ -133,11 +133,15 @@ def test_fs_seam_routes_metadata_io(spark, tmp_path):
     from datax_spark.lake.fs import LocalFS
     from datax_spark.lake.table import LakeTable
 
-    calls = {"publish": 0, "list": 0, "read": 0}
+    calls = {"publish": 0, "list": 0, "read": 0, "manifest": 0}
 
     class RecordingFS(LocalFS):
         def publish_atomic(self, path, content):
-            calls["publish"] += 1
+            import os as _os
+            if _os.path.basename(path).startswith("m-"):
+                calls["manifest"] += 1
+            else:
+                calls["publish"] += 1
             return super().publish_atomic(path, content)
 
         def listdir(self, path):
@@ -154,7 +158,8 @@ def test_fs_seam_routes_metadata_io(spark, tmp_path):
                            T.StructField("v", T.LongType())])
     t = LakeTable.create(spark, root, schema, bucket_key="k", n_buckets=4, fs=fs)
     t.append(spark.createDataFrame([("a", 1), ("b", 2)], schema))
-    assert calls["publish"] == 2  # v0 + append commit
+    assert calls["publish"] == 2  # v0 + append commit (snapshot JSONs)
+    assert calls["manifest"] >= 1  # per-bucket manifests ride the same seam
     assert calls["list"] > 0 and calls["read"] > 0
     assert t.read().count() == 2
     # optimistic concurrency still enforced through the seam

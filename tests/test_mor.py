@@ -131,7 +131,18 @@ def test_engine_auto_vacuum_bounds_snapshots(spark, tmp_path):
     ))
     eng.run()
     metas = [n for n in os.listdir(os.path.join(root, "_meta")) if n.endswith(".json")]
-    assert len(metas) <= 2
+    # bounded metadata: keep_last snapshot JSONs (+ at most one retained
+    # manifest-list BASE version), and only manifests the kept snapshots
+    # reference — vacuum swept everything else
+    vfiles = [n for n in metas if n.startswith("v")]
+    assert len(vfiles) <= 3  # 2 kept + <=1 delta base
+    live = set()
+    for n in vfiles:
+        s = eng.table.snapshot(int(n[1:-5]))
+        if s.manifest_refs is not None:
+            live |= {r["path"] for r in s.manifest_refs.values()}
+    mfiles = {n for n in metas if n.startswith("m-")}
+    assert mfiles <= live
     assert _state(eng.table.read()) == _oracle_state(feed)
 
 
