@@ -265,6 +265,42 @@ def q_dbapi_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dbapi_string_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split DB read over a STRING primary key (sources/dbapi.py
+    build_split_queries — RangeSplitUtil.doAsciiStringSplit:14-30 analog:
+    base-128 bigint range arithmetic on the key), exercised together with
+    per-connection ``session`` statements (CommonRdbmsReader.Task.startRead
+    parity) and a SELECT ``hint``. The 300-customer sqlite fixture is keyed
+    by c_name; 4 string ranges + the IS NULL residual must tile it exactly
+    — the oracle selects the same slice straight from parquet."""
+    import sqlite3
+    import tempfile
+
+    from datax_spark.sources.dbapi import dbapi_read
+
+    rows = (
+        _t(spark, sf_dir, "customer")
+        .select("c_name", "c_acctbal")
+        .orderBy("c_name")
+        .limit(300)
+        .collect()
+    )
+    db = tempfile.mktemp(prefix="dsx-dbs-", suffix=".db")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE cust (c_name TEXT, c_acctbal REAL)")
+    con.executemany(
+        "INSERT INTO cust VALUES (?,?)",
+        [(r.c_name, float(r.c_acctbal)) for r in rows],
+    )
+    con.commit()
+    con.close()
+    return dbapi_read(
+        spark, "sqlite3", db, "c_name string, c_acctbal double",
+        table="cust", split_pk="c_name", num_partitions=4,
+        session=["PRAGMA cache_size = 2000"], hint="/* split-read */",
+    )
+
+
 # ------------------------------------------------- dx_* transformer queries
 
 def q_dx_transform_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1357,6 +1393,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_incremental_rollup": q_cdc_incremental_rollup,
     "zipcsv_roundtrip": q_zipcsv_roundtrip,
     "dbapi_roundtrip": q_dbapi_roundtrip,
+    "dbapi_string_split": q_dbapi_string_split,
     "dx_transform_chain": q_dx_transform_chain,
     "dx_filter": q_dx_filter,
     "dx_cast_chain": q_dx_cast_chain,
@@ -1405,7 +1442,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # bench.py's JSON as `fixture_queries`.
 FIXTURE_QUERIES: frozenset[str] = frozenset({
     "cdc_changelog", "cdc_rebucket", "cdc_incremental_rollup",
-    "zipcsv_roundtrip", "dbapi_roundtrip",
+    "zipcsv_roundtrip", "dbapi_roundtrip", "dbapi_string_split",
     "doc_minhash_incremental", "doc_dedup_canonical", "emb_lsh_incremental",
     "remote_object_roundtrip", "lake_objectfs_roundtrip",
     "lake_widen_fold", "lake_pruned_read", "cdc_changelog_stream",
@@ -1492,6 +1529,10 @@ ORACLES: dict[str, str] = {
     "dbapi_roundtrip": """
         SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal
         FROM customer ORDER BY c_custkey LIMIT 300
+    """,
+    "dbapi_string_split": """
+        SELECT c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+        FROM customer ORDER BY c_name LIMIT 300
     """,
     "dx_transform_chain": """
         SELECT l_orderkey, l_linenumber,
