@@ -31,6 +31,36 @@ from datax_spark.session import get_spark
 import __spark_entry__ as entry_mod
 
 
+def host_probe(procs: int = 4, secs: float = 1.5) -> float:
+    """Aggregate memcpy GB/s at ``procs`` processes — the in-protocol noise
+    probe from BASELINE.md: this shared VM's effective bandwidth/CPU swings
+    2-20x with neighbor load, so every recorded bench carries its window
+    context (quiet reference windows: ~160 GB/s @4 procs round 2, ~104
+    round 3)."""
+    import multiprocessing as mp
+
+    import numpy as np
+
+    def bw(q):
+        a = np.zeros(64 * 1024 * 1024, dtype=np.uint8)
+        b = np.zeros_like(a)
+        t0 = time.time()
+        n = 0
+        while time.time() - t0 < secs:
+            np.copyto(b, a)
+            n += 1
+        q.put(n * 2 * 64 / 1024 / (time.time() - t0))
+
+    q = mp.Queue()
+    ps = [mp.Process(target=bw, args=(q,)) for _ in range(procs)]
+    for p in ps:
+        p.start()
+    out = sum(q.get() for _ in ps)
+    for p in ps:
+        p.join()
+    return round(out, 1)
+
+
 def run_cdc_bench(spark, workdir: str, n_convs: int, n_epochs: int) -> dict:
     """Generate the feed once, replay it DSX_BENCH_TRIALS times (fresh table +
     checkpoint per trial) and report the best trial. This box's throughput
@@ -194,7 +224,9 @@ def main() -> None:
     shutil.rmtree(workdir, ignore_errors=True)
     os.makedirs(workdir)
     try:
+        bw_pre = host_probe()
         cdc = run_cdc_bench(spark, workdir, n_convs, n_epochs)
+        cdc["host_bw_gbps_4proc"] = {"pre": bw_pre, "post": host_probe()}
 
         # per-query timings are best-of-N for the same reason the replay is:
         # single samples on this host swing 2-3x with neighbor load.
