@@ -46,6 +46,16 @@ class LakeFS:
         FileExistsError if another writer published it first."""
         raise NotImplementedError
 
+    def write_text(self, path: str, content: str) -> None:
+        """Unconditional atomic overwrite (a plain object-store PUT) — used
+        only for ADVISORY metadata (the version hint): correctness never
+        depends on which concurrent writer wins."""
+        raise NotImplementedError
+
+    def isfile(self, path: str) -> bool:
+        """Existence check for one object (HEAD, not LIST)."""
+        raise NotImplementedError
+
     def walk_files(self, root: str) -> Iterator[str]:
         raise NotImplementedError
 
@@ -72,6 +82,15 @@ class LocalFS(LakeFS):
     def read_text(self, path: str) -> str:
         with open(path) as f:
             return f.read()
+
+    def write_text(self, path: str, content: str) -> None:
+        tmp = f"{path}.tmp-{os.getpid()}-{id(content)}"
+        with open(tmp, "w") as f:
+            f.write(content)
+        os.replace(tmp, path)
+
+    def isfile(self, path: str) -> bool:
+        return os.path.isfile(path)
 
     def publish_atomic(self, path: str, content: str) -> None:
         tmp = f"{path}.tmp-{os.getpid()}-{id(content)}"

@@ -224,6 +224,16 @@ class ObjectFS(LakeFS):
     def read_text(self, path: str) -> str:
         return self.store.get_object(path).decode("utf-8")
 
+    def write_text(self, path: str, content: str) -> None:
+        self.store.put_object(path, content.encode("utf-8"))
+
+    def isfile(self, path: str) -> bool:
+        try:
+            self.store.head_object(path)
+            return True
+        except (FileNotFoundError, OSError):
+            return False
+
     def publish_atomic(self, path: str, content: str) -> None:
         self.store.put_object(path, content.encode("utf-8"), if_none_match=True)
 

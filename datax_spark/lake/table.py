@@ -57,6 +57,23 @@ def _snapshot_name(version: int) -> str:
     return f"v{version:012d}.json"
 
 
+def _base_name(version: int) -> str:
+    """Side name an EXPIRED version's full manifest list survives under when
+    vacuum retains it as a delta snapshot's base. Keeping it at its original
+    ``v*.json`` name would leave a hole in the live version sequence (a kept
+    base below removed intermediates), which breaks the version-hint
+    probe-forward heal ("v exists, v+1 missing => v is latest")."""
+    return f"b{version:012d}.json"
+
+
+# Advisory latest-version hint (Iceberg's version-hint.text analog): lets
+# current_version() cost O(1) object reads instead of a paginated LIST over
+# a _meta dir that also holds every per-bucket manifest file. Always safe to
+# lose, corrupt, or observe stale — readers probe FORWARD from the hint and
+# fall back to the full listing, and correctness never depends on it.
+_HINT_NAME = "LATEST"
+
+
 # --------------------------------------------------------------- task steering
 #
 # ``df.repartition(n, col)`` places rows by pmod(murmur3(col), n): with B
@@ -529,8 +546,13 @@ class Snapshot:
             ck = (meta_dir, base)
             cached = _BASE_REFS_CACHE.get(ck)
             if cached is None:
-                bd = json.loads(
-                    fs.read_text(os.path.join(meta_dir, _snapshot_name(base))))
+                try:
+                    raw = fs.read_text(os.path.join(meta_dir, _snapshot_name(base)))
+                except OSError:
+                    # base version expired by vacuum: its full list survives
+                    # under the side name so live v*.json stay contiguous
+                    raw = fs.read_text(os.path.join(meta_dir, _base_name(base)))
+                bd = json.loads(raw)
                 if "manifests" not in bd:
                     raise ValueError(
                         f"manifest-list base v{base} is not a full-form snapshot")
@@ -913,6 +935,22 @@ class LakeTable:
 
     def current_version(self) -> int | None:
         meta = os.path.join(self.root, _META)
+        # Fast path: version hint + probe-forward. The hint may be stale
+        # (a slower concurrent committer overwrote a newer one) — probing
+        # v+1, v+2, … heals that at one HEAD per missed commit. A hint
+        # pointing below the vacuum window (its snapshot JSON gone) or
+        # corrupt falls through to the listing.
+        try:
+            v = int(self.fs.read_text(os.path.join(meta, _HINT_NAME)).strip())
+        except (OSError, ValueError):
+            v = None
+        if v is not None and self.fs.isfile(os.path.join(meta, _snapshot_name(v))):
+            while self.fs.isfile(os.path.join(meta, _snapshot_name(v + 1))):
+                v += 1
+            return v
+        # Legacy / hintless fallback: list the meta dir (on an object store
+        # this paginates over every per-bucket manifest file too — the hint
+        # exists precisely so steady-state loads never pay this).
         if not self.fs.isdir(meta):
             return None
         versions = [
@@ -943,6 +981,11 @@ class LakeTable:
             self.fs.publish_atomic(final, json.dumps(payload))
         except FileExistsError as e:
             raise CommitConflict(f"snapshot v{snap.version} already committed") from e
+        try:  # advisory hint AFTER the atomic publish; failure is harmless
+            self.fs.write_text(
+                os.path.join(self.root, _META, _HINT_NAME), str(snap.version))
+        except OSError:
+            pass
 
     def _write_manifest(self, bucket: str, fl: list[dict]) -> dict:
         """Write one bucket's manifest file and return its manifest-list ref
@@ -2723,17 +2766,20 @@ class LakeTable:
         keep = set(versions[-keep_last:])
         live: set[str] = set()
         live_manifests: set[str] = set()
+        bases: set[int] = set()
         for v in sorted(keep):
             s = self.snapshot(v)
             live |= {f["path"] for fl in s.files.values() for f in fl}
             if s.manifest_refs is not None:
                 live_manifests |= {r["path"] for r in s.manifest_refs.values()}
-            if s.manifest_base is not None:
+            if s.manifest_base is not None and s.manifest_base not in keep:
                 # a delta-form snapshot resolves through its FULL base's
-                # JSON: that version file must outlive it (its data files
-                # and manifests may still be collected — reading the base
-                # VERSION itself stays an expired-snapshot error)
-                keep.add(s.manifest_base)
+                # JSON: that list must outlive it (the base's data files and
+                # superseded manifests may still be collected). It moves to
+                # the b*.json side name — see _base_name — so live v*.json
+                # stay contiguous and reading the base VERSION itself stays
+                # an expired-snapshot error.
+                bases.add(s.manifest_base)
         removed = 0
         data_root = os.path.join(self.root, _DATA)
         for full in self.fs.walk_files(data_root):
@@ -2741,10 +2787,25 @@ class LakeTable:
             if full.endswith(".parquet") and rel not in live:
                 self.fs.remove(full)
                 removed += 1
+        for v in bases:
+            dst = os.path.join(meta, _base_name(v))
+            if not self.fs.isfile(dst):
+                self.fs.write_text(
+                    dst, self.fs.read_text(os.path.join(meta, _snapshot_name(v))))
         for v in versions:
             if v not in keep:
                 self.fs.remove(os.path.join(self.root, _META, _snapshot_name(v)))
         for n in self.fs.listdir(meta):
             if n.startswith("m-") and n.endswith(".json") and n not in live_manifests:
                 self.fs.remove(os.path.join(meta, n))
+            elif (n.startswith("b") and n.endswith(".json")
+                    and n[1:-5].isdigit() and int(n[1:-5]) not in bases):
+                # side-name base from an earlier vacuum, no longer any kept
+                # snapshot's manifest-list base
+                self.fs.remove(os.path.join(meta, n))
+        try:  # refresh the advisory hint (heals one stale/corrupt/below-window)
+            self.fs.write_text(
+                os.path.join(meta, _HINT_NAME), str(max(versions)))
+        except OSError:
+            pass
         return removed

@@ -47,6 +47,10 @@ from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPart
 _META_COLS = '_change_type string, _commit_version long, _seq long'
 
 
+def _snapshot_name(version: int) -> str:
+    return f"v{version:012d}.json"
+
+
 def _load_snapshot(root: str, version: int):
     from datax_spark.lake.fs import LocalFS
     from datax_spark.lake.table import Snapshot, _snapshot_name
@@ -61,6 +65,19 @@ def _load_snapshot(root: str, version: int):
 
 def _current_version(root: str) -> int | None:
     meta = os.path.join(root, "_meta")
+    # version-hint fast path (mirrors LakeTable.current_version): this runs
+    # on EVERY trigger in latestOffset, and the meta dir also holds every
+    # per-bucket manifest file — a full listing here is the O(dir) call the
+    # hint exists to avoid. Stale hints heal by probing forward.
+    try:
+        with open(os.path.join(meta, "LATEST")) as f:
+            v = int(f.read().strip())
+    except (OSError, ValueError):
+        v = None
+    if v is not None and os.path.isfile(os.path.join(meta, _snapshot_name(v))):
+        while os.path.isfile(os.path.join(meta, _snapshot_name(v + 1))):
+            v += 1
+        return v
     if not os.path.isdir(meta):
         return None
     vs = [int(n[1:-5]) for n in os.listdir(meta)

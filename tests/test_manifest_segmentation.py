@@ -231,9 +231,15 @@ def test_vacuum_keeps_delta_base_snapshot_json(spark, tmp_path):
     cur = t.snapshot()
     assert cur.manifest_base is not None and cur.manifest_base < cur.version
     t.vacuum(keep_last=1)
-    # the base version's JSON survives vacuum (the delta resolves through it)
-    base_file = os.path.join(t.root, "_meta", _snapshot_name(cur.manifest_base))
-    assert os.path.exists(base_file)
+    # the base's manifest LIST survives vacuum (the delta resolves through
+    # it) — but under the b*.json side name, so the live v*.json sequence
+    # stays contiguous for the version-hint probe-forward heal
+    assert not os.path.exists(
+        os.path.join(t.root, "_meta", _snapshot_name(cur.manifest_base)))
+    assert os.path.exists(
+        os.path.join(t.root, "_meta", f"b{cur.manifest_base:012d}.json"))
+    from datax_spark.lake import table as tb
+    tb._BASE_REFS_CACHE.clear()  # force base re-resolution from disk
     t2 = LakeTable(spark, t.root)
     assert t2.read().count() == 5
     # and the table still commits + reads after expiry
