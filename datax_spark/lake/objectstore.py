@@ -245,3 +245,14 @@ class ObjectFS(LakeFS):
 
     def getsize(self, path: str) -> int:
         return self.store.head_object(path)
+
+
+def emulated_objectfs() -> ObjectFS:
+    """No-arg factory for the streaming changelog source's ``fsFactory``
+    option (``datax_spark.lake.objectstore:emulated_objectfs``): the
+    metadata plane of a table whose lake lives on the emulated object
+    store. Stateless by design — a restarted stream reconstructs it from
+    the option string alone; a production deployment points ``fsFactory``
+    at a module-level callable returning ``ObjectFS(S3ObjectStore(...))``
+    with connection details from the environment."""
+    return ObjectFS(LocalEmulatedObjectStore())

@@ -29,10 +29,15 @@ Schema is fixed at stream start (payload columns of the current snapshot +
 schema evolution appear after a stream restart — the Delta CDF contract;
 files written before an evolution read NULL for added columns.
 
-The source reads table metadata through LocalFS paths (a shared POSIX /
-DFS mount, or the object-store data plane mounted by the cluster); Spark
-constructs data sources from string options only, so an ObjectFS-backed
-metadata plane needs the batch ``read_changes`` path or a mounted view.
+Metadata plane: Spark constructs data sources from string options only, so
+the table's :class:`~datax_spark.lake.fs.LakeFS` is named by the
+``fsFactory`` option — a ``"pkg.module:callable"`` import path resolved on
+the driver (no-arg callable returning a LakeFS). Default is LocalFS (a
+shared POSIX/DFS mount); ``datax_spark.lake.objectstore:emulated_objectfs``
+is the object-store shape. Only snapshot/manifest JSON flows through this
+seam — DATA files are read executor-side with pyarrow, which resolves
+object-store URIs natively (s3:// etc.), matching the lake's own split
+(see ``lake/objectstore.py`` module docs).
 """
 
 from __future__ import annotations
@@ -51,11 +56,31 @@ def _snapshot_name(version: int) -> str:
     return f"v{version:012d}.json"
 
 
-def _load_snapshot(root: str, version: int):
+def _resolve_fs(factory: str | None):
+    """Resolve the metadata-plane LakeFS from an ``fsFactory`` option value
+    (``"pkg.module:callable"``, a no-arg callable returning a LakeFS).
+    Factories must be stateless import paths because a restarted stream
+    re-resolves from the option string alone."""
+    from datax_spark.lake.fs import LocalFS
+
+    if not factory:
+        return LocalFS()
+    try:
+        mod_name, _, attr = factory.partition(":")
+        import importlib
+
+        fn = getattr(importlib.import_module(mod_name), attr)
+    except (ImportError, AttributeError, ValueError) as e:
+        raise ValueError(
+            f"fsFactory {factory!r} must be 'pkg.module:callable'") from e
+    return fn()
+
+
+def _load_snapshot(root: str, version: int, fs=None):
     from datax_spark.lake.fs import LocalFS
     from datax_spark.lake.table import Snapshot, _snapshot_name
 
-    fs = LocalFS()
+    fs = fs if fs is not None else LocalFS()
     meta = os.path.join(root, "_meta")
     return Snapshot.from_json(
         json.loads(fs.read_text(os.path.join(meta, _snapshot_name(version)))),
@@ -63,24 +88,26 @@ def _load_snapshot(root: str, version: int):
     )
 
 
-def _current_version(root: str) -> int | None:
+def _current_version(root: str, fs=None) -> int | None:
+    from datax_spark.lake.fs import LocalFS
+
+    fs = fs if fs is not None else LocalFS()
     meta = os.path.join(root, "_meta")
     # version-hint fast path (mirrors LakeTable.current_version): this runs
     # on EVERY trigger in latestOffset, and the meta dir also holds every
     # per-bucket manifest file — a full listing here is the O(dir) call the
     # hint exists to avoid. Stale hints heal by probing forward.
     try:
-        with open(os.path.join(meta, "LATEST")) as f:
-            v = int(f.read().strip())
+        v = int(fs.read_text(os.path.join(meta, "LATEST")).strip())
     except (OSError, ValueError):
         v = None
-    if v is not None and os.path.isfile(os.path.join(meta, _snapshot_name(v))):
-        while os.path.isfile(os.path.join(meta, _snapshot_name(v + 1))):
+    if v is not None and fs.isfile(os.path.join(meta, _snapshot_name(v))):
+        while fs.isfile(os.path.join(meta, _snapshot_name(v + 1))):
             v += 1
         return v
-    if not os.path.isdir(meta):
+    if not fs.isdir(meta):
         return None
-    vs = [int(n[1:-5]) for n in os.listdir(meta)
+    vs = [int(n[1:-5]) for n in fs.listdir(meta)
           if n.startswith("v") and n.endswith(".json")]
     return max(vs) if vs else None
 
@@ -100,10 +127,11 @@ class LakeChangelogDataSource(DataSource):
 
     def schema(self):
         root = self.options["root"]
-        v = _current_version(root)
+        fs = _resolve_fs(self.options.get("fsfactory"))
+        v = _current_version(root, fs)
         if v is None:
             raise ValueError(f"no lake table at {root}")
-        snap = _load_snapshot(root, v)
+        snap = _load_snapshot(root, v, fs)
         payload = ", ".join(
             f"`{f.name}` {f.dataType.simpleString()}" for f in snap.schema.fields
         )
@@ -116,8 +144,9 @@ class LakeChangelogDataSource(DataSource):
 class LakeChangelogStreamReader(DataSourceStreamReader):
     def __init__(self, options, schema):
         self.root = options["root"]
+        self._fs = _resolve_fs(options.get("fsfactory"))
         sv = options.get("startingversion", options.get("startingVersion"))
-        cur = _current_version(self.root)
+        cur = _current_version(self.root, self._fs)
         if cur is None:
             raise ValueError(f"no lake table at {self.root}")
         self.start_version = cur if sv is None else int(sv)
@@ -145,7 +174,7 @@ class LakeChangelogStreamReader(DataSourceStreamReader):
         if version in c:
             c.move_to_end(version)
             return c[version]
-        snap = _load_snapshot(self.root, version)
+        snap = _load_snapshot(self.root, version, self._fs)
         c[version] = snap
         if len(c) > self._CACHE_SIZE:
             c.popitem(last=False)
@@ -173,7 +202,7 @@ class LakeChangelogStreamReader(DataSourceStreamReader):
         return {"version": self.start_version}
 
     def latestOffset(self) -> dict:
-        cur = _current_version(self.root)
+        cur = _current_version(self.root, self._fs)
         base = self._base
         if base is None:
             # restarted reader before its first planned batch: the engine
@@ -385,9 +414,12 @@ def register(spark) -> None:
 
 def read_changelog_stream(spark, root: str, starting_version: int | None = None,
                           max_versions_per_trigger: int | None = None,
-                          max_changes_per_trigger: int | None = None):
+                          max_changes_per_trigger: int | None = None,
+                          fs_factory: str | None = None):
     """Convenience: register + open the stream (ChangelogFollower's
-    replacement — the poll loop becomes Spark's trigger/offset machinery)."""
+    replacement — the poll loop becomes Spark's trigger/offset machinery).
+    ``fs_factory`` names the metadata-plane LakeFS as a
+    ``"pkg.module:callable"`` import path (see :func:`_resolve_fs`)."""
     register(spark)
     r = spark.readStream.format("lake_changelog").option("root", root)
     if starting_version is not None:
@@ -396,4 +428,6 @@ def read_changelog_stream(spark, root: str, starting_version: int | None = None,
         r = r.option("maxVersionsPerTrigger", str(max_versions_per_trigger))
     if max_changes_per_trigger is not None:
         r = r.option("maxChangesPerTrigger", str(max_changes_per_trigger))
+    if fs_factory is not None:
+        r = r.option("fsFactory", fs_factory)
     return r.load()

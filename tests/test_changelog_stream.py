@@ -251,9 +251,9 @@ def test_snapshot_cache_one_parse_per_version(spark, tmp_path, monkeypatch):
     loads: list[int] = []
     real_load = cl._load_snapshot
 
-    def counting_load(root, version):
+    def counting_load(root, version, fs=None):
         loads.append(version)
-        return real_load(root, version)
+        return real_load(root, version, fs)
 
     monkeypatch.setattr(cl, "_load_snapshot", counting_load)
 
@@ -269,3 +269,40 @@ def test_snapshot_cache_one_parse_per_version(spark, tmp_path, monkeypatch):
         reader._base = 0  # rewind pacing so the next cycle re-covers v0..v4
     assert sorted(set(loads)) == [0, 1, 2, 3, 4]
     assert len(loads) == 5, f"re-parsed versions: {sorted(loads)}"
+
+
+def test_objectfs_metadata_plane_via_fs_factory(spark, tmp_path):
+    """A table whose METADATA lives behind the LakeFS object-store seam
+    streams through the fsFactory option — the reader resolves the LakeFS
+    from the 'pkg.module:callable' string (restart-safe: the option is in
+    the stream definition), and all snapshot/manifest reads go through it.
+    Data files are read with pyarrow as before (the emulated store's keys
+    are paths; a real deployment uses pyarrow-native object-store URIs)."""
+    from datax_spark.lake.objectstore import LocalEmulatedObjectStore, ObjectFS
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPTS_SCHEMA_V1,
+        bucket_key="conv_id", n_buckets=4,
+        fs=ObjectFS(LocalEmulatedObjectStore()),
+    )
+    _mixed_history(spark, t)
+    df = read_changelog_stream(
+        spark, t.root, starting_version=0,
+        fs_factory="datax_spark.lake.objectstore:emulated_objectfs",
+    )
+    q = _drain(df, "chg_objfs", str(tmp_path / "ck"))
+    got = _canon(spark.table("chg_objfs").collect())
+    want = _canon(t.read_changes(0).collect())
+    assert got == want and len(got) > 0
+
+
+def test_bad_fs_factory_raises(spark, tmp_path):
+    import pytest
+
+    t = _mk(spark, tmp_path)
+    t.append(_rows(spark, [("c0", 0, "user", "m", TS)]))
+    with pytest.raises(Exception, match="fsFactory"):
+        read_changelog_stream(
+            spark, t.root, starting_version=0,
+            fs_factory="no.such.module:factory",
+        ).writeStream.format("noop").start().processAllAvailable()
