@@ -415,6 +415,24 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------- analytic queries
 
+def q_tsdb_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tsdbreader parity: metric IN-list + half-open time range + RDB row
+    shape (metric, timestamp, tags..., value) over a tall series scan —
+    the reference's (time-slice x metric) HTTP pull collapsed into
+    predicate pushdown (tsdbreader/TSDBReader.java:163-270,
+    conn/TSDBDump.java:96)."""
+    import datetime as dt
+
+    from datax_spark.sources.tsdb import series_read
+
+    ev = _t(spark, sf_dir, "events")
+    return series_read(
+        ev, ["purchase", "error"],
+        begin=dt.datetime(2024, 1, 5), end=dt.datetime(2024, 1, 20),
+        metric_col="event_type", tag_cols=["user_id"],
+    )
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-bucketed aggregation (loghub/tsdb-style time-range read shape)."""
     ev = _t(spark, sf_dir, "events")
@@ -1401,6 +1419,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_props_json": q_events_props_json,
     "multiversion_explode": q_multiversion_explode,
     "events_sessionize": q_events_sessionize,
+    "tsdb_range_read": q_tsdb_range_read,
     "events_hourly": q_events_hourly,
     "events_multi_rollup": q_events_multi_rollup,
     "orders_rollup": q_orders_rollup,
@@ -1585,6 +1604,12 @@ ORACLES: dict[str, str] = {
         SELECT user_id, session_id, count(*) AS n_events,
                min(ts) AS session_start, max(ts) AS session_end
         FROM s GROUP BY user_id, session_id
+    """,
+    "tsdb_range_read": """
+        SELECT event_type AS metric, ts AS "timestamp", user_id, value
+        FROM events
+        WHERE event_type IN ('purchase', 'error')
+          AND ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-20'
     """,
     "events_hourly": """
         SELECT event_type, date_trunc('hour', ts) AS hour,
