@@ -409,6 +409,7 @@ def connected_components(
     dst: str = "id_b",
     id_out: str = "doc_id",
     max_iter: int = 50,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over near-dup pairs: ``(doc_id, cluster_id)``
     with ``cluster_id`` = the smallest doc id in the component — the step
@@ -430,13 +431,15 @@ def connected_components(
     Only docs that appear in some pair are returned — singletons are their
     own trivial cluster and are left to the caller (a left-anti join).
 
-    Durability: the result is an EAGER ``localCheckpoint`` — computed once,
-    blocks pinned on executors with lineage truncated. On a long-lived
-    cluster an executor loss after return makes downstream actions on the
-    result fail unrecoverably (unlike a reliable checkpoint); callers that
-    need the clustering to survive executor churn should write it to
-    storage immediately (``dedupe_table`` does — the clusters feed one CDC
-    apply right away, which is itself the durable artifact).
+    Durability: by default the result is an EAGER ``localCheckpoint`` —
+    computed once, blocks pinned on executors with lineage truncated. On a
+    long-lived cluster an executor loss after return makes downstream
+    actions on the result fail unrecoverably (unlike a reliable
+    checkpoint); pass ``checkpoint_dir`` to materialize the clustering to
+    storage instead (one parquet write + re-read — survives executor
+    churn, at one round-trip of I/O). Callers that consume the result
+    immediately don't need it (``dedupe_table`` feeds one CDC apply right
+    away, which is itself the durable artifact).
     """
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -478,6 +481,13 @@ def connected_components(
         )
         # materialization boundary: the caller gets a plain DataFrame whose
         # lineage doesn't reference the unpersisted loop state
+        if checkpoint_dir is not None:
+            import os
+            import uuid
+
+            path = os.path.join(checkpoint_dir, f"cc-{uuid.uuid4().hex}")
+            out.write.parquet(path)
+            return pairs.sparkSession.read.parquet(path)
         return out.localCheckpoint(eager=True)
     finally:
         edges.unpersist()

