@@ -25,6 +25,12 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from datax_spark.cdc.merge import dedupe_latest  # noqa: E402
+from datax_spark.ops.curation import (  # noqa: E402
+    assign_split_sql as _assign_split_sql,
+    pii_count_sql as _pii_count_sql,
+    pii_redact_sql as _pii_redact_sql,
+    split_hash_sql as _split_hash_sql,
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -580,6 +586,62 @@ def q_doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", rolling_hash_expr().alias("rhash"))
+
+
+def q_doc_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split assignment (ops.curation): md5
+    hex-prefix threshold per doc — reproducible across engines/runs,
+    membership-stable as the corpus grows (unlike randomSplit)."""
+    from datax_spark.ops.curation import assign_split, split_hash_expr
+
+    d = _t(spark, sf_dir, "documents")
+    return assign_split(d, "doc_id", salt="v1").select(
+        "doc_id", split_hash_expr("doc_id", "v1").alias("split_hash"), "split"
+    )
+
+
+def _docs_with_planted_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with deterministic PII appended: every 5th doc an email,
+    every 7th a phone, every 11th an IPv4 (raw corpus has none — redaction
+    would pass vacuously)."""
+    d = _t(spark, sf_dir, "documents")
+    email = F.when(
+        F.pmod(F.col("doc_id"), F.lit(5)) == 0,
+        F.concat(F.lit(" Contact user"), F.col("doc_id").cast("string"),
+                 F.lit("@example.com")),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        F.pmod(F.col("doc_id"), F.lit(7)) == 0,
+        F.concat(F.lit(" Call +1 (415) 555-"),
+                 F.lpad(F.pmod(F.col("doc_id"), F.lit(1000)).cast("string"), 4, "0"),
+                 F.lit(" now")),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        F.pmod(F.col("doc_id"), F.lit(11)) == 0,
+        F.concat(F.lit(" from 10.0."),
+                 F.pmod(F.col("doc_id"), F.lit(256)).cast("string"), F.lit(".7")),
+    ).otherwise(F.lit(""))
+    return d.withColumn("text", F.concat(F.col("text"), email, phone, ip))
+
+
+def q_doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction + per-kind match counts (ops.curation.pii_redact) over
+    the planted-PII corpus; map-only, Java-regex/RE2-portable patterns."""
+    from datax_spark.ops.curation import pii_redact
+
+    d = _docs_with_planted_pii(spark, sf_dir)
+    return pii_redact(d).select(
+        "doc_id", "n_email", "n_ipv4", "n_phone", "redacted"
+    )
+
+
+def q_doc_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary with doc/total frequencies, min_df-thresholded
+    (ops.curation.vocab) — the tokenizer-prep word count."""
+    from datax_spark.ops.curation import vocab
+
+    d = _t(spark, sf_dir, "documents")
+    return vocab(d, min_df=20)
 
 
 def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1430,6 +1492,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_lang_id": q_doc_lang_id,
     "doc_quality": q_doc_quality,
     "doc_rolling_hash": q_doc_rolling_hash,
+    "doc_hash_split": q_doc_hash_split,
+    "doc_pii_redact": q_doc_pii_redact,
+    "doc_vocab": q_doc_vocab,
     "doc_ngram_jaccard": q_doc_ngram_jaccard,
     "doc_minhash_near_dup": q_doc_minhash_near_dup,
     "doc_minhash_incremental": q_doc_minhash_incremental,
@@ -1726,6 +1791,43 @@ ORACLES: dict[str, str] = {
                         (acc, x) -> (acc * 31 + x) % 1000000007)
                END AS rhash
         FROM documents
+    """,
+    "doc_hash_split": f"""
+        SELECT doc_id,
+               {_split_hash_sql('doc_id', 'v1')} AS split_hash,
+               {_assign_split_sql('doc_id', 'v1')} AS split
+        FROM documents
+    """,
+    "doc_pii_redact": f"""
+        WITH pii_docs AS (
+            SELECT doc_id,
+                   text
+                   || CASE WHEN doc_id % 5 = 0
+                           THEN ' Contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 7 = 0
+                           THEN ' Call +1 (415) 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 4, '0') || ' now'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 11 = 0
+                           THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                           ELSE '' END
+                   AS text
+            FROM documents
+        )
+        SELECT doc_id,
+               {_pii_count_sql('email')} AS n_email,
+               {_pii_count_sql('ipv4')} AS n_ipv4,
+               {_pii_count_sql('phone')} AS n_phone,
+               {_pii_redact_sql('text')} AS redacted
+        FROM pii_docs
+    """,
+    "doc_vocab": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_DOC_TOKS}) AS token
+            FROM documents
+        )
+        SELECT token, count(DISTINCT doc_id) AS doc_freq, count(*) AS total_freq
+        FROM toks GROUP BY token HAVING count(DISTINCT doc_id) >= 20
     """,
     "doc_ngram_jaccard": _SHINGLE_SQL + """
         SELECT id_a, id_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
