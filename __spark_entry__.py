@@ -1042,6 +1042,51 @@ def q_remote_object_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     })
 
 
+# gateways spun up inside entry queries must outlive the callable (the driver
+# collects the returned DataFrame afterwards); daemon threads die with the
+# process.
+_LIVE_SERVERS: list = []
+
+
+def q_hbase_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HBase wire round trip (sources/hbase_rest.py — the hbase11xreader/
+    hbase11xwriter surface over the REST gateway): a 200-doc slice is PUT as
+    base64 CellSet batches through real HTTP/TCP (each task its own
+    connection), then scanned back with one task per region (3 regions,
+    doSplit window-clip parity) and typed column decode. The gateway is the
+    in-sandbox protocol emulation (sources/hbase_gateway.py); on a cluster
+    the same client points at the actual Stargate. Oracle selects the slice
+    straight from parquet."""
+    from datax_spark.sources.hbase_gateway import HBaseGateway
+    from datax_spark.sources.hbase_rest import hbase_read, hbase_write
+
+    gw = HBaseGateway(region_splits={
+        "docs": [b"doc_0000067", b"doc_0000134"]}).start()
+    _LIVE_SERVERS.append(gw)
+    df = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+        .orderBy("doc_id")
+        .limit(200)
+        .withColumn("rk", F.format_string("doc_%07d", F.col("doc_id")))
+        .repartition(2)
+    )
+    hbase_write(df, gw.url, "docs", rowkey=[{"name": "rk"}], columns=[
+        {"name": "doc_id", "hbase": "d:doc_id", "type": "long"},
+        {"name": "lang", "hbase": "d:lang", "type": "string"},
+        {"name": "text", "hbase": "d:text", "type": "string"},
+    ], batch_size=64)
+    return hbase_read(spark, gw.url, "docs", [
+        {"name": "d:doc_id", "type": "long"},
+        {"name": "d:lang", "type": "string"},
+        {"name": "d:text", "type": "string"},
+    ]).select(
+        F.col("d_doc_id").alias("doc_id"),
+        F.col("d_lang").alias("lang"),
+        F.col("d_text").alias("text"),
+    )
+
+
 def q_lake_objectfs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full CDC fold on a lake table whose METADATA lives on an object store
     (lake/objectstore.py: ObjectFS over the emulated client — conditional-PUT
@@ -1508,6 +1553,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_lsh_incremental": q_emb_lsh_incremental,
     "events_asof_error": q_events_asof_error,
     "remote_object_roundtrip": q_remote_object_roundtrip,
+    "hbase_roundtrip": q_hbase_roundtrip,
     "lake_objectfs_roundtrip": q_lake_objectfs_roundtrip,
     "lake_widen_fold": q_lake_widen_fold,
     "lake_pruned_read": q_lake_pruned_read,
@@ -1528,7 +1574,7 @@ FIXTURE_QUERIES: frozenset[str] = frozenset({
     "cdc_changelog", "cdc_rebucket", "cdc_incremental_rollup",
     "zipcsv_roundtrip", "dbapi_roundtrip", "dbapi_string_split",
     "doc_minhash_incremental", "doc_dedup_canonical", "emb_lsh_incremental",
-    "remote_object_roundtrip", "lake_objectfs_roundtrip",
+    "remote_object_roundtrip", "hbase_roundtrip", "lake_objectfs_roundtrip",
     "lake_widen_fold", "lake_pruned_read", "cdc_changelog_stream",
 })
 
@@ -1578,6 +1624,9 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, lang, text FROM documents ORDER BY doc_id LIMIT 200
     """,
     "remote_object_roundtrip": """
+        SELECT doc_id, lang, text FROM documents ORDER BY doc_id LIMIT 200
+    """,
+    "hbase_roundtrip": """
         SELECT doc_id, lang, text FROM documents ORDER BY doc_id LIMIT 200
     """,
     "lake_objectfs_roundtrip": f"""
