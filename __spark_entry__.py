@@ -27,10 +27,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from datax_spark.cdc.merge import dedupe_latest  # noqa: E402
 from datax_spark.ops.curation import (  # noqa: E402
     assign_split_sql as _assign_split_sql,
+    normalize_text_sql as _normalize_text_sql,
     pii_count_sql as _pii_count_sql,
     pii_redact_sql as _pii_redact_sql,
     split_hash_sql as _split_hash_sql,
 )
+
+_norm_text_sql = _normalize_text_sql("text")
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -642,6 +645,26 @@ def q_doc_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return vocab(d, min_df=20)
+
+
+def q_doc_norm_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-robust exact dedup (ops.curation.normalized_dedup_groups)
+    over the corpus plus planted casing/punctuation/whitespace variants (every
+    10th doc, SHOUTED with '!!' and doubled spaces) — groups the raw exact
+    dedup misses. Returns only true duplicate groups (n_docs >= 2)."""
+    from datax_spark.ops.curation import normalized_dedup_groups
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = (
+        d.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.upper(F.col("text")), F.lit("  !!")).alias("text"),
+        )
+    )
+    return normalized_dedup_groups(d.unionByName(variants)).filter(
+        F.col("n_docs") >= 2
+    )
 
 
 def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1540,6 +1563,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_hash_split": q_doc_hash_split,
     "doc_pii_redact": q_doc_pii_redact,
     "doc_vocab": q_doc_vocab,
+    "doc_norm_dedup": q_doc_norm_dedup,
     "doc_ngram_jaccard": q_doc_ngram_jaccard,
     "doc_minhash_near_dup": q_doc_minhash_near_dup,
     "doc_minhash_incremental": q_doc_minhash_incremental,
@@ -1877,6 +1901,21 @@ ORACLES: dict[str, str] = {
         )
         SELECT token, count(DISTINCT doc_id) AS doc_freq, count(*) AS total_freq
         FROM toks GROUP BY token HAVING count(DISTINCT doc_id) >= 20
+    """,
+    "doc_norm_dedup": f"""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id,
+                   upper(text) || '  !!' AS text
+            FROM documents WHERE doc_id % 10 = 0
+        )
+        SELECT md5({_norm_text_sql}) AS norm_hash,
+               min(doc_id) AS keeper,
+               count(*) AS n_docs
+        FROM corpus
+        GROUP BY 1
+        HAVING count(*) >= 2
     """,
     "doc_ngram_jaccard": _SHINGLE_SQL + """
         SELECT id_a, id_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b,

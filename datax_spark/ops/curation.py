@@ -170,6 +170,44 @@ def pii_count_sql(kind: str, text_col: str = "text") -> str:
     return f"CAST(len(regexp_extract_all({text_col}, '{pat_sql}')) AS INTEGER)"
 
 
+# --- text normalization + normalized exact dedup ------------------------------
+
+def normalize_text_expr(text_col: str = "text") -> Column:
+    """Canonical text form for normalization-robust exact dedup: casefold,
+    fold punctuation/symbol runs to single spaces, collapse whitespace, trim.
+
+    Deliberately ASCII-alnum-keyed (non-ASCII letters fold to spaces): the
+    aggressive-but-deterministic canonicalization used before exact dedup of
+    web text, portable bit-for-bit between Java regex and RE2/DuckDB. Unicode
+    NFC folding needs an ICU UDF and is out of scope (documented non-goal —
+    it is also engine-specific, which would break the oracle contract).
+    """
+    c = F.lower(F.col(text_col))
+    c = F.regexp_replace(c, r"[^a-z0-9\s]+", " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def normalize_text_sql(text_col: str = "text") -> str:
+    """DuckDB twin of :func:`normalize_text_expr` ('g' = replace-all)."""
+    return (f"trim(regexp_replace(regexp_replace(lower({text_col}), "
+            f"'[^a-z0-9\\s]+', ' ', 'g'), '\\s+', ' ', 'g'))")
+
+
+def normalized_dedup_groups(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """Duplicate groups under the normalized form: (norm_hash, keeper,
+    n_docs) for every group, keeper = min id (the canonical-keeper rule
+    ops.dedup.exact_dedup uses). Catches the near-misses raw exact dedup
+    leaves behind — casing, punctuation, and whitespace variants — while
+    staying one map + one hash aggregation (no pairwise anything)."""
+    return (
+        df.select(F.col(id_col), F.md5(normalize_text_expr(text_col)).alias("norm_hash"))
+        .groupBy("norm_hash")
+        .agg(F.min(id_col).alias("keeper"), F.count("*").alias("n_docs"))
+    )
+
+
 # --- vocabulary statistics ---------------------------------------------------
 
 def vocab(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",

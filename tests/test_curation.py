@@ -14,6 +14,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from datax_spark.ops.curation import (  # noqa: E402
     assign_split,
+    normalized_dedup_groups,
     pii_redact,
     split_thresholds,
     vocab,
@@ -89,6 +90,19 @@ def test_pii_redact_counts_and_order(spark):
     assert "192.168" not in got[2]["redacted"]
     assert got[3]["redacted"] == "no pii here at all"
     assert (got[4]["n_email"], got[4]["n_ipv4"]) == (2, 1)
+
+
+def test_normalized_dedup_groups(spark):
+    rows = [
+        (1, "Hello, World!"),
+        (2, "hello   world"),      # same after normalization
+        (3, "HELLO WORLD."),       # same after normalization
+        (4, "goodbye world"),      # distinct
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["keeper"]: r["n_docs"]
+           for r in normalized_dedup_groups(df).collect()}
+    assert got == {1: 3, 4: 1}  # keeper = min id, casing/punct/ws folded
 
 
 def test_vocab_min_df_and_counts(spark):
