@@ -855,7 +855,10 @@ def classify_commit(parent: "Snapshot", cur: "Snapshot") -> dict | None:
         }
     else:
         all_buckets = set(cur.files) | set(parent.files)
-    for b in all_buckets:
+    # deterministic bucket order: set iteration is hash-randomized across
+    # processes, which made the path lists' order differ between the
+    # ref-skip fast path and the generic path (and across runs)
+    for b in sorted(all_buckets, key=int):
         cur_fl = cur.files.get(b, [])
         par_paths = {f["path"] for f in parent.files.get(b, [])}
         added = [f for f in cur_fl if f["path"] not in par_paths]
@@ -1036,7 +1039,9 @@ class LakeTable:
         """
         snap = self.snapshot(version)
         if snap.has_deltas(buckets):
-            df = self._read_merged(snap, buckets, columns)
+            # _in_pred pushes into the merge scan when its columns are merge
+            # keys (sound: keys are layer-stable); `where` stays post-merge
+            df = self._read_merged(snap, buckets, columns, key_filter=_in_pred)
             return df.filter(where) if where else df
         wanted = None if buckets is None else {str(b) for b in buckets}
         preds = list(_parse_prune_preds(where)) if where else []
@@ -1087,7 +1092,10 @@ class LakeTable:
         need_key = columns is not None and snap.bucket_key not in columns
         cols = ([snap.bucket_key] + columns) if need_key else columns
         # zone-map key pruning: within the selected buckets, skip files whose
-        # bucket-key [min,max] excludes every requested key (base-only scans)
+        # bucket-key [min,max] excludes every requested key; under MoR the
+        # same key set also pushes into the merge scan (file prune + Arrow
+        # row-group filter per layer) when the bucket key is a merge key —
+        # a point lookup reads O(matching row groups), never the bucket
         df = self.read(version, buckets=buckets, columns=cols,
                        _in_pred={snap.bucket_key: keys})
         df = df.filter(F.col(snap.bucket_key).isin(keys))
@@ -1100,13 +1108,26 @@ class LakeTable:
         return T.StructType([snap.schema[c] for c in columns])
 
     def _read_merged(self, snap: Snapshot, buckets: Iterable[int] | None,
-                     columns: list[str] | None = None) -> DataFrame:
+                     columns: list[str] | None = None,
+                     key_filter: dict | None = None) -> DataFrame:
         """Distributed merge-on-read: one steered task set resolves each
         bucket's base ∪ delta layers (newest-gen-wins cascade, deletes
-        dropped) and streams the live rows back as the snapshot schema."""
+        dropped) and streams the live rows back as the snapshot schema.
+
+        ``key_filter`` ({col: values}) restricts the scan to the given MERGE
+        KEY values — sound under MoR because a row's key never changes across
+        layers, so per-key newest-gen resolution over the restricted row set
+        equals restricting the full resolution (unlike arbitrary predicates,
+        which a newer layer can move rows into). It prunes twice: whole files
+        via manifest zone maps on the key column, and rows/row-groups inside
+        each surviving file via an Arrow dataset filter — a point ``lookup``
+        on a 100-TB bucket then reads O(matching row groups), not the bucket.
+        Filters on non-key columns are ignored (unsound to push)."""
         key_cols = [k for k in snap.properties.get("merge_keys", "").split(",") if k]
         if not key_cols:
             raise ValueError("snapshot has delta layers but no merge_keys property")
+        if key_filter and not set(key_filter) <= set(key_cols):
+            key_filter = None  # unsound to push: fall back to full merge
         op_col = snap.properties.get("merge_op_col", "op")
         delete_op = snap.properties.get("merge_delete_op", "D")
         out_cols = list(columns) if columns else [f.name for f in snap.schema.fields]
@@ -1124,17 +1145,23 @@ class LakeTable:
         if not items:
             return self.spark.createDataFrame([], self._projected_struct(snap, columns))
         table_root = self.root
-        file_map = {
-            b: [
+        kf_preds = ([(c, "in", list(vs)) for c, vs in key_filter.items()]
+                    if key_filter else None)
+        file_map, sizes = {}, {}
+        for b in items:
+            entries = [
+                f for f in snap.files[str(b)]
+                if kf_preds is None or _file_may_match(f.get("stats"), kf_preds)
+            ]
+            file_map[b] = [
                 (os.path.join(table_root, f["path"]), f.get("kind", "base"),
                  f.get("gen", 0))
-                for f in snap.files[str(b)]
+                for f in entries
             ]
-            for b in items
-        }
-        sizes = {
-            b: sum(f["rows"] for f in snap.files[str(b)]) + 1 for b in items
-        }
+            sizes[b] = sum(f["rows"] for f in entries) + 1
+        items = [b for b in items if file_map[b]]
+        if not items:
+            return self.spark.createDataFrame([], self._projected_struct(snap, columns))
         n_tasks = min(len(items), max(self.spark.sparkContext.defaultParallelism, 1))
         assign = _assign_buckets_lpt(items, sizes, n_tasks)
         magic = _partition_magic(n_tasks)
@@ -1155,6 +1182,9 @@ class LakeTable:
             my_buckets = []
             for batch in batches:
                 my_buckets.extend(batch.column(0).to_pylist())
+            kf = (None if key_filter is None else [
+                (c, "in", list(vs)) for c, vs in key_filter.items()
+            ])
             for b in my_buckets:
                 pieces = []
                 seen: list = []
@@ -1163,7 +1193,10 @@ class LakeTable:
                     want = [c for c in internal_names if c in sch_names]
                     if kind == "delta" and op_col in sch_names:
                         want = want + [op_col]
-                    t = pq.read_table(path, columns=want)
+                    # key pushdown: row-group stats prune + row filter at the
+                    # Arrow scan, so non-matching rows never enter the cascade
+                    # (merge keys exist in every layer since table creation)
+                    t = pq.read_table(path, columns=want, filters=kf)
                     cols = []
                     for f in target:
                         if f.name in sch_names:
