@@ -1183,6 +1183,42 @@ def q_lake_widen_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read().select("user_id", "turn_idx", "event_type", "value", "ts")
 
 
+def q_lake_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed point lookup through a delta-layered (MoR) table with key
+    pushdown (LakeTable.lookup → zone-map file prune + Arrow row-group
+    filter per layer): two CDC applies land as deltas, then a fixed key set
+    (user_id % 131 == 0) is looked up. Oracle folds the same change feed
+    and filters to those keys — proving pushdown-restricted merge ==
+    full merge restricted."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from datax_spark.lake.table import LakeTable
+
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("turn_idx", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    root = tempfile.mkdtemp(prefix="dsx-lookup-")
+    t = LakeTable.create(spark, root, schema, bucket_key="user_id", n_buckets=8)
+    ch = _derived_changes(spark, sf_dir)
+    for half in (0, 1):
+        t.apply_cdc_stats(
+            ch.filter(F.pmod(F.col("seq"), F.lit(2)) == half),
+            key_cols=["user_id", "turn_idx"], op_col="op", seq_col="seq",
+            write_mode="mor", compact_threshold=1000,  # stays delta-layered
+        )
+    keys = [r[0] for r in
+            ch.select("user_id").where(F.pmod(F.col("user_id"), F.lit(131)) == 0)
+            .distinct().collect()]
+    return t.lookup(keys).select(
+        "user_id", "turn_idx", "event_type", "value", "ts")
+
+
 def q_lake_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zone-map file pruning (manifest min/max stats): events land in three
     appends with disjoint event_id ranges, so the selective read opens only
@@ -1580,6 +1616,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hbase_roundtrip": q_hbase_roundtrip,
     "lake_objectfs_roundtrip": q_lake_objectfs_roundtrip,
     "lake_widen_fold": q_lake_widen_fold,
+    "lake_point_lookup": q_lake_point_lookup,
     "lake_pruned_read": q_lake_pruned_read,
     "cdc_changelog_stream": q_cdc_changelog_stream,
     "media_features": q_media_features,
@@ -1599,7 +1636,8 @@ FIXTURE_QUERIES: frozenset[str] = frozenset({
     "zipcsv_roundtrip", "dbapi_roundtrip", "dbapi_string_split",
     "doc_minhash_incremental", "doc_dedup_canonical", "emb_lsh_incremental",
     "remote_object_roundtrip", "hbase_roundtrip", "lake_objectfs_roundtrip",
-    "lake_widen_fold", "lake_pruned_read", "cdc_changelog_stream",
+    "lake_widen_fold", "lake_point_lookup", "lake_pruned_read",
+    "cdc_changelog_stream",
 })
 
 ORACLES: dict[str, str] = {
@@ -1666,6 +1704,13 @@ ORACLES: dict[str, str] = {
             SELECT *, row_number() OVER (PARTITION BY user_id, turn_idx ORDER BY seq DESC) AS rn
             FROM ({_CHANGES_ORACLE})
         ) WHERE rn = 1 AND op <> 'D'
+    """,
+    "lake_point_lookup": f"""
+        SELECT user_id, turn_idx, event_type, value, ts
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id, turn_idx ORDER BY seq DESC) AS rn
+            FROM ({_CHANGES_ORACLE})
+        ) WHERE rn = 1 AND op <> 'D' AND user_id % 131 = 0
     """,
     "lake_pruned_read": """
         SELECT event_id, user_id, event_type, value, ts

@@ -1128,6 +1128,8 @@ class LakeTable:
             raise ValueError("snapshot has delta layers but no merge_keys property")
         if key_filter and not set(key_filter) <= set(key_cols):
             key_filter = None  # unsound to push: fall back to full merge
+        if os.environ.get("DSX_KEY_PUSHDOWN", "1") == "0":
+            key_filter = None  # A/B lever (read on the driver at plan time)
         op_col = snap.properties.get("merge_op_col", "op")
         delete_op = snap.properties.get("merge_delete_op", "D")
         out_cols = list(columns) if columns else [f.name for f in snap.schema.fields]
