@@ -1065,6 +1065,43 @@ def q_remote_object_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     })
 
 
+def q_mongo_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MongoDB extended-JSON decode (sources/mongo_json.py — the
+    mongodbreader column-meta surface over mongoexport dumps): a 200-doc
+    slice is serialized as canonical extended JSON ($oid/$numberLong
+    wrappers via to_json, so escaping is exact), then read back through the
+    pure-Catalyst typed decoder with dotted-path columns. Oracle selects
+    the slice straight from parquet."""
+    import tempfile
+
+    from datax_spark.sources.mongo_json import mongo_export_read
+
+    dump = tempfile.mkdtemp(prefix="dsx-mongo-") + "/dump"
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+        .orderBy("doc_id")
+        .limit(200)
+    )
+    line = F.to_json(F.struct(
+        F.struct(F.format_string("%024x", F.col("doc_id")).alias("$oid"))
+        .alias("_id"),
+        F.struct(F.col("lang"), F.col("text")).alias("doc"),
+        F.struct(F.col("doc_id").cast("string").alias("$numberLong"))
+        .alias("n"),
+    ))
+    d.select(line.alias("value")).coalesce(2).write.text(dump)
+    return mongo_export_read(spark, dump, [
+        {"name": "n", "type": "long"},
+        {"name": "doc.lang", "type": "string"},
+        {"name": "doc.text", "type": "string"},
+    ]).select(
+        F.col("n").alias("doc_id"),
+        F.col("doc_lang").alias("lang"),
+        F.col("doc_text").alias("text"),
+    )
+
+
 # gateways spun up inside entry queries must outlive the callable (the driver
 # collects the returned DataFrame afterwards); daemon threads die with the
 # process.
@@ -1614,6 +1651,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_asof_error": q_events_asof_error,
     "remote_object_roundtrip": q_remote_object_roundtrip,
     "hbase_roundtrip": q_hbase_roundtrip,
+    "mongo_export_roundtrip": q_mongo_export_roundtrip,
     "lake_objectfs_roundtrip": q_lake_objectfs_roundtrip,
     "lake_widen_fold": q_lake_widen_fold,
     "lake_point_lookup": q_lake_point_lookup,
@@ -1635,7 +1673,8 @@ FIXTURE_QUERIES: frozenset[str] = frozenset({
     "cdc_changelog", "cdc_rebucket", "cdc_incremental_rollup",
     "zipcsv_roundtrip", "dbapi_roundtrip", "dbapi_string_split",
     "doc_minhash_incremental", "doc_dedup_canonical", "emb_lsh_incremental",
-    "remote_object_roundtrip", "hbase_roundtrip", "lake_objectfs_roundtrip",
+    "remote_object_roundtrip", "hbase_roundtrip", "mongo_export_roundtrip",
+    "lake_objectfs_roundtrip",
     "lake_widen_fold", "lake_point_lookup", "lake_pruned_read",
     "cdc_changelog_stream",
 })
@@ -1689,6 +1728,9 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, lang, text FROM documents ORDER BY doc_id LIMIT 200
     """,
     "hbase_roundtrip": """
+        SELECT doc_id, lang, text FROM documents ORDER BY doc_id LIMIT 200
+    """,
+    "mongo_export_roundtrip": """
         SELECT doc_id, lang, text FROM documents ORDER BY doc_id LIMIT 200
     """,
     "lake_objectfs_roundtrip": f"""
