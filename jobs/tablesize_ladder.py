@@ -41,7 +41,17 @@ def main() -> None:
     from bench import host_probe, run_cdc_bench  # noqa: E402 (after env setup)
     from datax_spark.session import get_spark  # noqa: E402
 
-    spark = get_spark(app_name="datax-tablesize-ladder")
+    # speculation: at 10x feed sizes a rare hung executor task (observed
+    # once: 63/64 generation tasks done, straggler at 0% CPU for 15+ min,
+    # Python worker idle in socket wait) stalls the whole run — a
+    # re-launched speculative copy finishes the stage, exactly as on a
+    # real cluster
+    spark = get_spark(app_name="datax-tablesize-ladder", extra_conf={
+        "spark.speculation": "true",
+        "spark.speculation.interval": "5s",
+        "spark.speculation.multiplier": "4",
+        "spark.speculation.quantile": "0.9",
+    })
     workdir = f"{base}/dsx-ladder-{os.getpid()}"
     shutil.rmtree(workdir, ignore_errors=True)
     os.makedirs(workdir)
