@@ -429,6 +429,42 @@ def gdb_reader(spark: SparkSession, p: dict) -> DataFrame:
     return gdb_read(spark, p)
 
 
+@reader("mongodbreader")
+def mongodb_reader(spark: SparkSession, p: dict) -> DataFrame:
+    """mongoexport extended-JSON dump mode (sources/mongo_json.py): the
+    reference's column meta {name,type,splitter} and _id range-split task
+    predicate (MongoDBReader.java:110-188) over a dump path; the live BSON
+    wire protocol stays out of sandbox reach (documented)."""
+    from datax_spark.sources.mongo_json import mongo_export_read
+
+    bounds = p.get("idBounds")
+    df = mongo_export_read(
+        spark, p["path"], p["column"],
+        id_bounds=tuple(bounds) if bounds else None,
+        id_type=p.get("idType", "objectid"),
+    )
+    return _apply_pushdown(df, {k: v for k, v in p.items() if k != "column"})
+
+
+@reader("hbase11xreader")
+def hbase11x_reader(spark: SparkSession, p: dict) -> DataFrame:
+    """HBase scan through the REST gateway (sources/hbase_rest.py): one task
+    per region overlapping [startRowkey, endRowkey) (Hbase11xHelper.doSplit
+    parity), normal or multi-version cell mode."""
+    from datax_spark.sources.hbase_rest import hbase_read
+
+    mode = p.get("mode", "normal")
+    maxv = int(p.get("maxVersion", 1))
+    return hbase_read(
+        spark, p["gatewayUrl"], p["table"], p["column"],
+        start_rowkey=p.get("startRowkey", ""),
+        end_rowkey=p.get("endRowkey", ""),
+        mode="multiversion" if mode.lower().startswith("multiversion") else "normal",
+        max_versions=(2**31 - 1) if maxv == -1 else maxv,  # -1 = all versions
+        batch=int(p.get("batch", 1000)),
+    )
+
+
 @reader("lakereader")
 def lake_reader(spark: SparkSession, p: dict) -> DataFrame:
     from datax_spark.lake.table import LakeTable

@@ -286,6 +286,20 @@ def lake_writer(df: DataFrame, p: dict) -> dict:
     return result
 
 
+@writer("hbase11xwriter")
+def hbase11x_writer(df: DataFrame, p: dict) -> dict:
+    """Batched CellSet PUTs through the HBase REST gateway
+    (sources/hbase_rest.py): rowkey composed from column/constant parts in
+    spec order (hbase11xwriter NormalTask.getRowkey:71-82)."""
+    from datax_spark.sources.hbase_rest import hbase_write
+
+    return hbase_write(
+        df, p["gatewayUrl"], p["table"],
+        rowkey=p["rowkeyColumn"], columns=p["column"],
+        batch_size=int(p.get("batchSize", 500)),
+    )
+
+
 @writer("streamwriter")
 def stream_writer(df: DataFrame, p: dict) -> dict:
     """Test sink (streamwriter): print/collect. One pass: collect the bounded

@@ -122,6 +122,29 @@ def test_writer_rowkey_constant_parts(spark):
         assert got[0]["rowkey"] == "pfx_a_sfx"
 
 
+def test_registry_jobspec_surface(spark):
+    """DataX-job-JSON parity: the connector drives through the reader/writer
+    registries (plans/jobspec.py plugin names), not just the direct API."""
+    from datax_spark.sources.readers import build_reader
+    from datax_spark.sources.writers import build_writer
+
+    with HBaseGateway() as gw:
+        stats = build_writer(_sample(spark, 30), "hbase11xwriter", {
+            "gatewayUrl": gw.url, "table": "t5",
+            "rowkeyColumn": [{"name": "id"}], "column": COLS_W,
+        })
+        assert stats["rows"] == 30
+        got = build_reader(spark, "hbase11xreader", {
+            "gatewayUrl": gw.url, "table": "t5", "column": COLS_R,
+            "maxVersion": -1, "mode": "multiVersionFixedColumn",
+        })
+        assert got.count() >= 30 * 4  # one row per cell version (4 columns)
+        norm = build_reader(spark, "hbase11xreader", {
+            "gatewayUrl": gw.url, "table": "t5", "column": COLS_R,
+        })
+        assert norm.count() == 30
+
+
 def test_cell_codec_roundtrip():
     for v, t, enc in [(42, "int", "binary"), (42, "int", "string"),
                       (-7, "long", "binary"), (3.25, "double", "binary"),

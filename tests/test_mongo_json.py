@@ -86,6 +86,22 @@ def test_id_range_split_tiles_the_dump(spark, tmp_path):
     assert lo.count() == 1 and hi.count() == 2
 
 
+def test_registry_jobspec_surface(spark, tmp_path):
+    """mongodbreader drives through the reader registry with the reference's
+    column meta + where/columns pushdown params."""
+    from datax_spark.sources.readers import build_reader
+
+    p = str(tmp_path / "dump.json")
+    with open(p, "w") as f:
+        f.write("\n".join(CANONICAL + RELAXED) + "\n")
+    got = build_reader(spark, "mongodbreader", {
+        "path": p, "column": COLS, "where": "user_age >= 9",
+        "columns": ["_id", "user_age"],
+    }).collect()
+    assert sorted((r["_id"], r["user_age"]) for r in got) == [
+        ("65f1a2b3c4d5e6f7a8b9c0d2", 9), ("65f1a2b3c4d5e6f7a8b9c0d3", 12)]
+
+
 def test_decode_is_pure_catalyst(spark):
     """No Python in the row path: the plan must stay whole-stage-codegen /
     project over the text scan (no BatchEvalPython / ArrowEvalPython)."""
