@@ -60,6 +60,7 @@ def bulk_write(
     endpoint_dir: str | None = None,
     transport=None,
     max_tasks: int | None = None,
+    options: dict | None = None,
 ) -> dict:
     """Ship ``df`` as bulk payloads. Returns {"batches", "rows", "bytes"}."""
     if transport is None and endpoint_dir is None:
@@ -97,6 +98,27 @@ def bulk_write(
                         lines.append(_json.dumps({action: meta}, default=str))
                         lines.append(_json.dumps(r, default=str))
                 return ("\n".join(lines) + "\n").encode()
+        elif fmt == "tsdb":
+            # OpenTSDB /api/put JSON-array framing: one DataPoint4TSDB
+            # {timestamp, metric, tags, value} per row, PUT in batches
+            # (tsdbwriter conn/DataPoint4TSDB.java:17-28,
+            # util/TSDBUtils.put:48-65; batchSize at TSDBWriter.java:83-86)
+            opts = options or {}
+            mcol = opts.get("metric_col")
+            mconst = opts.get("metric", index)
+            tscol, vcol = opts["ts_col"], opts["value_col"]
+            tag_cols = opts.get("tag_cols", [])
+
+            def render(rows):
+                dps = []
+                for r in rows:
+                    dps.append({
+                        "metric": r[mcol] if mcol else mconst,
+                        "timestamp": int(r[tscol]),
+                        "value": r[vcol],
+                        "tags": {k: str(r[k]) for k in tag_cols},
+                    })
+                return _json.dumps(dps, default=str).encode()
         else:  # stream-load CSV framing
             def render(rows):
                 out = []

@@ -204,6 +204,25 @@ def dbapi_writer(df: DataFrame, p: dict) -> dict:
     )
 
 
+@writer("tsdbwriter")
+def tsdb_writer(df: DataFrame, p: dict) -> dict:
+    """OpenTSDB datapoint appender (tsdbwriter): rows become DataPoint4TSDB
+    JSON arrays PUT in batches through the injectable transport."""
+    from datax_spark.sources.bulk import bulk_write
+
+    return bulk_write(
+        df, index=p.get("metric", "metric"), fmt="tsdb",
+        batch_size=int(p.get("batchSize", 100)),
+        endpoint_dir=p.get("endpointDir"), transport=p.get("transport"),
+        max_tasks=p.get("maxTasks"),
+        options={
+            "metric_col": p.get("metricCol"), "metric": p.get("metric"),
+            "ts_col": p.get("tsCol", "ts"), "value_col": p.get("valueCol", "value"),
+            "tag_cols": p.get("tagCols", []),
+        },
+    )
+
+
 @writer("eswriter")
 @writer("doriswriter")
 @writer("starrockswriter")

@@ -108,3 +108,36 @@ def test_filters_push_to_parquet_scan(spark, tmp_path):
     for col in ("metric", "ts", "zone"):
         assert col in plan.split("PushedFilters")[1][:400], col
     assert out.count() == 30  # cpu minutes 30..59, all in zone z1
+
+
+# ------------------------------------------------------------- tsdbwriter
+
+def test_tsdb_put_writer_payloads(spark, tmp_path):
+    """tsdbwriter parity: rows ship as OpenTSDB /api/put JSON arrays of
+    DataPoint4TSDB {timestamp, metric, tags, value}, batched."""
+    import glob
+    import json
+
+    from datax_spark.sources.writers import build_writer
+    from pyspark.sql import functions as F
+
+    spool = str(tmp_path / "tsdb")
+    df = (_series_df(spark)
+          .withColumn("epoch", F.unix_timestamp("ts"))
+          .coalesce(1))
+    stats = build_writer(df, "tsdbwriter", {
+        "metricCol": "metric", "tsCol": "epoch", "valueCol": "value",
+        "tagCols": ["host", "zone"], "batchSize": 50,
+        "endpointDir": spool, "maxTasks": 1,
+    })
+    assert stats["rows"] == 120 and stats["batches"] == 3  # ceil(120/50)
+    dps = []
+    for f in sorted(glob.glob(spool + "/*")):
+        dps.extend(json.loads(open(f).read()))
+    assert len(dps) == 120
+    cpu = [d for d in dps if d["metric"] == "cpu"]
+    assert len(cpu) == 60
+    d0 = min(cpu, key=lambda d: d["timestamp"])
+    assert set(d0["tags"]) == {"host", "zone"}
+    assert d0["tags"]["zone"] == "z1" and isinstance(d0["timestamp"], int)
+    assert d0["value"] == 0.0
