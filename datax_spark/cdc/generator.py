@@ -222,14 +222,33 @@ def generate_change_feed(spark: SparkSession, feed_dir: str, spec: ChangeFeedSpe
     # small enough that 32 concurrent Python workers don't blow the RAM at
     # tens of millions of events (text columns are ~1 KB/row)
     n_range_buckets = max(64, min(4096, spec.n_convs // 2000))
-    events = _assign_seq(_events_df(spark, spec), spec, n_range_buckets=n_range_buckets)
+    # scale the seq-assignment job's shuffle width with the bucket count so
+    # per-task Arrow stream volume stays bounded: at 350M events over the
+    # session default 64 partitions each applyInPandas task streamed ~5.5 GB
+    # through its Python worker and deterministically deadlocked in the
+    # runner's flow control (JVM select()ing for output, worker recv()ing
+    # for input — observed via jstack + /proc, both sides idle); at the
+    # proven <=2 GB/task regime the same job has never hung
+    gen_partitions = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions")), n_range_buckets // 8
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     # DISK_ONLY: the feed is consumed by two writes + a count; the in-memory
     # columnar cache of tens of millions of ~1 KB text rows OOMs small heaps,
     # and generation is never the measured path.
     from pyspark import StorageLevel
 
-    events = events.persist(StorageLevel.DISK_ONLY)
-    total = events.count()
+    spark.conf.set("spark.sql.shuffle.partitions", str(gen_partitions))
+    try:
+        events = _assign_seq(_events_df(spark, spec), spec,
+                             n_range_buckets=n_range_buckets)
+        events = events.persist(StorageLevel.DISK_ONLY)
+        # count() materializes the persisted partitions while the widened
+        # shuffle conf is ACTIVE (it is consulted at action-planning time);
+        # the downstream writes reuse the persisted blocks
+        total = events.count()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     ev_epoch = spec.evolve_epoch
 
     v1 = events.filter(F.col("epoch_hint") < ev_epoch).drop("tool")
