@@ -68,9 +68,14 @@ def run_cdc_bench(spark, workdir: str, n_convs: int, n_epochs: int) -> dict:
     protocol notes); best-of-N on the cheap replay phase measures the engine,
     not the neighbor — the same protocol bench_scaling.py uses."""
     feed = os.path.join(workdir, "feed")
+    # shards/buckets scale with feed size in production (a 10x table wants
+    # proportionally more buckets); DSX_BENCH_SHARDS/DSX_BENCH_BUCKETS let
+    # ladder points replay at a realistic width — aligned path needs them
+    # equal, so both default to 64 (the standard-feed configuration)
+    n_shards = int(os.environ.get("DSX_BENCH_SHARDS", "64"))
     spec = ChangeFeedSpec(
         seed=42, n_convs=n_convs, n_epochs=n_epochs, evolve_frac=0.5,
-        update_rate=0.45, hot_cap=500, shards_per_epoch=64,
+        update_rate=0.45, hot_cap=500, shards_per_epoch=n_shards,
     )
     t0 = time.time()
     stats = generate_change_feed(spark, feed, spec)
@@ -95,7 +100,8 @@ def run_cdc_bench(spark, workdir: str, n_convs: int, n_epochs: int) -> dict:
     while True:
         tdir = os.path.join(workdir, f"trial-{trial}")
         LakeTable.create(spark, os.path.join(tdir, "table"), TRANSCRIPTS_SCHEMA_V1,
-                         bucket_key="conv_id", n_buckets=64)
+                         bucket_key="conv_id",
+                         n_buckets=int(os.environ.get("DSX_BENCH_BUCKETS", "64")))
         engine = CdcEngine(
             spark,
             EngineConfig(
