@@ -85,9 +85,7 @@ def main() -> None:
         off_s, n_off = timed("0")
         os.environ.pop("DSX_KEY_PUSHDOWN", None)
         assert n_on == n_off, f"pushdown changed results: {n_on} vs {n_off}"
-        out = {
-            "metric": "point-lookup seconds, key pushdown on vs off "
-                      "(delta-layered MoR table, best-of-N)",
+        point = {
             "table_rows": total_rows,
             "max_layers_per_bucket": layers,
             "n_keys": len(keys),
@@ -95,12 +93,24 @@ def main() -> None:
             "lookup_sec_pushdown_on": on_s,
             "lookup_sec_pushdown_off": off_s,
             "speedup": round(off_s / on_s, 2) if on_s else None,
-            "note": "off-path cost is O(bucket x layers); on-path is "
-                    "O(matching row groups) — the gap widens with table size",
         }
-        with open(os.path.join(REPO, "BENCH_LOOKUP.json"), "w") as f:
-            json.dump(out, f, indent=2)
-        print(json.dumps(out))
+        path = os.path.join(REPO, "BENCH_LOOKUP.json")
+        doc = json.load(open(path)) if os.path.exists(path) else {}
+        doc.setdefault(
+            "metric",
+            "point-lookup seconds, key pushdown on vs off (delta-layered "
+            "MoR table, best-of-N)")
+        doc.setdefault("note", (
+            "on-path latency stays flat as the table grows (fixed job-launch "
+            "cost); off-path grows with bucket volume (whole-bucket x layers "
+            "merge) — at 100-TB bucket sizes the off path is the scan the "
+            "pushdown exists to avoid"))
+        pts = [p for p in doc.get("points", [])
+               if p.get("table_rows") != point["table_rows"]] + [point]
+        doc["points"] = sorted(pts, key=lambda p: p["table_rows"])
+        with open(path, "w") as f:
+            json.dump(doc, f, indent=2)
+        print(json.dumps(point))
     finally:
         shutil.rmtree(work, ignore_errors=True)
         spark.stop()
