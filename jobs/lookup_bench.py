@@ -83,8 +83,14 @@ def main() -> None:
 
         on_s, n_on = timed("1")
         off_s, n_off = timed("0")
+        # third config: clustering rewrite (compact sort_by=key) + pushdown —
+        # range-disjoint files give the zone maps real selectivity and the
+        # row-group stats real skip power
+        t.compact(sort_by=["conv_id"], max_rows_per_file=200_000)
+        clustered_s, n_cl = timed("1")
         os.environ.pop("DSX_KEY_PUSHDOWN", None)
-        assert n_on == n_off, f"pushdown changed results: {n_on} vs {n_off}"
+        assert n_on == n_off == n_cl, \
+            f"pushdown changed results: {n_on} vs {n_off} vs {n_cl}"
         point = {
             "table_rows": total_rows,
             "max_layers_per_bucket": layers,
@@ -92,6 +98,7 @@ def main() -> None:
             "rows_returned": n_on,
             "lookup_sec_pushdown_on": on_s,
             "lookup_sec_pushdown_off": off_s,
+            "lookup_sec_clustered": clustered_s,
             "speedup": round(off_s / on_s, 2) if on_s else None,
         }
         path = os.path.join(REPO, "BENCH_LOOKUP.json")
