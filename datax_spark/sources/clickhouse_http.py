@@ -1,0 +1,145 @@
+"""ClickHouse wire connector over the HTTP interface — the clickhousereader
+surface without a JDBC driver.
+
+The reference's clickhousereader is CommonRdbmsReader with the ClickHouse
+JDBC dialect (column / where / splitPk / querySql — semantics in
+``sources/dbapi.py``). ClickHouse's OTHER public wire protocol is plain
+HTTP: ``POST / `` with the SQL as the body, options as query params,
+``X-ClickHouse-User/Key`` headers, result in the requested ``FORMAT``.
+That protocol is exercisable end-to-end here (tests run a real TCP server
+whose SQL engine is DuckDB, so the split queries actually execute), and on
+a cluster the same code points at ``http://<clickhouse>:8123``.
+
+Reference parity (cited, not copied):
+
+- splitPk range split: one probe query for MIN/MAX under ``where``, even
+  [lo, hi) ranges with the last inclusive, plus the ``splitPk IS NULL``
+  residual task (``SingleTableSplitUtil.splitSingleTable:35-129``, NULL
+  residual at ``:113-126``); no splitPk → one task
+  (``mysqlreader.md:292-302``);
+- ``querySql`` passthrough mode, one task per statement
+  (``CommonRdbmsReader`` querySql branch);
+- per-task connections: each Spark task POSTs its own split query — the
+  channel model.
+
+Spark shape: tasks fetch ``FORMAT JSONEachRow`` lines (one HTTP stream per
+task) and the TYPED decode happens JVM-side via ``from_json`` against the
+caller's schema — Catalyst, not Python, parses every row.
+"""
+
+from __future__ import annotations
+
+import urllib.parse
+import urllib.request
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def ch_query(url: str, sql: str, database: str | None = None,
+             user: str | None = None, password: str | None = None,
+             timeout: float = 60.0) -> bytes:
+    """One HTTP query against a ClickHouse endpoint; returns the raw body."""
+    params = {}
+    if database:
+        params["database"] = database
+    full = url + ("/?" + urllib.parse.urlencode(params) if params else "/")
+    headers = {"Content-Type": "text/plain"}
+    if user:
+        headers["X-ClickHouse-User"] = user
+    if password:
+        headers["X-ClickHouse-Key"] = password
+    req = urllib.request.Request(full, data=sql.encode(), method="POST",
+                                 headers=headers)
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        if resp.status != 200:
+            raise IOError(f"clickhouse query failed: HTTP {resp.status}")
+        return resp.read()
+
+
+def build_ch_split_sqls(
+    url: str,
+    table: str,
+    columns: list[str] | None,
+    where: str | None,
+    split_pk: str | None,
+    n_splits: int,
+    database: str | None = None,
+    user: str | None = None,
+    password: str | None = None,
+) -> list[str]:
+    """Per-task SELECTs tiling the table exactly once (splitSingleTable
+    parity; integer splitPk)."""
+    cols = ", ".join(columns) if columns and columns != ["*"] else "*"
+    base_where = f" AND ({where})" if where else ""
+    plain_where = f" WHERE ({where})" if where else ""
+    if not split_pk or n_splits <= 1:
+        return [f"SELECT {cols} FROM {table}{plain_where}"]
+    probe = (f"SELECT min({split_pk}), max({split_pk}) FROM {table} "
+             f"WHERE {split_pk} IS NOT NULL{base_where}")
+    body = ch_query(url, probe + " FORMAT TSV", database, user, password)
+    line = body.decode().strip().split("\n")[0] if body.strip() else ""
+    out: list[str] = []
+    if line and "\\N" not in line:
+        lo, hi = (int(v) for v in line.split("\t"))
+        n = min(n_splits, max(hi - lo + 1, 1))
+        step = (hi - lo + 1) / n
+        bounds = [lo + int(i * step) for i in range(n)] + [hi + 1]
+        for i in range(n):
+            a, b = bounds[i], bounds[i + 1]
+            if a >= b:
+                continue
+            last = " <= " if i == n - 1 else " < "
+            hi_lit = hi if i == n - 1 else b
+            out.append(
+                f"SELECT {cols} FROM {table} WHERE {split_pk} >= {a} "
+                f"AND {split_pk}{last}{hi_lit}{base_where}"
+            )
+    # NULL residual slice (splitSingleTable:113-126): never drop NULL keys
+    out.append(f"SELECT {cols} FROM {table} "
+               f"WHERE {split_pk} IS NULL{base_where}")
+    return out
+
+
+def clickhouse_http_read(
+    spark: SparkSession,
+    url: str,
+    schema: str,
+    table: str | None = None,
+    columns: list[str] | None = None,
+    where: str | None = None,
+    split_pk: str | None = None,
+    n_splits: int = 1,
+    query_sql: str | list[str] | None = None,
+    database: str | None = None,
+    user: str | None = None,
+    password: str | None = None,
+) -> DataFrame:
+    """Distributed ClickHouse-over-HTTP read; ``schema`` is the Spark DDL
+    string the JSONEachRow payload decodes into (from_json, JVM-side)."""
+    if query_sql is not None:
+        sqls = [query_sql] if isinstance(query_sql, str) else list(query_sql)
+    else:
+        if table is None:
+            raise ValueError("need table or query_sql")
+        sqls = build_ch_split_sqls(url, table, columns, where, split_pk,
+                                   n_splits, database, user, password)
+    creds = {"url": url, "database": database, "user": user,
+             "password": password}
+
+    def fetch(pdfs):
+        for pdf in pdfs:
+            for _, task in pdf.iterrows():
+                body = ch_query(
+                    creds["url"], task["sql"] + " FORMAT JSONEachRow",
+                    creds["database"], creds["user"], creds["password"])
+                lines = [ln for ln in body.decode().split("\n") if ln.strip()]
+                if lines:
+                    yield pd.DataFrame({"value": lines})
+
+    tasks = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sqls)], "i int, sql string"
+    ).repartition(len(sqls), "i")
+    raw = tasks.mapInPandas(fetch, "value string")
+    return raw.select(F.from_json("value", schema).alias("r")).select("r.*")

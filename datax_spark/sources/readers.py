@@ -429,6 +429,22 @@ def gdb_reader(spark: SparkSession, p: dict) -> DataFrame:
     return gdb_read(spark, p)
 
 
+@reader("clickhousereader")
+def clickhouse_reader(spark: SparkSession, p: dict) -> DataFrame:
+    """ClickHouse read over the HTTP interface (sources/clickhouse_http.py):
+    column/where/splitPk/querySql parity with the reference's JDBC-dialect
+    reader, per-task HTTP split queries, from_json typed decode."""
+    from datax_spark.sources.clickhouse_http import clickhouse_http_read
+
+    return clickhouse_http_read(
+        spark, p["httpUrl"], p["schema"], table=p.get("table"),
+        columns=p.get("column"), where=p.get("where"),
+        split_pk=p.get("splitPk"), n_splits=int(p.get("splits", 1)),
+        query_sql=p.get("querySql"), database=p.get("database"),
+        user=p.get("username"), password=p.get("password"),
+    )
+
+
 @reader("mongodbreader")
 def mongodb_reader(spark: SparkSession, p: dict) -> DataFrame:
     """mongoexport extended-JSON dump mode (sources/mongo_json.py): the

@@ -1,0 +1,137 @@
+"""ClickHouse-over-HTTP connector tests against a real TCP server whose SQL
+engine is DuckDB — the split queries genuinely execute, so range tiling,
+NULL residuals, and querySql mode are proven end-to-end over the wire."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from datax_spark.sources.clickhouse_http import (  # noqa: E402
+    build_ch_split_sqls,
+    clickhouse_http_read,
+)
+
+
+class FakeClickHouse:
+    """HTTP endpoint speaking the ClickHouse dialect surface this connector
+    uses (POST body SQL, FORMAT TSV/JSONEachRow) with DuckDB executing."""
+
+    def __init__(self, setup_sql: list[str]):
+        self._con = duckdb.connect()
+        for s in setup_sql:
+            self._con.execute(s)
+        self._lock = threading.Lock()
+        fake = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length", 0))
+                sql = self.rfile.read(n).decode()
+                fmt = "TSV"
+                for f in ("JSONEachRow", "TSV"):
+                    if sql.rstrip().endswith("FORMAT " + f):
+                        fmt = f
+                        sql = sql.rstrip()[: -len("FORMAT " + f)].rstrip()
+                try:
+                    with fake._lock:
+                        df = fake._con.execute(sql).df()
+                except Exception as e:  # noqa: BLE001
+                    body = str(e).encode()
+                    self.send_response(500)
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
+                if fmt == "JSONEachRow":
+                    body = df.to_json(orient="records", lines=True,
+                                      date_format="iso").encode()
+                else:
+                    body = "\n".join(
+                        "\t".join("\\N" if v is None or v != v else str(v)
+                                  for v in row)
+                        for row in df.itertuples(index=False)
+                    ).encode()
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+        self._server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self._thread = threading.Thread(target=self._server.serve_forever,
+                                        daemon=True)
+
+    @property
+    def url(self):
+        h, p = self._server.server_address
+        return f"http://{h}:{p}"
+
+    def __enter__(self):
+        self._thread.start()
+        return self
+
+    def __exit__(self, *a):
+        self._server.shutdown()
+        self._server.server_close()
+
+
+SETUP = [
+    """CREATE TABLE ev AS
+       SELECT i AS id, 'u' || (i % 7) AS user, i * 1.5 AS score
+       FROM range(0, 100) t(i)""",
+    "INSERT INTO ev VALUES (NULL, 'u-null', -1.0)",
+]
+SCHEMA = "id long, user string, score double"
+
+
+def test_split_read_tiles_exactly(spark):
+    with FakeClickHouse(SETUP) as ch:
+        df = clickhouse_http_read(
+            spark, ch.url, SCHEMA, table="ev",
+            columns=["id", "user", "score"], split_pk="id", n_splits=4)
+        rows = df.collect()
+        assert len(rows) == 101  # 100 ranged + 1 NULL residual
+        ids = sorted(r["id"] for r in rows if r["id"] is not None)
+        assert ids == list(range(100))  # exactly once each
+        assert any(r["id"] is None and r["user"] == "u-null" for r in rows)
+        assert {type(r["score"]) for r in rows if r["score"]} == {float}
+
+
+def test_where_pushes_into_every_split(spark):
+    with FakeClickHouse(SETUP) as ch:
+        df = clickhouse_http_read(
+            spark, ch.url, SCHEMA, table="ev", where="id >= 50",
+            split_pk="id", n_splits=3)
+        ids = sorted(r["id"] for r in df.collect() if r["id"] is not None)
+        assert ids == list(range(50, 100))
+
+
+def test_query_sql_mode_one_task_each(spark):
+    with FakeClickHouse(SETUP) as ch:
+        df = clickhouse_http_read(
+            spark, ch.url, SCHEMA,
+            query_sql=["SELECT id, user, score FROM ev WHERE id < 10",
+                       "SELECT id, user, score FROM ev WHERE id >= 90"])
+        ids = sorted(r["id"] for r in df.collect() if r["id"] is not None)
+        assert ids == list(range(10)) + list(range(90, 100))
+
+
+def test_split_sql_shapes():
+    with FakeClickHouse(SETUP) as ch:
+        sqls = build_ch_split_sqls(ch.url, "ev", ["id"], None, "id", 4)
+        assert len(sqls) == 5  # 4 ranges + NULL residual
+        assert sqls[-1].endswith("WHERE id IS NULL")
+        assert " <= 99" in sqls[-2]  # last range inclusive of max
+        # no splitPk -> single statement
+        assert len(build_ch_split_sqls(ch.url, "ev", None, None, None, 4)) == 1
