@@ -143,3 +143,52 @@ def clickhouse_http_read(
     ).repartition(len(sqls), "i")
     raw = tasks.mapInPandas(fetch, "value string")
     return raw.select(F.from_json("value", schema).alias("r")).select("r.*")
+
+
+def clickhouse_http_write(
+    df: DataFrame,
+    url: str,
+    table: str,
+    batch_size: int = 10_000,
+    database: str | None = None,
+    user: str | None = None,
+    password: str | None = None,
+    max_tasks: int | None = None,
+) -> dict:
+    """Batched ``INSERT INTO <table> FORMAT JSONEachRow`` POSTs — the
+    clickhousewriter surface (CommonRdbmsWriter batch-INSERT semantics) over
+    HTTP. Rows are serialized JVM-side (``to_json``); each task streams its
+    partition through its own connection in ``batch_size`` chunks. Returns
+    {"rows", "batches"}."""
+    if max_tasks:
+        df = df.coalesce(max_tasks)
+    lines = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+    creds = {"url": url, "database": database, "user": user,
+             "password": password}
+    head = f"INSERT INTO {table} FORMAT JSONEachRow\n"
+
+    def ship(pdfs):
+        rows = batches = 0
+        buf: list[str] = []
+
+        def flush():
+            nonlocal batches, buf
+            if buf:
+                ch_query(creds["url"], head + "\n".join(buf),
+                         creds["database"], creds["user"], creds["password"])
+                batches += 1
+                buf = []
+
+        for pdf in pdfs:
+            for v in pdf["value"]:
+                buf.append(v)
+                rows += 1
+                if len(buf) >= batch_size:
+                    flush()
+        flush()
+        yield pd.DataFrame({"rows": [rows], "batches": [batches]})
+
+    stats = lines.mapInPandas(ship, "rows long, batches long").agg(
+        F.sum("rows").alias("rows"), F.sum("batches").alias("batches")
+    ).collect()[0]
+    return {"rows": stats["rows"] or 0, "batches": stats["batches"] or 0}

@@ -204,6 +204,20 @@ def dbapi_writer(df: DataFrame, p: dict) -> dict:
     )
 
 
+@writer("clickhousewriter")
+def clickhouse_writer(df: DataFrame, p: dict) -> dict:
+    """ClickHouse batch insert over the HTTP interface
+    (sources/clickhouse_http.py): INSERT ... FORMAT JSONEachRow per task."""
+    from datax_spark.sources.clickhouse_http import clickhouse_http_write
+
+    return clickhouse_http_write(
+        df, p["httpUrl"], p["table"],
+        batch_size=int(p.get("batchSize", 10000)),
+        database=p.get("database"), user=p.get("username"),
+        password=p.get("password"), max_tasks=p.get("maxTasks"),
+    )
+
+
 @writer("tsdbwriter")
 def tsdb_writer(df: DataFrame, p: dict) -> dict:
     """OpenTSDB datapoint appender (tsdbwriter): rows become DataPoint4TSDB

@@ -39,6 +39,22 @@ class FakeClickHouse:
             def do_POST(self):
                 n = int(self.headers.get("Content-Length", 0))
                 sql = self.rfile.read(n).decode()
+                first, _, rest = sql.partition("\n")
+                if first.strip().upper().startswith("INSERT INTO") \
+                        and first.rstrip().endswith("FORMAT JSONEachRow"):
+                    import pandas as pd
+                    table = first.split()[2]
+                    rows = [json.loads(ln) for ln in rest.split("\n")
+                            if ln.strip()]
+                    payload = pd.DataFrame(rows)  # noqa: F841 (duckdb scans it)
+                    with fake._lock:
+                        fake._con.execute(
+                            f"INSERT INTO {table} BY NAME "
+                            "SELECT * FROM payload")
+                    self.send_response(200)
+                    self.send_header("Content-Length", "0")
+                    self.end_headers()
+                    return
                 fmt = "TSV"
                 for f in ("JSONEachRow", "TSV"):
                     if sql.rstrip().endswith("FORMAT " + f):
@@ -125,6 +141,21 @@ def test_query_sql_mode_one_task_each(spark):
                        "SELECT id, user, score FROM ev WHERE id >= 90"])
         ids = sorted(r["id"] for r in df.collect() if r["id"] is not None)
         assert ids == list(range(10)) + list(range(90, 100))
+
+
+def test_http_write_roundtrip(spark):
+    with FakeClickHouse(
+            ["CREATE TABLE sink (id BIGINT, user VARCHAR, score DOUBLE)"]) as ch:
+        from datax_spark.sources.clickhouse_http import clickhouse_http_write
+
+        src = spark.createDataFrame(
+            [(i, f"u{i}", i * 0.5) for i in range(40)],
+            "id long, user string, score double").repartition(2)
+        stats = clickhouse_http_write(src, ch.url, "sink", batch_size=16)
+        assert stats["rows"] == 40 and stats["batches"] >= 3
+        back = clickhouse_http_read(spark, ch.url, SCHEMA, table="sink")
+        got = {r["id"]: (r["user"], r["score"]) for r in back.collect()}
+        assert len(got) == 40 and got[7] == ("u7", 3.5)
 
 
 def test_split_sql_shapes():
