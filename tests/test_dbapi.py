@@ -371,3 +371,57 @@ def test_hint_injected_after_select(tmp_path):
     assert all(q.startswith("SELECT /*+ parallel(4) */ id, name") for q in qs)
     total = sum(len(query_sql("sqlite3", db, q)) for q in qs)
     assert total == 11
+
+
+def test_bulk_writer_http_transport(spark):
+    """The injectable transport over a REAL HTTP server: each executor task
+    POSTs its NDJSON batches like the ES _bulk endpoint receives them —
+    closes the loop the file-spool tests leave open."""
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    received: list[bytes] = []
+    lock = threading.Lock()
+
+    class H(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(n)
+            with lock:
+                received.append(body)
+            self.send_response(200)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}/_bulk"
+    try:
+        from datax_spark.sources.bulk import bulk_write
+
+        def post(payload: bytes, meta: dict) -> None:
+            import urllib.request
+            req = urllib.request.Request(url, data=payload, method="POST")
+            with urllib.request.urlopen(req, timeout=10) as resp:
+                assert resp.status == 200
+
+        df = spark.createDataFrame(
+            [(i, f"d{i}") for i in range(30)], "id long, body string"
+        ).repartition(2)
+        stats = bulk_write(df, index="docs", fmt="es", id_cols=["id"],
+                           batch_size=8, transport=post)
+        assert stats["rows"] == 30
+        lines = b"".join(received).decode().strip().split("\n")
+        actions = [_json.loads(x) for x in lines[0::2]]
+        sources = [_json.loads(x) for x in lines[1::2]]
+        assert len(sources) == 30
+        assert all(a["index"]["_index"] == "docs" for a in actions)
+        assert {s["id"] for s in sources} == set(range(30))
+    finally:
+        srv.shutdown()
+        srv.server_close()
