@@ -105,7 +105,9 @@ def bulk_write(
             # util/TSDBUtils.put:48-65; batchSize at TSDBWriter.java:83-86)
             opts = options or {}
             mcol = opts.get("metric_col")
-            mconst = opts.get("metric", index)
+            # `or` (not dict default): callers pass metric=None through, which
+            # dict.get would return as-is, silencing the index fallback
+            mconst = opts.get("metric") or index
             tscol, vcol = opts["ts_col"], opts["value_col"]
             tag_cols = opts.get("tag_cols", [])
 

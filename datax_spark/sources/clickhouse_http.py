@@ -69,8 +69,12 @@ def build_ch_split_sqls(
     user: str | None = None,
     password: str | None = None,
 ) -> list[str]:
-    """Per-task SELECTs tiling the table exactly once (splitSingleTable
-    parity; integer splitPk)."""
+    """Per-task SELECTs tiling the table exactly once — split arithmetic
+    shared with the DB-API reader (``dbapi.range_split_predicates``:
+    splitSingleTable + RangeSplitUtil parity; int and ASCII-string keys);
+    non-splittable key types degrade to one task instead of failing."""
+    from datax_spark.sources.dbapi import range_split_predicates
+
     cols = ", ".join(columns) if columns and columns != ["*"] else "*"
     base_where = f" AND ({where})" if where else ""
     plain_where = f" WHERE ({where})" if where else ""
@@ -80,22 +84,22 @@ def build_ch_split_sqls(
              f"WHERE {split_pk} IS NOT NULL{base_where}")
     body = ch_query(url, probe + " FORMAT TSV", database, user, password)
     line = body.decode().strip().split("\n")[0] if body.strip() else ""
-    out: list[str] = []
+    lo = hi = None
     if line and "\\N" not in line:
-        lo, hi = (int(v) for v in line.split("\t"))
-        n = min(n_splits, max(hi - lo + 1, 1))
-        step = (hi - lo + 1) / n
-        bounds = [lo + int(i * step) for i in range(n)] + [hi + 1]
-        for i in range(n):
-            a, b = bounds[i], bounds[i + 1]
-            if a >= b:
-                continue
-            last = " <= " if i == n - 1 else " < "
-            hi_lit = hi if i == n - 1 else b
-            out.append(
-                f"SELECT {cols} FROM {table} WHERE {split_pk} >= {a} "
-                f"AND {split_pk}{last}{hi_lit}{base_where}"
-            )
+        lo_s, hi_s = line.split("\t")
+        try:
+            lo, hi = int(lo_s), int(hi_s)
+        except ValueError:
+            try:
+                float(lo_s)  # numeric-but-not-integer key (Float/Decimal):
+                lo = hi = None  # string-range predicates would miscompare —
+                #                 degrade to one task instead
+            except ValueError:
+                lo, hi = lo_s, hi_s  # true string keys: base-128 ranges
+    preds = range_split_predicates(split_pk, lo, hi, n_splits)
+    if preds is None:  # empty table / all-NULL keys / unsupported type
+        return [f"SELECT {cols} FROM {table}{plain_where}"]
+    out = [f"SELECT {cols} FROM {table} WHERE {p}{base_where}" for p in preds]
     # NULL residual slice (splitSingleTable:113-126): never drop NULL keys
     out.append(f"SELECT {cols} FROM {table} "
                f"WHERE {split_pk} IS NULL{base_where}")

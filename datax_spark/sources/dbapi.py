@@ -218,13 +218,40 @@ def build_split_queries(
         # would be read twice (SingleTableSplitUtil.java:59-126 early-returns
         # here too)
         return [base + base_where]
-    out = []
+    preds = range_split_predicates(
+        split_pk, lo, hi, num_partitions,
+        quantiles=lambda: _quantile_boundaries(
+            driver, database, table, split_pk, where,
+            num_partitions, connect_args),
+    )
+    if preds is None:
+        return [base + base_where]
+    out = [f"{base} WHERE {guard}{p}" for p in preds]
+    out.append(f"{base} WHERE {guard}{split_pk} IS NULL")
+    return out
+
+
+def range_split_predicates(split_pk: str, lo, hi, num_partitions: int,
+                           quantiles=None) -> list[str] | None:
+    """Probe result (lo, hi) -> per-task predicates tiling the NON-NULL key
+    space exactly once — the shared split arithmetic behind both the DB-API
+    reader and the ClickHouse HTTP reader (callers add their own WHERE guard
+    and the ``IS NULL`` residual slice).
+
+    int keys → even BigInteger ranges (RangeSplitUtil.doBigIntegerSplit:
+    43-93); ASCII strings → base-128 bigint ranges (doAsciiStringSplit:
+    14-30); anything else → ``quantiles()`` callback boundaries if given.
+    Returns None when splitting is impossible (lo/hi None, or no quantile
+    source for an unsupported type) — callers fall back to one task.
+    """
+    if lo is None or hi is None:
+        return None
+    out: list[str] = []
     if lo == hi:
-        # single distinct non-NULL value: one guarded slice; the IS NULL
-        # residual below picks up the NULL-key rows exactly once
-        out.append(f"{base} WHERE {guard}{split_pk} IS NOT NULL")
-    elif isinstance(lo, int) and isinstance(hi, int):
-        # even BigInteger-style ranges (RangeSplitUtil.doBigIntegerSplit:43-93)
+        # single distinct non-NULL value: one slice; the caller's IS NULL
+        # residual picks up NULL-key rows exactly once
+        return [f"{split_pk} IS NOT NULL"]
+    if isinstance(lo, int) and isinstance(hi, int):
         span = hi - lo + 1
         step, rem = divmod(span, num_partitions)
         cur = lo
@@ -235,41 +262,39 @@ def build_split_queries(
             nxt = cur + width
             op_hi = "<=" if i == num_partitions - 1 else "<"
             out.append(
-                f"{base} WHERE {guard}{split_pk} >= {cur} AND {split_pk} "
+                f"{split_pk} >= {cur} AND {split_pk} "
                 f"{op_hi} {nxt - 1 if op_hi == '<=' else nxt}"
             )
             cur = nxt
-    else:
-        bounds = None
-        if isinstance(lo, str) and isinstance(hi, str):
-            try:
-                length = max(len(lo), len(hi))
-                blo, bhi = (_string_to_bigint(lo, length),
-                            _string_to_bigint(hi, length))
-                step, rem = divmod(bhi - blo, num_partitions)
-                cuts, cur = [], blo
-                for i in range(num_partitions - 1):
-                    cur += step + (1 if i < rem else 0)
-                    cuts.append(_bigint_to_string(cur, length))
-                bounds = [b for i, b in enumerate(cuts)
-                          if lo < b <= hi and (i == 0 or b > cuts[i - 1])]
-            except ValueError:
-                bounds = None  # non-ASCII → sampled quantiles below
-        if bounds is None:
-            bounds = _quantile_boundaries(
-                driver, database, table, split_pk, where,
-                num_partitions, connect_args)
-            bounds = [b for b in bounds if lo < b <= hi]
-        edges = [lo, *bounds]
-        for i, b in enumerate(edges):
-            lo_pred = f"{split_pk} >= {_sql_literal(b)}"
-            if i + 1 < len(edges):
-                out.append(f"{base} WHERE {guard}{lo_pred} AND "
-                           f"{split_pk} < {_sql_literal(edges[i + 1])}")
-            else:
-                out.append(f"{base} WHERE {guard}{lo_pred} AND "
-                           f"{split_pk} <= {_sql_literal(hi)}")
-    out.append(f"{base} WHERE {guard}{split_pk} IS NULL")
+        return out
+    bounds = None
+    if isinstance(lo, str) and isinstance(hi, str):
+        try:
+            length = max(len(lo), len(hi))
+            blo, bhi = (_string_to_bigint(lo, length),
+                        _string_to_bigint(hi, length))
+            step, rem = divmod(bhi - blo, num_partitions)
+            cuts, cur = [], blo
+            for i in range(num_partitions - 1):
+                cur += step + (1 if i < rem else 0)
+                cuts.append(_bigint_to_string(cur, length))
+            bounds = [b for i, b in enumerate(cuts)
+                      if lo < b <= hi and (i == 0 or b > cuts[i - 1])]
+        except ValueError:
+            bounds = None  # non-ASCII → sampled quantiles below
+    if bounds is None:
+        if quantiles is None:
+            return None
+        bounds = [b for b in quantiles() if lo < b <= hi]
+    edges = [lo, *bounds]
+    for i, b in enumerate(edges):
+        lo_pred = f"{split_pk} >= {_sql_literal(b)}"
+        if i + 1 < len(edges):
+            out.append(f"{lo_pred} AND "
+                       f"{split_pk} < {_sql_literal(edges[i + 1])}")
+        else:
+            out.append(f"{lo_pred} AND "
+                       f"{split_pk} <= {_sql_literal(hi)}")
     return out
 
 

@@ -58,16 +58,16 @@ _SPARK_TYPE = {
 
 
 def encode_cell(value, ctype: str, encoding: str = "string") -> bytes:
-    """Typed value -> HBase cell bytes (``Bytes.toBytes`` analog)."""
+    """Typed value -> HBase cell bytes (``Bytes.toBytes`` analog). Strings
+    are UTF-8 under EITHER encoding (Bytes.toBytes(String) is UTF-8)."""
     if value is None:
         return b""
     if ctype == "binary":
         return bytes(value)
-    if encoding == "binary":
-        if ctype == "boolean":
-            return b"\x01" if value else b"\x00"
-        fmt = _BIN_PACK[ctype]
-        return struct.pack(fmt, value)
+    if encoding == "binary" and ctype in _BIN_PACK:
+        return struct.pack(_BIN_PACK[ctype], value)
+    if encoding == "binary" and ctype == "boolean":
+        return b"\x01" if value else b"\x00"
     if ctype == "boolean":
         return b"true" if value else b"false"
     return str(value).encode("utf-8")
@@ -80,10 +80,10 @@ def decode_cell(raw: bytes, ctype: str, encoding: str = "string"):
         return None
     if ctype == "binary":
         return raw
-    if encoding == "binary":
-        if ctype == "boolean":
-            return raw != b"\x00"
+    if encoding == "binary" and ctype in _BIN_PACK:
         return struct.unpack(_BIN_PACK[ctype], raw)[0]
+    if encoding == "binary" and ctype == "boolean":
+        return raw != b"\x00"
     s = raw.decode("utf-8")
     if ctype == "boolean":
         return s.lower() == "true"
@@ -177,8 +177,6 @@ def hbase_read(
     """
     regions = fetch_regions(base_url, table)
     ranges = split_ranges(regions, start_rowkey.encode(), end_rowkey.encode())
-    if not ranges:
-        ranges = []  # empty window: zero tasks, empty result below
     range_rows = [(i, _b64(lo), _b64(hi)) for i, (lo, hi) in enumerate(ranges)]
     spec = json.dumps({"columns": columns, "mode": mode, "batch": batch,
                        "max_versions": max_versions, "base_url": base_url,

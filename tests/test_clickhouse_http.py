@@ -62,7 +62,9 @@ class FakeClickHouse:
                         sql = sql.rstrip()[: -len("FORMAT " + f)].rstrip()
                 try:
                     with fake._lock:
-                        df = fake._con.execute(sql).df()
+                        cur = fake._con.execute(sql)
+                        names = [d[0] for d in cur.description]
+                        data = cur.fetchall()
                 except Exception as e:  # noqa: BLE001
                     body = str(e).encode()
                     self.send_response(500)
@@ -71,13 +73,26 @@ class FakeClickHouse:
                     self.wfile.write(body)
                     return
                 if fmt == "JSONEachRow":
-                    body = df.to_json(orient="records", lines=True,
-                                      date_format="iso").encode()
+                    # fetchall (not .df().to_json()): pandas upcasts nullable
+                    # int columns to float, emitting "id":7.0 — a real
+                    # ClickHouse emits proper ints, and the connector's typed
+                    # from_json decode rightly rejects 7.0 as a long
+                    import decimal
+
+                    def jdefault(v):
+                        if isinstance(v, decimal.Decimal):
+                            return float(v)
+                        return str(v)
+
+                    body = "\n".join(
+                        json.dumps(dict(zip(names, row)), default=jdefault)
+                        for row in data
+                    ).encode()
                 else:
                     body = "\n".join(
                         "\t".join("\\N" if v is None or v != v else str(v)
                                   for v in row)
-                        for row in df.itertuples(index=False)
+                        for row in data
                     ).encode()
                 self.send_response(200)
                 self.send_header("Content-Length", str(len(body)))
@@ -166,3 +181,26 @@ def test_split_sql_shapes():
         assert " <= 99" in sqls[-2]  # last range inclusive of max
         # no splitPk -> single statement
         assert len(build_ch_split_sqls(ch.url, "ev", None, None, None, 4)) == 1
+
+
+def test_non_integer_splitpk_degrades_gracefully(spark):
+    """Float splitPk: string-range predicates would miscompare, so the read
+    degrades to a single statement instead of failing (review fix)."""
+    with FakeClickHouse(SETUP) as ch:
+        sqls = build_ch_split_sqls(ch.url, "ev", ["id"], None, "score", 4)
+        assert len(sqls) == 1 and "score >=" not in sqls[0]
+        df = clickhouse_http_read(spark, ch.url, SCHEMA, table="ev",
+                                  split_pk="score", n_splits=4)
+        assert df.count() == 101
+
+
+def test_string_splitpk_splits_via_base128(spark):
+    with FakeClickHouse(SETUP) as ch:
+        sqls = build_ch_split_sqls(ch.url, "ev", ["id", "user"], None,
+                                   "user", 3)
+        assert len(sqls) >= 3 and sqls[-1].endswith("WHERE user IS NULL")
+        df = clickhouse_http_read(spark, ch.url, SCHEMA, table="ev",
+                                  split_pk="user", n_splits=3)
+        rows = df.collect()
+        ids = sorted(r["id"] for r in rows if r["id"] is not None)
+        assert ids == list(range(100))  # tiles exactly once incl. residual

@@ -153,3 +153,12 @@ def test_cell_codec_roundtrip():
                       (b"\x00\xff", "binary", "string")]:
         assert decode_cell(encode_cell(v, t, enc), t, enc) == v
     assert decode_cell(b"", "int") is None
+
+
+def test_string_cell_with_binary_encoding_is_utf8():
+    """Bytes.toBytes(String) is UTF-8 under either encoding (review fix:
+    previously KeyError for type string + encoding binary)."""
+    assert decode_cell(encode_cell("héllo", "string", "binary"),
+                       "string", "binary") == "héllo"
+    assert decode_cell(encode_cell(True, "boolean", "binary"),
+                       "boolean", "binary") is True

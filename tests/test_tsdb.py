@@ -141,3 +141,24 @@ def test_tsdb_put_writer_payloads(spark, tmp_path):
     assert set(d0["tags"]) == {"host", "zone"}
     assert d0["tags"]["zone"] == "z1" and isinstance(d0["timestamp"], int)
     assert d0["value"] == 0.0
+
+
+def test_tsdb_writer_metric_defaults_without_metric_col(spark, tmp_path):
+    """No metric/metricCol in the jobspec: datapoints fall back to the index
+    default instead of metric=null (review fix)."""
+    import glob
+    import json
+
+    from datax_spark.sources.writers import build_writer
+    from pyspark.sql import functions as F
+
+    spool = str(tmp_path / "tsdb2")
+    df = (_series_df(spark).withColumn("epoch", F.unix_timestamp("ts"))
+          .limit(5).coalesce(1))
+    build_writer(df, "tsdbwriter", {
+        "tsCol": "epoch", "valueCol": "value", "endpointDir": spool,
+    })
+    dps = []
+    for f in sorted(glob.glob(spool + "/*")):
+        dps.extend(json.loads(open(f).read()))
+    assert dps and all(d["metric"] == "metric" for d in dps)
