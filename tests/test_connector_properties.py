@@ -1,0 +1,104 @@
+"""Property-based tests (hypothesis) for the wire-connector primitives:
+the HBase cell codec, region-range tiling, and the shared SQL range-split
+arithmetic. These are the pieces whose edge cases (empty keys, negative
+numbers, unicode, adversarial region layouts) a handful of example tests
+cannot enumerate."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from datax_spark.sources.dbapi import range_split_predicates  # noqa: E402
+from datax_spark.sources.hbase_rest import (  # noqa: E402
+    decode_cell,
+    encode_cell,
+    split_ranges,
+)
+
+_TYPED = st.one_of(
+    st.tuples(st.just("int"), st.integers(-2**31, 2**31 - 1)),
+    st.tuples(st.just("long"), st.integers(-2**63, 2**63 - 1)),
+    st.tuples(st.just("short"), st.integers(-2**15, 2**15 - 1)),
+    st.tuples(st.just("boolean"), st.booleans()),
+    st.tuples(st.just("string"), st.text(max_size=64)),
+    st.tuples(st.just("binary"), st.binary(min_size=1, max_size=64)),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(tv=_TYPED, enc=st.sampled_from(["string", "binary"]))
+def test_cell_codec_roundtrips_all_types(tv, enc):
+    t, v = tv
+    if t == "string" and v == "":
+        v = None  # empty bytes decode as NULL by contract (HBase empty cell)
+    got = decode_cell(encode_cell(v, t, enc), t, enc)
+    assert got == v
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    splits=st.lists(st.binary(min_size=1, max_size=6), min_size=0,
+                    max_size=6, unique=True),
+    lo=st.binary(max_size=6),
+    hi=st.binary(max_size=6),
+)
+def test_split_ranges_tile_the_window(splits, lo, hi):
+    """Clipped ranges are disjoint, ordered, inside the window, and cover it
+    exactly (doSplit parity, for arbitrary region layouts)."""
+    bounds = [b""] + sorted(splits) + [b""]
+    regions = [(bounds[i], bounds[i + 1]) for i in range(len(bounds) - 1)]
+    if hi and lo > hi:
+        lo, hi = hi, lo
+    ranges = split_ranges(regions, lo, hi)
+    # inside the window, non-empty, ordered, disjoint and contiguous
+    prev_end = None
+    for a, b in ranges:
+        assert a >= lo
+        if hi:
+            assert (not b) or b <= hi or (b == hi)
+            assert a < hi
+        if b:
+            assert a < b
+        if prev_end is not None:
+            assert a == prev_end  # contiguous tiling, no gap/overlap
+        prev_end = b
+    if ranges:
+        assert ranges[0][0] == lo
+        assert ranges[-1][1] == (hi if hi else b"")
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    lo=st.integers(-10**12, 10**12),
+    span=st.integers(0, 10**6),
+    n=st.integers(1, 64),
+)
+def test_int_range_predicates_tile_exactly(lo, span, n):
+    """Every integer in [lo, hi] satisfies exactly ONE predicate (the
+    splitSingleTable tiling invariant), checked by direct evaluation on a
+    sample of the domain."""
+    hi = lo + span
+    preds = range_split_predicates("k", lo, hi, n)
+    assert preds is not None
+
+    def matches(k: int, pred: str) -> bool:
+        if pred == "k IS NOT NULL":
+            return True
+        ok = True
+        for c in pred.split(" AND "):
+            op, val = c.replace("k ", "", 1).split(" ", 1)
+            v = int(val)
+            ok &= (k >= v if op == ">=" else k < v if op == "<" else k <= v)
+        return ok
+
+    sample = {lo, hi, lo + span // 2, lo + 1, hi - 1} if span else {lo}
+    sample = {k for k in sample if lo <= k <= hi}
+    for k in sample:
+        hits = sum(1 for p in preds if matches(k, p))
+        assert hits == 1, (k, preds)
