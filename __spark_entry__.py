@@ -647,6 +647,33 @@ def q_doc_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab(d, min_df=20)
 
 
+def q_doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-vs-eval n-gram contamination audit (ops.curation.
+    ngram_contamination, GPT-3-style decontamination): eval set = every
+    97th doc, train = the rest, 3-gram overlap (the corpus is short-doc
+    synthetic; production uses 13-grams). Eval grams broadcast; the only
+    shuffle is one row per train doc."""
+    from datax_spark.ops.curation import ngram_contamination
+
+    d = _t(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 97 != 0)
+    ev = d.filter(F.col("doc_id") % 97 == 0)
+    return ngram_contamination(train, ev, n=3)
+
+
+def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chop sequence packing (ops.curation.
+    pack_sequences): global token stream in doc_id order chopped every 512
+    tokens, offsets via a distributed block prefix sum (never a
+    single-partition global window). block_size=37 forces many blocks so
+    the distributed path is what's verified against the oracle's plain
+    global window."""
+    from datax_spark.ops.curation import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_sequences(d, budget=512, block_size=37)
+
+
 def q_doc_norm_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalization-robust exact dedup (ops.curation.normalized_dedup_groups)
     over the corpus plus planted casing/punctuation/whitespace variants (every
@@ -1637,6 +1664,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_pii_redact": q_doc_pii_redact,
     "doc_vocab": q_doc_vocab,
     "doc_norm_dedup": q_doc_norm_dedup,
+    "doc_contamination": q_doc_contamination,
+    "doc_pack_sequences": q_doc_pack_sequences,
     "doc_ngram_jaccard": q_doc_ngram_jaccard,
     "doc_minhash_near_dup": q_doc_minhash_near_dup,
     "doc_minhash_incremental": q_doc_minhash_incremental,
@@ -1988,6 +2017,62 @@ ORACLES: dict[str, str] = {
         )
         SELECT token, count(DISTINCT doc_id) AS doc_freq, count(*) AS total_freq
         FROM toks GROUP BY token HAVING count(DISTINCT doc_id) >= 20
+    """,
+    "doc_contamination": f"""
+        WITH grams AS (
+            SELECT doc_id,
+                   CASE WHEN len({_DOC_TOKS}) >= 3
+                        THEN list_distinct(list_transform(
+                               range(1, len({_DOC_TOKS}) - 1),
+                               i -> array_to_string(({_DOC_TOKS})[i:i+2], ' ')))
+                        ELSE [] END AS ngs
+            FROM documents
+        ),
+        eval_grams AS (
+            SELECT DISTINCT ng FROM grams, UNNEST(ngs) AS u(ng)
+            WHERE doc_id % 97 = 0
+        ),
+        flat AS (
+            SELECT doc_id, ng FROM grams, UNNEST(ngs) AS u(ng)
+            WHERE doc_id % 97 <> 0
+        )
+        SELECT f.doc_id,
+               count(*) AS n_grams,
+               CAST(sum(CASE WHEN e.ng IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hit,
+               round(sum(CASE WHEN e.ng IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                     / count(*), 6) AS hit_ratio,
+               CAST(sum(CASE WHEN e.ng IS NOT NULL THEN 1 ELSE 0 END) > 0
+                    AS INT) AS contaminated
+        FROM flat f LEFT JOIN eval_grams e ON f.ng = e.ng
+        GROUP BY f.doc_id
+    """,
+    "doc_pack_sequences": f"""
+        WITH t AS (
+            SELECT doc_id, len({_DOC_TOKS}) AS n_tokens FROM documents
+        ),
+        c AS (
+            SELECT doc_id, n_tokens,
+                   CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                                            ROWS UNBOUNDED PRECEDING)
+                        - n_tokens AS BIGINT) AS start_offset
+            FROM t
+        )
+        SELECT doc_id, n_tokens, start_offset,
+               CAST(floor(start_offset / 512) AS BIGINT) AS seq_id,
+               CAST(CASE WHEN n_tokens > 0
+                         THEN floor((start_offset + n_tokens - 1) / 512)
+                         ELSE floor(start_offset / 512) END AS BIGINT)
+                   AS end_seq_id,
+               CAST(CASE WHEN n_tokens > 0
+                         THEN floor((start_offset + n_tokens - 1) / 512)
+                         ELSE floor(start_offset / 512) END
+                    <> floor(start_offset / 512) AS INT) AS spans_boundary,
+               CAST(CASE WHEN n_tokens > 0
+                         THEN floor((start_offset + n_tokens - 1) / 512)
+                         ELSE floor(start_offset / 512) END
+                    - floor(start_offset / 512) + 1 AS BIGINT) AS n_seqs
+        FROM c
     """,
     "doc_norm_dedup": f"""
         WITH corpus AS (

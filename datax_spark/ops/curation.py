@@ -233,3 +233,157 @@ def vocab(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         )
         .filter(F.col("doc_freq") >= min_df)
     )
+
+
+# --- eval-set contamination check --------------------------------------------
+
+def ngram_set_expr(n: int, text_col: str = "text") -> Column:
+    """Distinct word ``n``-grams of the lowercased, whitespace-tokenized
+    text, each gram a space-joined string. Documents with fewer than ``n``
+    tokens yield an empty array (``F.sequence`` would otherwise count DOWN
+    from 0 and fabricate grams)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    tk = tokens_expr(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(tk) - n),
+        lambda i: F.concat_ws(" ", F.slice(tk, i + 1, n)),
+    )
+    return F.when(F.size(tk) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def ngram_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train-vs-eval n-gram overlap (decontamination audit).
+
+    The GPT-3-style contamination check: a training document is flagged when
+    any of its word ``n``-grams also appears in the evaluation corpus
+    (Brown et al. 2020 use 13-grams; smaller ``n`` = stricter). Returns one
+    row per train doc that has >= 1 gram:
+    ``(id, n_grams, n_hit, hit_ratio, contaminated)`` where ``n_grams``
+    counts the doc's DISTINCT grams and ``n_hit`` how many of those occur
+    anywhere in the eval set.
+
+    Plan shape at 100 TB: the eval side is an eval *benchmark* — thousands
+    of docs, so its distinct-gram set (exploded + deduped) broadcasts; the
+    train side is explode (map-only, docs stay partition-local) -> broadcast
+    left join -> groupBy(id), whose map-side partial aggregation collapses
+    each doc back to one row before the only shuffle. Nothing O(corpus)
+    ever crosses an exchange except one row per train doc.
+
+    Reference analog: dx_filter drops records matching a regex
+    (SURVEY.md #22); this is the corpus-level membership filter an LLM
+    training pipeline runs before every training job.
+    """
+    from pyspark.sql.functions import broadcast
+
+    eval_grams = (
+        eval_df.select(F.explode(ngram_set_expr(n, text_col)).alias("ng"))
+        .distinct()
+    )
+    flat = train.select(
+        F.col(id_col), F.explode(ngram_set_expr(n, text_col)).alias("ng")
+    )
+    joined = flat.join(broadcast(eval_grams.withColumn("hit", F.lit(1))),
+                       on="ng", how="left")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.coalesce(F.sum("hit"), F.lit(0)).alias("n_hit"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_grams"), 6).alias("hit_ratio"),
+            (F.col("n_hit") > 0).cast("int").alias("contaminated"),
+        )
+    )
+
+
+# --- sequence packing (concat-and-chop) ---------------------------------------
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_size: int = 100_000,
+) -> DataFrame:
+    """Assign each document its position in GPT-style packed training
+    sequences: concatenate all docs' tokens in ascending ``id_col`` order
+    into one virtual stream and chop it every ``budget`` tokens.
+
+    Returns ``(id, n_tokens, start_offset, seq_id, end_seq_id,
+    spans_boundary, n_seqs)`` — ``seq_id`` is the packed sequence the doc
+    starts in, ``spans_boundary`` flags docs split across a chop point.
+
+    The global running offset is a distributed prefix sum, NOT a
+    single-partition global window (which would serialize the corpus
+    through one task):
+
+    1. ``block = floor(id / block_size)`` — a monotone function of the id,
+       so block order == id order regardless of id density;
+    2. per-block token totals -> driver (O(#blocks) rows, metadata-bounded)
+       -> exclusive running offsets per block;
+    3. within-block cumulative sum via a window partitioned BY BLOCK (each
+       window fits one task), plus the broadcast block offset.
+
+    One shuffle (the block window), one broadcast join; everything else is
+    whole-stage codegen. ``block_size`` bounds rows per window task — at
+    10^10 docs use ~10^5 blocks of ~10^5 docs. Requires a numeric id.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    base = df.select(
+        F.col(id_col),
+        F.floor(F.col(id_col) / block_size).alias("_blk"),
+        F.size(tokens_expr(text_col)).alias("n_tokens"),
+    )
+    totals = (
+        base.groupBy("_blk").agg(F.sum("n_tokens").alias("_tot"))
+        .orderBy("_blk")
+        .collect()
+    )
+    run, offsets = 0, []
+    for r in totals:
+        offsets.append((r["_blk"], run))
+        run += r["_tot"]
+    off_df = df.sparkSession.createDataFrame(offsets, "_blk bigint, _off bigint")
+    w = Window.partitionBy("_blk").orderBy(id_col)
+    cum = base.withColumn("_cum", F.sum("n_tokens").over(w))
+    out = cum.join(broadcast(off_df), on="_blk").select(
+        id_col,
+        "n_tokens",
+        (F.col("_off") + F.col("_cum") - F.col("n_tokens")).alias("start_offset"),
+    )
+    # integral `div`, not floor(x / b): the latter routes through double and
+    # loses exactness past 2^53 — reachable by a 10^10-doc token stream
+    seq = F.expr(f"start_offset div {budget}")
+    # empty docs (0 tokens) occupy no stream space: end < start; pin their
+    # end_seq to seq so they read as non-spanning members of the sequence
+    # at their offset
+    end_seq = F.when(
+        F.col("n_tokens") > 0,
+        F.expr(f"(start_offset + n_tokens - 1) div {budget}"),
+    ).otherwise(seq)
+    return out.select(
+        id_col,
+        "n_tokens",
+        "start_offset",
+        seq.alias("seq_id"),
+        end_seq.alias("end_seq_id"),
+        (end_seq != seq).cast("int").alias("spans_boundary"),
+        (end_seq - seq + 1).alias("n_seqs"),
+    )

@@ -113,3 +113,101 @@ def test_vocab_min_df_and_counts(spark):
     assert got["alpha"] == (10, 10)
     assert got["beta"] == (10, 10)
     assert "gamma" not in got  # doc_freq 5 < min_df 6
+
+
+# --- ngram_contamination ------------------------------------------------------
+
+def test_contamination_flags_overlap_and_counts_distinct(spark):
+    from datax_spark.ops.curation import ngram_contamination
+
+    train = spark.createDataFrame(
+        [
+            (1, "a b c d e"),            # contains eval gram "b c d"
+            (2, "x y z w"),              # clean
+            (3, "b c d b c d"),          # repeated hit gram -> distinct count
+            (4, "a b"),                  # < n tokens: no grams, dropped
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(100, "q b c d r")], "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in ngram_contamination(train, ev, n=3).collect()
+    }
+    assert set(got) == {1, 2, 3}  # doc 4 has no 3-grams
+    assert got[1]["contaminated"] == 1 and got[1]["n_hit"] == 1
+    assert got[2]["contaminated"] == 0 and got[2]["n_hit"] == 0
+    # "b c d b c d" -> distinct grams {b c d, c d b, d b c}: one hits
+    assert got[3]["n_grams"] == 3 and got[3]["n_hit"] == 1
+
+
+def test_contamination_case_insensitive(spark):
+    from datax_spark.ops.curation import ngram_contamination
+
+    train = spark.createDataFrame([(1, "Foo BAR baz")], "doc_id long, text string")
+    ev = spark.createDataFrame([(2, "foo bar BAZ")], "doc_id long, text string")
+    [r] = ngram_contamination(train, ev, n=3).collect()
+    assert r["contaminated"] == 1
+
+
+def test_ngram_set_expr_rejects_bad_n():
+    from datax_spark.ops.curation import ngram_set_expr
+
+    with pytest.raises(ValueError):
+        ngram_set_expr(0)
+
+
+# --- pack_sequences -----------------------------------------------------------
+
+def test_pack_sequences_offsets_and_boundaries(spark):
+    from datax_spark.ops.curation import pack_sequences
+
+    docs = spark.createDataFrame(
+        [
+            (10, "a b c"),        # 3 tokens, offset 0,  seq 0
+            (20, "d e"),          # 2 tokens, offset 3,  seq 0 (ends at 4)
+            (30, "f g h i"),      # 4 tokens, offset 5,  spans 0->1 (budget 6)
+            (40, ""),             # 0 tokens, offset 9,  seq 1, non-spanning
+            (50, "j k l m n o p"),# 7 tokens, offset 9,  spans 1->2
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in pack_sequences(docs, budget=6, block_size=25).collect()
+    }
+    assert [rows[i]["start_offset"] for i in (10, 20, 30, 40, 50)] == [0, 3, 5, 9, 9]
+    assert rows[30]["seq_id"] == 0 and rows[30]["end_seq_id"] == 1
+    assert rows[30]["spans_boundary"] == 1 and rows[30]["n_seqs"] == 2
+    assert rows[40]["n_tokens"] == 0 and rows[40]["spans_boundary"] == 0
+    assert rows[40]["seq_id"] == rows[40]["end_seq_id"] == 1
+    assert rows[50]["seq_id"] == 1 and rows[50]["end_seq_id"] == 2
+
+
+def test_pack_sequences_block_size_invariant(spark):
+    """The distributed block prefix sum must equal a global cumsum no matter
+    where the block boundaries fall."""
+    from datax_spark.ops.curation import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i * 13 + 1, " ".join(["w"] * ((i * 7) % 11 + 1))) for i in range(60)],
+        "doc_id long, text string",
+    )
+    base = sorted(
+        pack_sequences(docs, budget=16, block_size=10_000).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    for bs in (1, 7, 64):
+        got = sorted(
+            pack_sequences(docs, budget=16, block_size=bs).collect(),
+            key=lambda r: r["doc_id"],
+        )
+        assert [r.asDict() for r in got] == [r.asDict() for r in base], bs
+
+
+def test_pack_sequences_rejects_bad_budget(spark):
+    from datax_spark.ops.curation import pack_sequences
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        pack_sequences(docs, budget=0)
