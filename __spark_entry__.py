@@ -1209,6 +1209,87 @@ def q_lake_objectfs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read().select("user_id", "turn_idx", "event_type", "value", "ts")
 
 
+def q_lake_partial_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-update merge mode (Paimon partial-update parity,
+    lake/table.py merge_mode="partial_update"): upserts patch only their
+    non-null columns, deletes cut the history (a later re-insert must not
+    resurrect pre-delete columns), the reserved R op replaces the full row.
+    Three MoR apply epochs leave real delta layers; the final read exercises
+    the scan-time per-column fold. Oracle: per key, each column resolves to
+    arg_max over non-null values newer than the last delete/replace cut."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from datax_spark.lake.table import LakeTable
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+    root = tempfile.mkdtemp(prefix="dsx-partial-")
+    t = LakeTable.create(spark, root, schema, bucket_key="doc_id",
+                         n_buckets=8, merge_mode="partial_update")
+    nul_s = F.lit(None).cast("string")
+    nul_l = F.lit(None).cast("long")
+
+    def batch(df):
+        t.apply_cdc_stats(df, key_cols=["doc_id"], write_mode="mor",
+                          compact_threshold=100)
+
+    batch(d.select("doc_id", "text", "lang", "source", "n_chars",
+                   F.lit(1).cast("long").alias("seq"), F.lit("I").alias("op")))
+    patches = (
+        d.filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id", nul_s.alias("text"), F.lit("xx").alias("lang"),
+                nul_s.alias("source"), nul_l.alias("n_chars"),
+                F.lit(2).cast("long").alias("seq"), F.lit("U").alias("op"))
+        .unionByName(
+            d.filter(F.col("doc_id") % 5 == 0)
+            .select("doc_id", nul_s.alias("text"), nul_s.alias("lang"),
+                    nul_s.alias("source"), nul_l.alias("n_chars"),
+                    F.lit(3).cast("long").alias("seq"),
+                    F.lit("D").alias("op")))
+        .unionByName(
+            d.filter(F.col("doc_id") % 7 == 0)
+            .select("doc_id", nul_s.alias("text"), nul_s.alias("lang"),
+                    nul_s.alias("source"), F.lit(-1).cast("long").alias("n_chars"),
+                    F.lit(4).cast("long").alias("seq"),
+                    F.lit("U").alias("op")))
+    )
+    batch(patches)
+    revive = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id",
+                F.concat(F.lit("revived:"), F.col("doc_id").cast("string"))
+                .alias("text"),
+                nul_s.alias("lang"), nul_s.alias("source"),
+                nul_l.alias("n_chars"),
+                F.lit(5).cast("long").alias("seq"), F.lit("I").alias("op"))
+        .unionByName(
+            d.filter(F.col("doc_id") % 4 == 0)
+            .select("doc_id", nul_s.alias("text"), nul_s.alias("lang"),
+                    F.lit("s2").alias("source"), nul_l.alias("n_chars"),
+                    F.lit(6).cast("long").alias("seq"),
+                    F.lit("U").alias("op")))
+        .unionByName(
+            d.filter(F.col("doc_id") % 9 == 0)
+            .select("doc_id", F.lit("rep").alias("text"),
+                    F.lit("zz").alias("lang"), F.lit("s3").alias("source"),
+                    F.lit(0).cast("long").alias("n_chars"),
+                    F.lit(7).cast("long").alias("seq"),
+                    F.lit("R").alias("op")))
+    )
+    batch(revive)
+    return t.read().select("doc_id", "text", "lang", "source", "n_chars")
+
+
 def q_lake_widen_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-widening evolution mid-feed (LakeTable.widen_columns, Iceberg
     promotion): epoch 1 applies with turn_idx as INT (a merge-key column);
@@ -1682,6 +1763,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hbase_roundtrip": q_hbase_roundtrip,
     "mongo_export_roundtrip": q_mongo_export_roundtrip,
     "lake_objectfs_roundtrip": q_lake_objectfs_roundtrip,
+    "lake_partial_update": q_lake_partial_update,
     "lake_widen_fold": q_lake_widen_fold,
     "lake_point_lookup": q_lake_point_lookup,
     "lake_pruned_read": q_lake_pruned_read,
@@ -1703,7 +1785,7 @@ FIXTURE_QUERIES: frozenset[str] = frozenset({
     "zipcsv_roundtrip", "dbapi_roundtrip", "dbapi_string_split",
     "doc_minhash_incremental", "doc_dedup_canonical", "emb_lsh_incremental",
     "remote_object_roundtrip", "hbase_roundtrip", "mongo_export_roundtrip",
-    "lake_objectfs_roundtrip",
+    "lake_objectfs_roundtrip", "lake_partial_update",
     "lake_widen_fold", "lake_point_lookup", "lake_pruned_read",
     "cdc_changelog_stream",
 })
@@ -1768,6 +1850,45 @@ ORACLES: dict[str, str] = {
             SELECT *, row_number() OVER (PARTITION BY user_id, turn_idx ORDER BY seq DESC) AS rn
             FROM ({_CHANGES_ORACLE})
         ) WHERE rn = 1 AND op <> 'D'
+    """,
+    "lake_partial_update": """
+        WITH ev AS (
+            SELECT doc_id, text, lang, source, n_chars,
+                   CAST(1 AS BIGINT) AS seq, 'I' AS op FROM documents
+            UNION ALL
+            SELECT doc_id, CAST(NULL AS VARCHAR), 'xx', CAST(NULL AS VARCHAR),
+                   CAST(NULL AS BIGINT), 2, 'U' FROM documents WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT doc_id, NULL, NULL, NULL, CAST(NULL AS BIGINT), 3, 'D'
+            FROM documents WHERE doc_id % 5 = 0
+            UNION ALL
+            SELECT doc_id, NULL, NULL, NULL, CAST(-1 AS BIGINT), 4, 'U'
+            FROM documents WHERE doc_id % 7 = 0
+            UNION ALL
+            SELECT doc_id, 'revived:' || CAST(doc_id AS VARCHAR), NULL, NULL,
+                   CAST(NULL AS BIGINT), 5, 'I' FROM documents WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT doc_id, NULL, NULL, 's2', CAST(NULL AS BIGINT), 6, 'U'
+            FROM documents WHERE doc_id % 4 = 0
+            UNION ALL
+            SELECT doc_id, 'rep', 'zz', 's3', CAST(0 AS BIGINT), 7, 'R'
+            FROM documents WHERE doc_id % 9 = 0
+        ),
+        cut AS (
+            SELECT doc_id,
+                   MAX(CASE WHEN op IN ('D', 'R') THEN seq END) AS cutseq
+            FROM ev GROUP BY doc_id
+        ),
+        elig AS (
+            SELECT e.* FROM ev e JOIN cut c USING (doc_id)
+            WHERE e.op <> 'D' AND (c.cutseq IS NULL OR e.seq >= c.cutseq)
+        )
+        SELECT doc_id,
+               arg_max(text, seq) FILTER (WHERE text IS NOT NULL) AS text,
+               arg_max(lang, seq) FILTER (WHERE lang IS NOT NULL) AS lang,
+               arg_max(source, seq) FILTER (WHERE source IS NOT NULL) AS source,
+               arg_max(n_chars, seq) FILTER (WHERE n_chars IS NOT NULL) AS n_chars
+        FROM elig GROUP BY doc_id
     """,
     "lake_widen_fold": f"""
         SELECT user_id, turn_idx, event_type, value, ts

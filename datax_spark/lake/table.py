@@ -196,9 +196,122 @@ def _arrow_schema_for(schema: T.StructType):
     return pa.schema([pa.field(f.name, conv(f.dataType), True) for f in schema.fields])
 
 
+def _null_safe_key_arr(t, key_cols):
+    """NULL-safe composite key encoding shared by the merge kernels: validity
+    is encoded explicitly ("t<value>" / "f") so NULL is a distinct, matchable
+    key value instead of poisoning is_in / equality."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cols = []
+    for k in key_cols:
+        s = pc.cast(t.column(k).combine_chunks(), pa.string())
+        cols.append(pc.binary_join_element_wise(
+            pc.if_else(pc.is_valid(s), pa.scalar("t"), pa.scalar("f")),
+            pc.fill_null(s, ""), "",
+        ))
+    if len(cols) == 1:
+        return cols[0]
+    return pc.binary_join_element_wise(*cols, "\x1f")
+
+
+def _partial_fold(t, key_cols, ord_col, op_col, delete_op, replace_op,
+                  payload_cols):
+    """Per-key PARTIAL-UPDATE fold (Paimon partial-update merge-engine
+    semantics): rows are versions ordered by ``ord_col`` (larger = newer);
+    an upsert contributes only its NON-NULL columns (null = "no change" —
+    setting a column to null is not expressible, the documented limitation
+    of patch semantics); ``delete_op`` removes the key and blocks everything
+    older; ``replace_op`` contributes a full row and blocks everything older
+    (the encoding for "this key's history crossed a delete" in delta layers,
+    for base files, and for explicit full-row replace events).
+
+    Returns one row per key: ``payload_cols`` + ``op_col`` + ``ord_col``
+    where op is ``delete_op`` (key dead), ``replace_op`` (live, history
+    contains a cut — older layers must NOT contribute), or "U" (pure patch),
+    and ord is the newest contributing version.
+
+    Cost shape: the sort touches only (encoded key, ord) pairs — never the
+    payload; per column the fold is one numpy ``minimum.reduceat`` over row
+    indices plus ONE ``take`` of the winning values, so payload strings are
+    copied exactly once into the result and are never sorted.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = t.num_rows
+    out_schema = [(c, t.schema.field(c).type) for c in payload_cols]
+    if n == 0:
+        return pa.table(
+            {
+                **{c: pa.nulls(0, typ) for c, typ in out_schema},
+                op_col: pa.nulls(0, pa.string()),
+                ord_col: pa.nulls(0, pa.int64()),
+            }
+        )
+    keys = _null_safe_key_arr(t, key_cols)
+    ordv = pc.cast(t.column(ord_col).combine_chunks(), pa.int64())
+    sort_idx = pc.sort_indices(
+        pa.table({"k": keys, "o": ordv}),
+        sort_keys=[("k", "ascending"), ("o", "descending")],
+    )
+    sidx = sort_idx.to_numpy()
+    k_sorted = pc.take(keys, sort_idx)
+    if n > 1:
+        ne = pc.not_equal(k_sorted.slice(1), k_sorted.slice(0, n - 1))
+        starts = np.flatnonzero(
+            np.r_[True, ne.to_numpy(zero_copy_only=False)]
+        )
+    else:
+        starts = np.array([0], dtype=np.int64)
+    run_len = np.diff(np.r_[starts, n])
+    opv = t.column(op_col).combine_chunks()
+    is_del = pc.equal(opv, pa.scalar(delete_op))
+    is_rep = pc.equal(opv, pa.scalar(replace_op))
+    is_del = pc.fill_null(is_del, False).to_numpy(zero_copy_only=False)[sidx]
+    is_rep = pc.fill_null(is_rep, False).to_numpy(zero_copy_only=False)[sidx]
+    stop = is_del | is_rep
+    csx = np.cumsum(stop)
+    excl = csx - stop  # stops strictly newer than row i, globally
+    n_stops_newer = excl - np.repeat(excl[starts], run_len)
+    elig = (n_stops_newer == 0) & ~is_del
+    pos = np.arange(n, dtype=np.int64)
+    live_first = np.minimum.reduceat(np.where(elig, pos, n), starts)
+    live = live_first < n
+    any_stop = np.add.reduceat(stop.astype(np.int64), starts) > 0
+    ops = np.where(~live, delete_op, np.where(any_stop, replace_op, "U"))
+    # one output row per run; values taken from the run's newest valid
+    # eligible row per column. Dead keys keep their key-column values (the
+    # delete row carries them) so delta layers can name what they delete.
+    out_cols = {}
+    key_set = set(key_cols)
+    for c, typ in out_schema:
+        col = t.column(c).combine_chunks()
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)[sidx]
+        # key columns are constant within a run (they ARE the run), so any
+        # valid row supplies them — including for dead keys, whose delta
+        # delete row must still name its key
+        take_from = valid if c in key_set else (elig & valid)
+        cand = np.where(take_from, pos, n)
+        first = np.minimum.reduceat(cand, starts)
+        has = first < n
+        safe = np.where(has, first, 0)
+        taken = pc.take(col, pa.array(sidx[safe], type=pa.int64()))
+        out_cols[c] = pc.if_else(
+            pa.array(has), taken, pa.scalar(None, type=typ)
+        )
+    out_cols[op_col] = pa.array(ops.astype(object), type=pa.string())
+    out_cols[ord_col] = pc.take(
+        ordv, pa.array(sidx[starts], type=pa.int64())
+    )
+    return pa.table(out_cols)
+
+
 def _make_bucket_processor(payload_cols, key_cols, seq_col, op_col, delete_op,
                            write_mode, compact_threshold, staging, staging_rel,
-                           sort_by=None, max_rows_per_file=None):
+                           sort_by=None, max_rows_per_file=None,
+                           merge_mode="latest_wins", replace_op="R"):
     """Build the per-bucket merge kernel shared by the shuffled and the
     aligned (zero-shuffle) apply paths. The returned closure runs inside
     Python workers (pickled by value): given a bucket id, its deduplicatable
@@ -266,7 +379,15 @@ def _make_bucket_processor(payload_cols, key_cols, seq_col, op_col, delete_op,
             [(k, "ascending") for k in key_cols] + [(seq_col, "ascending")]
         )
         n = srt.num_rows
-        if n == 0:
+        if merge_mode == "partial_update" and n > 0:
+            # batch-local partial fold: one row per key carrying the batch's
+            # net patch; op records whether the history crossed a cut
+            # (delete/replace) so older layers know to stop contributing
+            ev_latest = _partial_fold(
+                ev, key_cols, seq_col, op_col, delete_op, replace_op,
+                payload_cols,
+            )
+        elif n == 0:
             ev_latest = srt  # compaction-only invocation: no new events
         else:
             changed = None
@@ -306,39 +427,86 @@ def _make_bucket_processor(payload_cols, key_cols, seq_col, op_col, delete_op,
                 entry["stats"] = _json.dumps(_footer_stats(full))
             return [entry]
 
-        # full merge / compaction: newest-gen-wins cascade. Walk layers
-        # newest→oldest; a layer's keys shadow everything older; delete
-        # winners shadow but don't emit.
-        winners = ev_latest.filter(
-            pc.not_equal(
-                ev_latest.column(op_col).combine_chunks(), pa.scalar(delete_op)
-            )
-        ).select(payload_cols)
-        pieces = [winners]
-        seen = [key_arr(ev_latest)]
-        for path, kind, _gen in sorted(files, key=lambda x: -x[2]):
-            t = pq.read_table(path)
-            cols = []
-            for f in pay_fields:
-                if t.schema.get_field_index(f.name) >= 0:
-                    cols.append(t.column(f.name).cast(f.type))
-                else:  # schema evolution: old file lacks the column
-                    cols.append(pa.nulls(t.num_rows, f.type))
-            aligned = pa.table(cols, names=payload_cols)
-            keys_t = key_arr(aligned)
-            live_mask = pc.invert(
-                pc.is_in(keys_t, value_set=pa.chunked_array(seen))
-            )
-            if kind == "delta":
-                live_mask = pc.and_(
-                    live_mask,
-                    pc.not_equal(
-                        t.column(op_col).combine_chunks(), pa.scalar(delete_op)
-                    ),
+        if merge_mode == "partial_update":
+            # full merge / compaction, partial mode: layers can't shadow by
+            # key (older layers still contribute columns) — stack every
+            # layer with its generation as the version order and run the
+            # shared partial fold. Events sit above all generations.
+            import numpy as _np
+
+            def _const(v, m):
+                return pa.array(_np.full(m, v, dtype="int64"))
+
+            pieces2 = []
+            if ev_latest.num_rows:
+                pieces2.append(pa.table(
+                    {c: ev_latest.column(c) for c in payload_cols}
+                    | {op_col: ev_latest.column(op_col),
+                       "_dsxord": _const(1 << 62, ev_latest.num_rows)}
+                ))
+            for path, kind, gen in files:
+                t = pq.read_table(path)
+                cols = []
+                for f in pay_fields:
+                    if t.schema.get_field_index(f.name) >= 0:
+                        cols.append(t.column(f.name).cast(f.type))
+                    else:  # schema evolution: old file lacks the column
+                        cols.append(pa.nulls(t.num_rows, f.type))
+                op_arr = (
+                    t.column(op_col).combine_chunks()
+                    if kind == "delta" and t.schema.get_field_index(op_col) >= 0
+                    else pa.array([replace_op] * t.num_rows, pa.string())
                 )
-            pieces.append(aligned.filter(live_mask))
-            seen.append(keys_t)
-        final = pa.concat_tables(pieces)
+                pieces2.append(pa.table(
+                    dict(zip(payload_cols, cols))
+                    | {op_col: op_arr, "_dsxord": _const(gen, t.num_rows)}
+                ))
+            comb = pa.concat_tables(pieces2) if pieces2 else pa.table(
+                {**{f.name: pa.nulls(0, f.type) for f in pay_fields},
+                 op_col: pa.nulls(0, pa.string()),
+                 "_dsxord": pa.nulls(0, pa.int64())}
+            )
+            folded = _partial_fold(comb, key_cols, "_dsxord", op_col,
+                                   delete_op, replace_op, payload_cols)
+            final = folded.filter(pc.not_equal(
+                folded.column(op_col).combine_chunks(), pa.scalar(delete_op)
+            )).select(payload_cols)
+        else:
+            # full merge / compaction: newest-gen-wins cascade. Walk layers
+            # newest→oldest; a layer's keys shadow everything older; delete
+            # winners shadow but don't emit.
+            winners = ev_latest.filter(
+                pc.not_equal(
+                    ev_latest.column(op_col).combine_chunks(),
+                    pa.scalar(delete_op),
+                )
+            ).select(payload_cols)
+            pieces = [winners]
+            seen = [key_arr(ev_latest)]
+            for path, kind, _gen in sorted(files, key=lambda x: -x[2]):
+                t = pq.read_table(path)
+                cols = []
+                for f in pay_fields:
+                    if t.schema.get_field_index(f.name) >= 0:
+                        cols.append(t.column(f.name).cast(f.type))
+                    else:  # schema evolution: old file lacks the column
+                        cols.append(pa.nulls(t.num_rows, f.type))
+                aligned = pa.table(cols, names=payload_cols)
+                keys_t = key_arr(aligned)
+                live_mask = pc.invert(
+                    pc.is_in(keys_t, value_set=pa.chunked_array(seen))
+                )
+                if kind == "delta":
+                    live_mask = pc.and_(
+                        live_mask,
+                        pc.not_equal(
+                            t.column(op_col).combine_chunks(),
+                            pa.scalar(delete_op),
+                        ),
+                    )
+                pieces.append(aligned.filter(live_mask))
+                seen.append(keys_t)
+            final = pa.concat_tables(pieces)
         if final.num_rows:
             import json as _json
 
@@ -820,6 +988,30 @@ def is_type_widening(src: T.DataType, dst: T.DataType) -> bool:
     return False
 
 
+def _merge_mode_of(snap: "Snapshot") -> str:
+    """Table-level merge engine: "latest_wins" (default — the newest version
+    of a key replaces the whole row) or "partial_update" (Paimon
+    partial-update semantics — an upsert patches only its non-null columns;
+    null means "no change", so setting a column back to null is not
+    expressible). Set once at create() via
+    ``properties={"merge_mode": "partial_update"}``."""
+    mode = snap.properties.get("merge_mode", "latest_wins")
+    if mode not in ("latest_wins", "partial_update"):
+        raise ValueError(f"unknown merge_mode {mode!r}")
+    return mode
+
+
+def _replace_op_of(snap: "Snapshot") -> str:
+    """Op value reserved (partial_update tables) for full-row REPLACE: the
+    event/delta row contributes all its columns and blocks older layers.
+    Emitted internally when a batch's history crosses a delete; also valid
+    in user feeds as an explicit replace event."""
+    rep = snap.properties.get("merge_replace_op", "R")
+    if rep == snap.properties.get("merge_delete_op", "D"):
+        raise ValueError("merge_replace_op must differ from merge_delete_op")
+    return rep
+
+
 def classify_commit(parent: "Snapshot", cur: "Snapshot") -> dict | None:
     """Per-bucket changelog classification of one commit (the shared planner
     behind :meth:`LakeTable.read_changes` and the streaming changelog source,
@@ -868,7 +1060,10 @@ def classify_commit(parent: "Snapshot", cur: "Snapshot") -> dict | None:
             continue
         if added and not removed:
             kinds = {f.get("kind", "base") for f in added}
-            if kinds == {"delta"}:
+            # partial_update tables: a delta row is a column PATCH, not the
+            # folded post-image the fast path hands out — every changed
+            # bucket needs the state diff to build true pre/post rows
+            if kinds == {"delta"} and _merge_mode_of(cur) != "partial_update":
                 delta_paths += [f["path"] for f in added]
                 delta_buckets.append(int(b))
                 est += sum(f.get("rows", 0) for f in added)
@@ -912,7 +1107,23 @@ class LakeTable:
         n_buckets: int = 32,
         properties: dict | None = None,
         fs: LakeFS | None = None,
+        merge_mode: str | None = None,
     ) -> "LakeTable":
+        """``merge_mode="partial_update"`` switches the table to Paimon-style
+        partial-update merge semantics: an upsert patches only its non-null
+        columns (null = "no change"), a delete removes the key and blocks
+        older versions from contributing, and the reserved replace op
+        (property ``merge_replace_op``, default "R") marks full-row replace
+        events. Default (None / "latest_wins"): newest version of a key
+        replaces the whole row. Fixed at creation."""
+        properties = dict(properties or {})
+        if merge_mode is not None:
+            properties["merge_mode"] = merge_mode
+        if properties.get("merge_mode") not in (None, "latest_wins",
+                                                "partial_update"):
+            raise ValueError(
+                f"unknown merge_mode {properties.get('merge_mode')!r}"
+            )
         t = LakeTable(spark, root, fs=fs)
         t.fs.makedirs(os.path.join(root, _META))
         t.fs.makedirs(os.path.join(root, _DATA))
@@ -1132,6 +1343,8 @@ class LakeTable:
             key_filter = None  # A/B lever (read on the driver at plan time)
         op_col = snap.properties.get("merge_op_col", "op")
         delete_op = snap.properties.get("merge_delete_op", "D")
+        merge_mode = _merge_mode_of(snap)
+        replace_op = _replace_op_of(snap)
         out_cols = list(columns) if columns else [f.name for f in snap.schema.fields]
         # the cascade itself needs the merge keys even if not requested
         internal_cols = list(dict.fromkeys(out_cols + key_cols))
@@ -1188,6 +1401,50 @@ class LakeTable:
                 (c, "in", list(vs)) for c, vs in key_filter.items()
             ])
             for b in my_buckets:
+                if merge_mode == "partial_update":
+                    # partial fold: older layers still contribute columns, so
+                    # no shadow cascade — stack layers with gen as version
+                    # order and run the shared fold (projection-sound: each
+                    # column folds independently; op/gen always load)
+                    import numpy as _np
+
+                    pieces2 = []
+                    for path, kind, gen in file_map[b]:
+                        sch_names = set(pq.read_schema(path).names)
+                        want = [c for c in internal_names if c in sch_names]
+                        if kind == "delta" and op_col in sch_names:
+                            want = want + [op_col]
+                        t = pq.read_table(path, columns=want, filters=kf)
+                        cols = []
+                        for f in target:
+                            if f.name in sch_names:
+                                cols.append(t.column(f.name).cast(f.type))
+                            else:
+                                cols.append(pa.nulls(t.num_rows, f.type))
+                        op_arr = (
+                            t.column(op_col).combine_chunks()
+                            if kind == "delta" and op_col in sch_names
+                            else pa.array([replace_op] * t.num_rows, pa.string())
+                        )
+                        pieces2.append(pa.table(
+                            dict(zip(internal_names, cols))
+                            | {op_col: op_arr,
+                               "_dsxord": pa.array(
+                                   _np.full(t.num_rows, gen, dtype="int64"))}
+                        ))
+                    if not pieces2:
+                        continue
+                    folded = _partial_fold(
+                        pa.concat_tables(pieces2), key_cols, "_dsxord",
+                        op_col, delete_op, replace_op, internal_names,
+                    )
+                    merged = folded.filter(pc.not_equal(
+                        folded.column(op_col).combine_chunks(),
+                        pa.scalar(delete_op),
+                    )).select(out_cols).cast(out_target)
+                    if merged.num_rows:
+                        yield from merged.to_batches()
+                    continue
                 pieces = []
                 seen: list = []
                 for path, kind, _gen in sorted(file_map[b], key=lambda x: -x[2]):
@@ -1980,6 +2237,50 @@ class LakeTable:
         )
         unioned = target.unionByName(src_aligned)
         non_key = [seq_col, op_col, _BUCKET_COL] + [c for c in payload_cols if c not in key_cols]
+        if _merge_mode_of(snap) == "partial_update":
+            # Catalyst partial fold (the non-bucket-aligned fallback).
+            # Existing rows enter at seq=-1 as the oldest layer; a key's
+            # columns each resolve independently to the value at the highest
+            # seq among rows newer than the newest delete/replace cut.
+            if n_salts:
+                raise NotImplementedError(
+                    "hot-key salting is not implemented for partial_update "
+                    "tables; use strategy='colocated' (the default)"
+                )
+            replace_op = _replace_op_of(snap)
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(*key_cols)
+            cut = F.max(
+                F.when(F.col(op_col).isin(delete_op, replace_op),
+                       F.col(seq_col))
+            ).over(w)
+            # a replace row contributes its own values; a delete does not
+            elig = (F.col(op_col) != F.lit(delete_op)) & (
+                cut.isNull() | (F.col(seq_col) >= cut)
+            )
+            flat = unioned.withColumn("_dsx_elig", elig).filter("_dsx_elig")
+
+            def pick(c):
+                return F.max(
+                    F.when(F.col(c).isNotNull(),
+                           F.struct(F.col(seq_col).alias("s"),
+                                    F.col(c).alias("v")))
+                ).getField("v").alias(c)
+
+            latest = flat.groupBy(*key_cols).agg(
+                *[pick(c) for c in payload_cols if c not in key_cols],
+                F.max(_BUCKET_COL).alias(_BUCKET_COL),
+            )
+            merged = latest.select(*payload_cols, _BUCKET_COL)
+            new_files = self._write_data_files(merged, snap)
+            return self._rebase_commit(
+                snap,
+                {str(b): ("replace", new_files.get(str(b), []))
+                 for b in affected},
+                properties,
+                operation="apply_cdc",
+            )
         if n_salts:
             # Explicit hot-key salting (datax_spark.cdc.skew): phase 1 folds each
             # key's events on n_salts reducers, phase 2 sees <= n_salts rows/key.
@@ -2090,6 +2391,7 @@ class LakeTable:
         process_bucket = _make_bucket_processor(
             payload_cols, key_cols, seq_col, op_col, delete_op,
             write_mode, compact_threshold, staging, staging_rel,
+            merge_mode=_merge_mode_of(snap), replace_op=_replace_op_of(snap),
         )
         # Near-uniform buckets: ignore sizes so the assignment (and thus the
         # steering map literal) is identical across epochs — the projected
@@ -2316,6 +2618,7 @@ class LakeTable:
         process_bucket = _make_bucket_processor(
             payload_cols, key_cols, seq_col, op_col, delete_op,
             write_mode, compact_threshold, staging, staging_rel,
+            merge_mode=_merge_mode_of(snap), replace_op=_replace_op_of(snap),
         )
         qdir = quarantine_dir
 
@@ -2508,6 +2811,7 @@ class LakeTable:
             payload_cols, key_cols, seq_col, op_col, delete_op,
             "cow", 1, staging, staging_rel,
             sort_by=sort_by, max_rows_per_file=max_rows_per_file,
+            merge_mode=_merge_mode_of(snap), replace_op=_replace_op_of(snap),
         )
 
         def compact_task(batches):
