@@ -1290,6 +1290,84 @@ def q_lake_partial_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read().select("doc_id", "text", "lang", "source", "n_chars")
 
 
+def q_lake_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation merge mode (Paimon aggregation merge-engine parity,
+    lake/table.py merge_mode="aggregate"): each column combines a key's
+    versions with its own function — running SUM, MAX, last-non-null,
+    first-non-null — while deletes and the reserved R op cut the history
+    (a replace RESTARTS the running sum at its own value). Three MoR apply
+    epochs leave real delta layers holding batch-local PARTIAL aggregates;
+    the final read exercises the scan-time combine across layers. Oracle:
+    per key, SUM/MAX/arg_max/arg_min over versions newer than the last
+    delete/replace cut."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from datax_spark.lake.table import LakeTable
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_sum", T.LongType()),
+        T.StructField("n_max", T.LongType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+    ])
+    root = tempfile.mkdtemp(prefix="dsx-aggmerge-")
+    t = LakeTable.create(
+        spark, root, schema, bucket_key="doc_id", n_buckets=8,
+        merge_mode="aggregate",
+        agg_spec={"n_sum": "sum", "n_max": "max", "source": "first_non_null"},
+    )
+    nul_s = F.lit(None).cast("string")
+    nul_l = F.lit(None).cast("long")
+
+    def batch(df):
+        t.apply_cdc_stats(df, key_cols=["doc_id"], write_mode="mor",
+                          compact_threshold=100)
+
+    batch(d.select(
+        "doc_id", F.col("n_chars").alias("n_sum"),
+        F.col("n_chars").alias("n_max"), "lang", "source",
+        F.lit(1).cast("long").alias("seq"), F.lit("I").alias("op")))
+    batch(
+        d.filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id", (F.col("doc_id") % 7).cast("long").alias("n_sum"),
+                (F.col("n_chars") - 5).cast("long").alias("n_max"),
+                F.lit("xx").alias("lang"), nul_s.alias("source"),
+                F.lit(2).cast("long").alias("seq"), F.lit("U").alias("op"))
+        .unionByName(
+            d.filter(F.col("doc_id") % 5 == 0)
+            .select("doc_id", nul_l.alias("n_sum"), nul_l.alias("n_max"),
+                    nul_s.alias("lang"), nul_s.alias("source"),
+                    F.lit(3).cast("long").alias("seq"),
+                    F.lit("D").alias("op")))
+        .unionByName(
+            d.filter(F.col("doc_id") % 4 == 0)
+            .select("doc_id", F.lit(100).cast("long").alias("n_sum"),
+                    F.lit(50).cast("long").alias("n_max"),
+                    F.lit("rr").alias("lang"), F.lit("sR").alias("source"),
+                    F.lit(4).cast("long").alias("seq"),
+                    F.lit("R").alias("op"))))
+    batch(
+        d.filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", (F.col("doc_id") % 3).cast("long").alias("n_sum"),
+                F.lit(7).cast("long").alias("n_max"), nul_s.alias("lang"),
+                F.lit("s3").alias("source"),
+                F.lit(5).cast("long").alias("seq"), F.lit("I").alias("op"))
+        .unionByName(
+            d.filter(F.col("doc_id") % 6 == 0)
+            .select("doc_id", F.lit(2).cast("long").alias("n_sum"),
+                    nul_l.alias("n_max"), F.lit("yy").alias("lang"),
+                    nul_s.alias("source"),
+                    F.lit(6).cast("long").alias("seq"),
+                    F.lit("U").alias("op"))))
+    return t.read().select("doc_id", "n_sum", "n_max", "lang", "source")
+
+
 def q_lake_widen_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-widening evolution mid-feed (LakeTable.widen_columns, Iceberg
     promotion): epoch 1 applies with turn_idx as INT (a merge-key column);
@@ -1764,6 +1842,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mongo_export_roundtrip": q_mongo_export_roundtrip,
     "lake_objectfs_roundtrip": q_lake_objectfs_roundtrip,
     "lake_partial_update": q_lake_partial_update,
+    "lake_agg_merge": q_lake_agg_merge,
     "lake_widen_fold": q_lake_widen_fold,
     "lake_point_lookup": q_lake_point_lookup,
     "lake_pruned_read": q_lake_pruned_read,
@@ -1785,7 +1864,7 @@ FIXTURE_QUERIES: frozenset[str] = frozenset({
     "zipcsv_roundtrip", "dbapi_roundtrip", "dbapi_string_split",
     "doc_minhash_incremental", "doc_dedup_canonical", "emb_lsh_incremental",
     "remote_object_roundtrip", "hbase_roundtrip", "mongo_export_roundtrip",
-    "lake_objectfs_roundtrip", "lake_partial_update",
+    "lake_objectfs_roundtrip", "lake_partial_update", "lake_agg_merge",
     "lake_widen_fold", "lake_point_lookup", "lake_pruned_read",
     "cdc_changelog_stream",
 })
@@ -1850,6 +1929,44 @@ ORACLES: dict[str, str] = {
             SELECT *, row_number() OVER (PARTITION BY user_id, turn_idx ORDER BY seq DESC) AS rn
             FROM ({_CHANGES_ORACLE})
         ) WHERE rn = 1 AND op <> 'D'
+    """,
+    "lake_agg_merge": """
+        WITH ev AS (
+            SELECT doc_id, n_chars AS n_sum, n_chars AS n_max, lang, source,
+                   CAST(1 AS BIGINT) AS seq, 'I' AS op FROM documents
+            UNION ALL
+            SELECT doc_id, doc_id % 7, n_chars - 5, 'xx',
+                   CAST(NULL AS VARCHAR), 2, 'U'
+            FROM documents WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT doc_id, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   NULL, NULL, 3, 'D' FROM documents WHERE doc_id % 5 = 0
+            UNION ALL
+            SELECT doc_id, 100, 50, 'rr', 'sR', 4, 'R'
+            FROM documents WHERE doc_id % 4 = 0
+            UNION ALL
+            SELECT doc_id, doc_id % 3, 7, CAST(NULL AS VARCHAR), 's3', 5, 'I'
+            FROM documents WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT doc_id, 2, CAST(NULL AS BIGINT), 'yy',
+                   CAST(NULL AS VARCHAR), 6, 'U'
+            FROM documents WHERE doc_id % 6 = 0
+        ),
+        cut AS (
+            SELECT doc_id,
+                   MAX(CASE WHEN op IN ('D', 'R') THEN seq END) AS cutseq
+            FROM ev GROUP BY doc_id
+        ),
+        elig AS (
+            SELECT e.* FROM ev e JOIN cut c USING (doc_id)
+            WHERE e.op <> 'D' AND (c.cutseq IS NULL OR e.seq >= c.cutseq)
+        )
+        SELECT doc_id,
+               CAST(SUM(n_sum) AS BIGINT) AS n_sum,
+               MAX(n_max) AS n_max,
+               arg_max(lang, seq) FILTER (WHERE lang IS NOT NULL) AS lang,
+               arg_min(source, seq) FILTER (WHERE source IS NOT NULL) AS source
+        FROM elig GROUP BY doc_id
     """,
     "lake_partial_update": """
         WITH ev AS (

@@ -215,16 +215,32 @@ def _null_safe_key_arr(t, key_cols):
     return pc.binary_join_element_wise(*cols, "\x1f")
 
 
+#: column aggregators accepted by merge_mode="aggregate" (Paimon
+#: aggregation merge-engine field functions). Every one of them is
+#: COMBINABLE: folding a batch to one partial row per key, then folding
+#: partial rows across layers, yields the same result as one flat fold —
+#: the property the two-level (batch kernel → MoR scan) architecture needs.
+_AGG_FUNCS = ("last_non_null", "last", "first_non_null", "sum", "max", "min")
+
+
 def _partial_fold(t, key_cols, ord_col, op_col, delete_op, replace_op,
-                  payload_cols):
-    """Per-key PARTIAL-UPDATE fold (Paimon partial-update merge-engine
-    semantics): rows are versions ordered by ``ord_col`` (larger = newer);
-    an upsert contributes only its NON-NULL columns (null = "no change" —
-    setting a column to null is not expressible, the documented limitation
-    of patch semantics); ``delete_op`` removes the key and blocks everything
-    older; ``replace_op`` contributes a full row and blocks everything older
-    (the encoding for "this key's history crossed a delete" in delta layers,
-    for base files, and for explicit full-row replace events).
+                  payload_cols, agg_spec=None):
+    """Per-key PARTIAL-UPDATE / AGGREGATION fold (Paimon partial-update and
+    aggregation merge-engine semantics): rows are versions ordered by
+    ``ord_col`` (larger = newer); by default an upsert contributes only its
+    NON-NULL columns (null = "no change" — setting a column to null is not
+    expressible, the documented limitation of patch semantics); ``delete_op``
+    removes the key and blocks everything older; ``replace_op`` contributes a
+    full row and blocks everything older (the encoding for "this key's
+    history crossed a delete" in delta layers, for base files, and for
+    explicit full-row replace events).
+
+    ``agg_spec`` (aggregate tables) overrides the per-column combine: one of
+    ``last_non_null`` (default, the partial-update rule), ``last`` (newest
+    version wins, nulls meaningful), ``first_non_null`` (oldest non-null
+    wins), ``sum`` / ``max`` / ``min`` (over eligible non-null versions;
+    numeric, plus timestamp for max/min). All six are combinable, so the
+    same function serves the batch-local fold and the cross-layer fold.
 
     Returns one row per key: ``payload_cols`` + ``op_col`` + ``ord_col``
     where op is ``delete_op`` (key dead), ``replace_op`` (live, history
@@ -289,14 +305,58 @@ def _partial_fold(t, key_cols, ord_col, op_col, delete_op, replace_op,
     for c, typ in out_schema:
         col = t.column(c).combine_chunks()
         valid = pc.is_valid(col).to_numpy(zero_copy_only=False)[sidx]
-        # key columns are constant within a run (they ARE the run), so any
-        # valid row supplies them — including for dead keys, whose delta
-        # delete row must still name its key
-        take_from = valid if c in key_set else (elig & valid)
-        cand = np.where(take_from, pos, n)
-        first = np.minimum.reduceat(cand, starts)
-        has = first < n
-        safe = np.where(has, first, 0)
+        agg = "last_non_null" if c in key_set else (
+            (agg_spec or {}).get(c, "last_non_null"))
+        if agg in ("sum", "max", "min"):
+            # numeric reduceat fold: values in SORTED order, ineligible rows
+            # masked to the agg's identity; no take — the reduction IS the
+            # output. timestamps ride as int64 (max/min only).
+            is_ts = pa.types.is_timestamp(typ)
+            wide = (pa.float64() if pa.types.is_floating(typ)
+                    else pa.int64())
+            mask = elig & valid
+            if agg == "sum":
+                ident = 0
+            elif agg == "max":
+                ident = (-np.inf if wide == pa.float64()
+                         else np.iinfo(np.int64).min)
+            else:
+                ident = (np.inf if wide == pa.float64()
+                         else np.iinfo(np.int64).max)
+            vals = pc.fill_null(pc.cast(col, wide), ident).to_numpy(
+                zero_copy_only=False)[sidx]
+            vals = np.where(mask, vals, ident)
+            red = {"sum": np.add, "max": np.maximum,
+                   "min": np.minimum}[agg].reduceat(vals, starts)
+            has = np.add.reduceat(mask.astype(np.int64), starts) > 0
+            # cast back to the declared type; integer overflow raises
+            # (arrow checked cast) instead of silently wrapping. Timestamps
+            # round-trip through int64 epoch values in the type's own unit.
+            res = pc.cast(pa.array(red), typ) if not is_ts else (
+                pa.array(red, type=pa.int64()).cast(typ))
+            out_cols[c] = pc.if_else(
+                pa.array(has), res, pa.scalar(None, type=typ))
+            continue
+        # positional folds: pick ONE winning row per run per column, then a
+        # single take of the winning values (payloads copied exactly once)
+        if agg == "last":
+            take_from = valid if c in key_set else elig
+        elif c in key_set:
+            # key columns are constant within a run (they ARE the run), so
+            # any valid row supplies them — including for dead keys, whose
+            # delta delete row must still name its key
+            take_from = valid
+        else:
+            take_from = elig & valid
+        if agg == "first_non_null":
+            cand = np.where(take_from, pos, -1)
+            pick = np.maximum.reduceat(cand, starts)  # oldest = largest pos
+            has = pick >= 0
+        else:
+            cand = np.where(take_from, pos, n)
+            pick = np.minimum.reduceat(cand, starts)  # newest = smallest pos
+            has = pick < n
+        safe = np.where(has, pick, 0)
         taken = pc.take(col, pa.array(sidx[safe], type=pa.int64()))
         out_cols[c] = pc.if_else(
             pa.array(has), taken, pa.scalar(None, type=typ)
@@ -311,7 +371,8 @@ def _partial_fold(t, key_cols, ord_col, op_col, delete_op, replace_op,
 def _make_bucket_processor(payload_cols, key_cols, seq_col, op_col, delete_op,
                            write_mode, compact_threshold, staging, staging_rel,
                            sort_by=None, max_rows_per_file=None,
-                           merge_mode="latest_wins", replace_op="R"):
+                           merge_mode="latest_wins", replace_op="R",
+                           agg_spec=None):
     """Build the per-bucket merge kernel shared by the shuffled and the
     aligned (zero-shuffle) apply paths. The returned closure runs inside
     Python workers (pickled by value): given a bucket id, its deduplicatable
@@ -379,13 +440,14 @@ def _make_bucket_processor(payload_cols, key_cols, seq_col, op_col, delete_op,
             [(k, "ascending") for k in key_cols] + [(seq_col, "ascending")]
         )
         n = srt.num_rows
-        if merge_mode == "partial_update" and n > 0:
-            # batch-local partial fold: one row per key carrying the batch's
-            # net patch; op records whether the history crossed a cut
-            # (delete/replace) so older layers know to stop contributing
+        if merge_mode in ("partial_update", "aggregate") and n > 0:
+            # batch-local partial/aggregate fold: one row per key carrying
+            # the batch's net patch (or partial aggregate); op records
+            # whether the history crossed a cut (delete/replace) so older
+            # layers know to stop contributing
             ev_latest = _partial_fold(
                 ev, key_cols, seq_col, op_col, delete_op, replace_op,
-                payload_cols,
+                payload_cols, agg_spec=agg_spec,
             )
         elif n == 0:
             ev_latest = srt  # compaction-only invocation: no new events
@@ -427,11 +489,11 @@ def _make_bucket_processor(payload_cols, key_cols, seq_col, op_col, delete_op,
                 entry["stats"] = _json.dumps(_footer_stats(full))
             return [entry]
 
-        if merge_mode == "partial_update":
-            # full merge / compaction, partial mode: layers can't shadow by
-            # key (older layers still contribute columns) — stack every
-            # layer with its generation as the version order and run the
-            # shared partial fold. Events sit above all generations.
+        if merge_mode in ("partial_update", "aggregate"):
+            # full merge / compaction, partial/aggregate mode: layers can't
+            # shadow by key (older layers still contribute columns) — stack
+            # every layer with its generation as the version order and run
+            # the shared fold. Events sit above all generations.
             import numpy as _np
 
             def _const(v, m):
@@ -467,7 +529,8 @@ def _make_bucket_processor(payload_cols, key_cols, seq_col, op_col, delete_op,
                  "_dsxord": pa.nulls(0, pa.int64())}
             )
             folded = _partial_fold(comb, key_cols, "_dsxord", op_col,
-                                   delete_op, replace_op, payload_cols)
+                                   delete_op, replace_op, payload_cols,
+                                   agg_spec=agg_spec)
             final = folded.filter(pc.not_equal(
                 folded.column(op_col).combine_chunks(), pa.scalar(delete_op)
             )).select(payload_cols)
@@ -990,15 +1053,27 @@ def is_type_widening(src: T.DataType, dst: T.DataType) -> bool:
 
 def _merge_mode_of(snap: "Snapshot") -> str:
     """Table-level merge engine: "latest_wins" (default — the newest version
-    of a key replaces the whole row) or "partial_update" (Paimon
+    of a key replaces the whole row), "partial_update" (Paimon
     partial-update semantics — an upsert patches only its non-null columns;
     null means "no change", so setting a column back to null is not
-    expressible). Set once at create() via
-    ``properties={"merge_mode": "partial_update"}``."""
+    expressible), or "aggregate" (Paimon aggregation merge-engine — each
+    column combines versions with its own function from ``merge_agg_spec``).
+    Set once at create() via ``merge_mode=``."""
     mode = snap.properties.get("merge_mode", "latest_wins")
-    if mode not in ("latest_wins", "partial_update"):
+    if mode not in ("latest_wins", "partial_update", "aggregate"):
         raise ValueError(f"unknown merge_mode {mode!r}")
     return mode
+
+
+def _agg_spec_of(snap: "Snapshot") -> dict | None:
+    """Per-column aggregators for merge_mode="aggregate" tables (property
+    ``merge_agg_spec``, a JSON object col→func). Columns not listed default
+    to last_non_null (the partial-update rule). None for other modes."""
+    if _merge_mode_of(snap) != "aggregate":
+        return None
+    import json as _json
+
+    return _json.loads(snap.properties.get("merge_agg_spec", "{}"))
 
 
 def _replace_op_of(snap: "Snapshot") -> str:
@@ -1060,10 +1135,11 @@ def classify_commit(parent: "Snapshot", cur: "Snapshot") -> dict | None:
             continue
         if added and not removed:
             kinds = {f.get("kind", "base") for f in added}
-            # partial_update tables: a delta row is a column PATCH, not the
-            # folded post-image the fast path hands out — every changed
-            # bucket needs the state diff to build true pre/post rows
-            if kinds == {"delta"} and _merge_mode_of(cur) != "partial_update":
+            # partial_update/aggregate tables: a delta row is a column PATCH
+            # (or partial aggregate), not the folded post-image the fast path
+            # hands out — every changed bucket needs the state diff to build
+            # true pre/post rows
+            if kinds == {"delta"} and _merge_mode_of(cur) == "latest_wins":
                 delta_paths += [f["path"] for f in added]
                 delta_buckets.append(int(b))
                 est += sum(f.get("rows", 0) for f in added)
@@ -1108,22 +1184,61 @@ class LakeTable:
         properties: dict | None = None,
         fs: LakeFS | None = None,
         merge_mode: str | None = None,
+        agg_spec: dict | None = None,
     ) -> "LakeTable":
         """``merge_mode="partial_update"`` switches the table to Paimon-style
         partial-update merge semantics: an upsert patches only its non-null
         columns (null = "no change"), a delete removes the key and blocks
         older versions from contributing, and the reserved replace op
         (property ``merge_replace_op``, default "R") marks full-row replace
-        events. Default (None / "latest_wins"): newest version of a key
-        replaces the whole row. Fixed at creation."""
+        events. ``merge_mode="aggregate"`` is the Paimon aggregation
+        merge-engine: each column combines versions with its own function
+        from ``agg_spec`` (col → one of last_non_null/last/first_non_null/
+        sum/max/min; unlisted columns default to last_non_null). Deletes and
+        replaces cut the history exactly as in partial_update (a replace
+        RESTARTS a running sum at its own value). NOTE: aggregation folds
+        are NOT idempotent per event — re-applying an epoch double-counts
+        sums; exactly-once comes from the engine's epoch-manifest skip.
+        Default (None / "latest_wins"): newest version of a key replaces the
+        whole row. Fixed at creation."""
         properties = dict(properties or {})
         if merge_mode is not None:
             properties["merge_mode"] = merge_mode
         if properties.get("merge_mode") not in (None, "latest_wins",
-                                                "partial_update"):
+                                                "partial_update", "aggregate"):
             raise ValueError(
                 f"unknown merge_mode {properties.get('merge_mode')!r}"
             )
+        if agg_spec is not None:
+            import json as _json
+
+            if properties.get("merge_mode") != "aggregate":
+                raise ValueError('agg_spec requires merge_mode="aggregate"')
+            names = {f.name: f.dataType for f in schema.fields}
+            numeric = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                       T.FloatType, T.DoubleType)
+            for col, fn in agg_spec.items():
+                if fn not in _AGG_FUNCS:
+                    raise ValueError(
+                        f"unknown aggregator {fn!r} for {col!r}; "
+                        f"expected one of {_AGG_FUNCS}")
+                if col not in names:
+                    raise ValueError(f"agg_spec column {col!r} not in schema")
+                if col == bucket_key:
+                    raise ValueError(
+                        f"agg_spec must not aggregate the bucket key {col!r}")
+                dt = names[col]
+                if fn == "sum" and not isinstance(dt, numeric):
+                    raise ValueError(
+                        f"sum aggregator needs a numeric column; {col!r} is "
+                        f"{dt.simpleString()} (decimal sums are rejected — "
+                        "running sums outgrow fixed precision)")
+                if fn in ("max", "min") and not isinstance(
+                        dt, numeric + (T.TimestampType,)):
+                    raise ValueError(
+                        f"{fn} aggregator needs a numeric/timestamp column; "
+                        f"{col!r} is {dt.simpleString()}")
+            properties["merge_agg_spec"] = _json.dumps(agg_spec)
         t = LakeTable(spark, root, fs=fs)
         t.fs.makedirs(os.path.join(root, _META))
         t.fs.makedirs(os.path.join(root, _DATA))
@@ -1345,6 +1460,7 @@ class LakeTable:
         delete_op = snap.properties.get("merge_delete_op", "D")
         merge_mode = _merge_mode_of(snap)
         replace_op = _replace_op_of(snap)
+        agg_spec = _agg_spec_of(snap)
         out_cols = list(columns) if columns else [f.name for f in snap.schema.fields]
         # the cascade itself needs the merge keys even if not requested
         internal_cols = list(dict.fromkeys(out_cols + key_cols))
@@ -1401,11 +1517,12 @@ class LakeTable:
                 (c, "in", list(vs)) for c, vs in key_filter.items()
             ])
             for b in my_buckets:
-                if merge_mode == "partial_update":
-                    # partial fold: older layers still contribute columns, so
-                    # no shadow cascade — stack layers with gen as version
-                    # order and run the shared fold (projection-sound: each
-                    # column folds independently; op/gen always load)
+                if merge_mode in ("partial_update", "aggregate"):
+                    # partial/aggregate fold: older layers still contribute
+                    # columns, so no shadow cascade — stack layers with gen
+                    # as version order and run the shared fold
+                    # (projection-sound: each column folds independently;
+                    # op/gen always load)
                     import numpy as _np
 
                     pieces2 = []
@@ -1437,6 +1554,7 @@ class LakeTable:
                     folded = _partial_fold(
                         pa.concat_tables(pieces2), key_cols, "_dsxord",
                         op_col, delete_op, replace_op, internal_names,
+                        agg_spec=agg_spec,
                     )
                     merged = folded.filter(pc.not_equal(
                         folded.column(op_col).combine_chunks(),
@@ -2237,17 +2355,19 @@ class LakeTable:
         )
         unioned = target.unionByName(src_aligned)
         non_key = [seq_col, op_col, _BUCKET_COL] + [c for c in payload_cols if c not in key_cols]
-        if _merge_mode_of(snap) == "partial_update":
-            # Catalyst partial fold (the non-bucket-aligned fallback).
-            # Existing rows enter at seq=-1 as the oldest layer; a key's
-            # columns each resolve independently to the value at the highest
-            # seq among rows newer than the newest delete/replace cut.
+        if _merge_mode_of(snap) in ("partial_update", "aggregate"):
+            # Catalyst partial/aggregate fold (the non-bucket-aligned
+            # fallback). Existing rows enter at seq=-1 as the oldest layer; a
+            # key's columns each resolve independently over rows newer than
+            # the newest delete/replace cut — last-non-null for patches, the
+            # column's own aggregator for aggregate tables.
             if n_salts:
                 raise NotImplementedError(
-                    "hot-key salting is not implemented for partial_update "
-                    "tables; use strategy='colocated' (the default)"
+                    "hot-key salting is not implemented for partial_update/"
+                    "aggregate tables; use strategy='colocated' (the default)"
                 )
             replace_op = _replace_op_of(snap)
+            spec = _agg_spec_of(snap) or {}
             from pyspark.sql import Window
 
             w = Window.partitionBy(*key_cols)
@@ -2262,7 +2382,23 @@ class LakeTable:
             flat = unioned.withColumn("_dsx_elig", elig).filter("_dsx_elig")
 
             def pick(c):
-                return F.max(
+                fn = spec.get(c, "last_non_null")
+                if fn == "sum":
+                    # sum widens (int->long, float->double); cast back to the
+                    # declared column type like the Arrow kernel does
+                    return F.sum(c).cast(
+                        snap.schema[c].dataType.simpleString()).alias(c)
+                if fn == "max":
+                    return F.max(c).alias(c)
+                if fn == "min":
+                    return F.min(c).alias(c)
+                if fn == "last":  # newest version, null assignments kept
+                    return F.max(
+                        F.struct(F.col(seq_col).alias("s"),
+                                 F.col(c).alias("v"))
+                    ).getField("v").alias(c)
+                pref = F.min if fn == "first_non_null" else F.max
+                return pref(
                     F.when(F.col(c).isNotNull(),
                            F.struct(F.col(seq_col).alias("s"),
                                     F.col(c).alias("v")))
@@ -2392,6 +2528,7 @@ class LakeTable:
             payload_cols, key_cols, seq_col, op_col, delete_op,
             write_mode, compact_threshold, staging, staging_rel,
             merge_mode=_merge_mode_of(snap), replace_op=_replace_op_of(snap),
+            agg_spec=_agg_spec_of(snap),
         )
         # Near-uniform buckets: ignore sizes so the assignment (and thus the
         # steering map literal) is identical across epochs — the projected
@@ -2619,6 +2756,7 @@ class LakeTable:
             payload_cols, key_cols, seq_col, op_col, delete_op,
             write_mode, compact_threshold, staging, staging_rel,
             merge_mode=_merge_mode_of(snap), replace_op=_replace_op_of(snap),
+            agg_spec=_agg_spec_of(snap),
         )
         qdir = quarantine_dir
 
@@ -2812,6 +2950,7 @@ class LakeTable:
             "cow", 1, staging, staging_rel,
             sort_by=sort_by, max_rows_per_file=max_rows_per_file,
             merge_mode=_merge_mode_of(snap), replace_op=_replace_op_of(snap),
+            agg_spec=_agg_spec_of(snap),
         )
 
         def compact_task(batches):
