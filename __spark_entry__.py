@@ -1792,6 +1792,83 @@ def _media_audio_oracle_sql(k: int = 4) -> str:
     """
 
 
+# ------------------------------------------------- transcript curation ops
+
+def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic transcript table (conv_id, turn_idx, role, text, tool,
+    ts) derived from `events`, with injected corruption so the integrity
+    audit has something to catch: every event_id % 53 turn is dropped AFTER
+    turn numbering (index gaps), % 101 forces a role repeat, % 89 blanks the
+    text. Mirrors _TRANSCRIPTS_ORACLE exactly."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    turn = (F.row_number().over(w) - 1).cast("int")
+    base = ev.select(
+        F.concat(F.lit("c"), F.col("user_id").cast("string")).alias("conv_id"),
+        turn.alias("turn_idx"),
+        F.col("event_id"),
+        F.when(F.pmod("event_id", F.lit(89)) == 0, F.lit(""))
+        .otherwise(F.concat(F.col("event_type"), F.lit(" "),
+                            F.coalesce(F.col("props"), F.lit(""))))
+        .alias("text"),
+        F.when(F.pmod("event_id", F.lit(7)) == 0, F.col("event_type"))
+        .alias("tool"),
+        F.col("ts"),
+    ).withColumn(
+        "role",
+        F.when(F.pmod("event_id", F.lit(101)) == 0, F.lit("user"))
+        .when(F.pmod("turn_idx", F.lit(2)) == 0, F.lit("user"))
+        .otherwise(F.lit("assistant")),
+    )
+    return base.filter(F.pmod("event_id", F.lit(53)) != 0).drop("event_id")
+
+
+_TRANSCRIPTS_ORACLE = """
+        WITH base AS (
+            SELECT 'c' || CAST(user_id AS VARCHAR) AS conv_id,
+                   CAST(row_number() OVER (PARTITION BY user_id
+                                           ORDER BY event_id) - 1
+                        AS INTEGER) AS turn_idx,
+                   event_id,
+                   CASE WHEN event_id % 89 = 0 THEN ''
+                        ELSE event_type || ' ' || coalesce(props, '') END AS text,
+                   CASE WHEN event_id % 7 = 0 THEN event_type END AS tool,
+                   ts
+            FROM events
+        ), t AS (
+            SELECT *,
+                   CASE WHEN event_id % 101 = 0 THEN 'user'
+                        WHEN turn_idx % 2 = 0 THEN 'user'
+                        ELSE 'assistant' END AS role
+            FROM base WHERE event_id % 53 <> 0
+        )
+"""
+
+
+def q_transcript_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation integrity audit (ops/transcripts.py): the
+    post-CDC-replay check that turn structure survived ingestion."""
+    from datax_spark.ops.transcripts import validate_transcripts
+
+    return validate_transcripts(_transcripts(spark, sf_dir))
+
+
+def q_transcript_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(context, response) SFT-pair explosion, context = last 3 turns."""
+    from datax_spark.ops.transcripts import sft_pairs
+
+    return sft_pairs(_transcripts(spark, sf_dir), k=3)
+
+
+def q_transcript_tool_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation tool-use profile for agent-trajectory filtering."""
+    from datax_spark.ops.transcripts import tool_stats
+
+    return tool_stats(_transcripts(spark, sf_dir))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_fold_latest": q_cdc_fold_latest,
     "cdc_op_mix": q_cdc_op_mix,
@@ -1851,6 +1928,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_resize": q_media_resize,
     "media_audio_energy": q_media_audio_energy,
     "media_frame_sample": q_media_frame_sample,
+    "transcript_integrity": q_transcript_integrity,
+    "transcript_sft_pairs": q_transcript_sft_pairs,
+    "transcript_tool_stats": q_transcript_tool_stats,
 }
 
 # Queries that BUILD their fixture inside the timed call (create a LakeTable,
@@ -2436,6 +2516,55 @@ ORACLES: dict[str, str] = {
         )
         SELECT doc_id, CAST(f AS INT) AS frame_idx
         FROM d, unnest(range(0, nf, 10)) AS t(f)
+    """,
+    "transcript_integrity": _TRANSCRIPTS_ORACLE + """
+        , ann AS (
+            SELECT conv_id, turn_idx,
+                   CASE WHEN lag(role) OVER w = role THEN 1 ELSE 0 END AS rb,
+                   CASE WHEN ts < lag(ts) OVER w THEN 1 ELSE 0 END AS tr,
+                   CASE WHEN text IS NULL OR trim(text) = '' THEN 1
+                        ELSE 0 END AS et
+            FROM t
+            WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+        )
+        SELECT conv_id,
+               count(*) AS n_turns,
+               count(*) - count(DISTINCT turn_idx) AS dup_turns,
+               CAST(min(turn_idx) = 0 AND max(turn_idx) = count(*) - 1
+                    AND count(*) = count(DISTINCT turn_idx) AS INT)
+                   AS contiguous,
+               CAST(sum(rb) AS BIGINT) AS role_breaks,
+               CAST(sum(et) AS BIGINT) AS empty_turns,
+               CAST(sum(tr) AS BIGINT) AS ts_regressions,
+               CAST(min(turn_idx) = 0 AND max(turn_idx) = count(*) - 1
+                    AND count(*) = count(DISTINCT turn_idx)
+                    AND sum(rb) = 0 AND sum(et) = 0 AND sum(tr) = 0 AS INT)
+                   AS valid
+        FROM ann GROUP BY conv_id
+    """,
+    "transcript_sft_pairs": _TRANSCRIPTS_ORACLE + """
+        , p AS (
+            SELECT conv_id, turn_idx, role, text AS response,
+                   coalesce(string_agg(role || ': ' || text, chr(10)) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx
+                       ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), '')
+                       AS context,
+                   row_number() OVER (PARTITION BY conv_id
+                                      ORDER BY turn_idx) AS pos
+            FROM t
+        )
+        SELECT conv_id, turn_idx, context, response
+        FROM p WHERE role = 'assistant' AND pos >= 2
+    """,
+    "transcript_tool_stats": _TRANSCRIPTS_ORACLE + """
+        SELECT conv_id,
+               count(*) AS n_turns,
+               CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_tool_calls,
+               count(DISTINCT tool) AS n_distinct_tools,
+               coalesce(min(CASE WHEN tool IS NOT NULL THEN turn_idx END), -1)
+                   AS first_tool_turn
+        FROM t GROUP BY conv_id
     """,
 }
 

@@ -1,0 +1,89 @@
+"""Transcript curation ops: integrity audit, SFT pairs, tool stats."""
+
+import datetime
+
+import pytest
+
+from datax_spark.ops.transcripts import sft_pairs, tool_stats, validate_transcripts
+
+
+def _ts(m):
+    return datetime.datetime(2026, 1, 1, 12, m)
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    # c1: clean 4-turn user/assistant conversation, one tool call.
+    # c2: gap (turn 2 missing), a role break (two assistants adjacent),
+    #     and a timestamp regression.
+    # c3: duplicate turn_idx and an empty turn; never calls a tool.
+    rows = [
+        ("c1", 0, "user", "hi", None, _ts(0)),
+        ("c1", 1, "assistant", "hello", None, _ts(1)),
+        ("c1", 2, "user", "weather?", None, _ts(2)),
+        ("c1", 3, "assistant", "sunny", "weather_api", _ts(3)),
+        ("c2", 0, "user", "a", None, _ts(0)),
+        ("c2", 1, "assistant", "b", "search", _ts(5)),
+        ("c2", 3, "assistant", "c", "search", _ts(4)),
+        ("c3", 0, "user", "x", None, _ts(0)),
+        ("c3", 1, "assistant", "  ", None, _ts(1)),
+        ("c3", 1, "user", "y", None, _ts(2)),
+    ]
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp",
+    )
+
+
+def test_validate_transcripts(transcripts):
+    got = {r["conv_id"]: r.asDict() for r in validate_transcripts(transcripts).collect()}
+    assert got["c1"] == {
+        "conv_id": "c1", "n_turns": 4, "dup_turns": 0, "contiguous": 1,
+        "role_breaks": 0, "empty_turns": 0, "ts_regressions": 0, "valid": 1,
+    }
+    c2 = got["c2"]
+    assert (c2["contiguous"], c2["role_breaks"], c2["ts_regressions"]) == (0, 1, 1)
+    assert c2["valid"] == 0
+    c3 = got["c3"]
+    assert (c3["dup_turns"], c3["empty_turns"], c3["valid"]) == (1, 1, 0)
+
+
+def test_sft_pairs(transcripts):
+    got = {
+        (r["conv_id"], r["turn_idx"]): r
+        for r in sft_pairs(transcripts, k=2).collect()
+    }
+    # c1 turn 1: context is just the opening user turn.
+    assert got[("c1", 1)]["context"] == "user: hi"
+    assert got[("c1", 1)]["response"] == "hello"
+    # c1 turn 3: k=2 window keeps only turns 1 and 2.
+    assert got[("c1", 3)]["context"] == "assistant: hello\nuser: weather?"
+    # c2 turn 3 follows the gap: ROWS frame uses present turns (0 and 1).
+    assert got[("c2", 3)]["context"] == "user: a\nassistant: b"
+    # assistant turns with no prior ROW are excluded entirely.
+    assert ("c2", 0) not in got and ("c3", 0) not in got
+    # every pair's response role is assistant
+    assert set(got) == {("c1", 1), ("c1", 3), ("c2", 1), ("c2", 3), ("c3", 1)}
+
+
+def test_tool_stats(transcripts):
+    got = {r["conv_id"]: r.asDict() for r in tool_stats(transcripts).collect()}
+    assert got["c1"] == {"conv_id": "c1", "n_turns": 4, "n_tool_calls": 1,
+                         "n_distinct_tools": 1, "first_tool_turn": 3}
+    assert got["c2"]["n_tool_calls"] == 2
+    assert got["c2"]["n_distinct_tools"] == 1
+    assert got["c2"]["first_tool_turn"] == 1
+    assert got["c3"] == {"conv_id": "c3", "n_turns": 3, "n_tool_calls": 0,
+                         "n_distinct_tools": 0, "first_tool_turn": -1}
+
+
+def test_single_exchange_reused(spark):
+    """The window + groupBy in validate share the conv_id partitioning; the
+    plan must contain exactly ONE shuffle exchange."""
+    df = spark.createDataFrame(
+        [("c", 0, "user", "t", None, _ts(0))],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    plan = validate_transcripts(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 1
