@@ -1869,6 +1869,54 @@ def q_transcript_tool_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tool_stats(_transcripts(spark, sf_dir))
 
 
+def q_conv_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level near-dup: assemble one text blob per conversation
+    (ops.transcripts.conversation_text, one shuffle) and run the MinHash+LSH
+    pipeline over whole conversations — the dedup granularity a transcript
+    training set actually needs (re-ingested / lightly-edited conversations,
+    not just repeated turns). Every 17th conversation is re-planted under
+    id+10M with two tokens appended so the query provably finds pairs; the
+    DuckDB oracle replicates assembly + the full portable LSH pipeline."""
+    from datax_spark.ops.dedup import minhash_near_dupes
+    from datax_spark.ops.transcripts import conversation_text
+
+    ev = _t(spark, sf_dir, "events")
+    turns = ev.select(
+        F.col("user_id").alias("conv_id"),
+        F.col("event_id").alias("turn_idx"),
+        F.concat(F.col("event_type"), F.lit(" "),
+                 F.coalesce(F.col("props"), F.lit(""))).alias("text"),
+    )
+    conv = conversation_text(turns).select(
+        F.col("conv_id").alias("doc_id"), "text"
+    )
+    variants = conv.filter(F.pmod("doc_id", F.lit(17)) == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz zz")).alias("text"),
+    )
+    return minhash_near_dupes(
+        conv.unionByName(variants),
+        w=5, threshold=0.5, n_hashes=64, n_bands=16, portable=True,
+    )
+
+
+_CONV_CORPUS_SQL = """(
+    WITH turns AS (
+        SELECT user_id AS conv_id, event_id AS turn_idx,
+               event_type || ' ' || coalesce(props, '') AS text
+        FROM events
+    ), conv AS (
+        SELECT conv_id AS doc_id,
+               string_agg(text, ' ' ORDER BY turn_idx) AS text
+        FROM turns GROUP BY conv_id
+    )
+    SELECT doc_id, text FROM conv
+    UNION ALL
+    SELECT doc_id + 10000000 AS doc_id, text || ' zz zz' AS text
+    FROM conv WHERE doc_id % 17 = 0
+)"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_fold_latest": q_cdc_fold_latest,
     "cdc_op_mix": q_cdc_op_mix,
@@ -1931,6 +1979,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "transcript_integrity": q_transcript_integrity,
     "transcript_sft_pairs": q_transcript_sft_pairs,
     "transcript_tool_stats": q_transcript_tool_stats,
+    "conv_minhash_near_dup": q_conv_minhash_near_dup,
 }
 
 # Queries that BUILD their fixture inside the timed call (create a LakeTable,
@@ -2556,6 +2605,8 @@ ORACLES: dict[str, str] = {
         SELECT conv_id, turn_idx, context, response
         FROM p WHERE role = 'assistant' AND pos >= 2
     """,
+    "conv_minhash_near_dup": _minhash_oracle_sql(
+        n_hashes=64, n_bands=16, threshold=0.5, source=_CONV_CORPUS_SQL),
     "transcript_tool_stats": _TRANSCRIPTS_ORACLE + """
         SELECT conv_id,
                count(*) AS n_turns,

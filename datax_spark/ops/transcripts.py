@@ -16,6 +16,10 @@ reshape it:
   as ``role: text`` lines.
 - :func:`tool_stats` — per-conversation tool-use profile (call counts,
   distinct tools, first call position) for agent-trajectory filtering.
+- :func:`conversation_text` — assemble one text blob per conversation in
+  turn order, so the corpus-level dedup/ANN ops (ops.dedup, ops.similarity)
+  apply at conversation granularity (near-duplicate *conversations*, not
+  just near-duplicate turns).
 
 All three are pure Catalyst (whole-stage codegen, no Python) and are written
 so DuckDB can replicate them bit-for-bit for the correctness oracle: one
@@ -146,6 +150,34 @@ def sft_pairs(
             conv_col, turn_col, F.col("context"),
             F.col(text_col).alias("response"),
         )
+    )
+
+
+def conversation_text(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    text_col: str = "text",
+    sep: str = " ",
+) -> DataFrame:
+    """Assemble one text blob per conversation, in turn order — the input
+    shape for applying the corpus-level dedup/similarity ops (ops.dedup,
+    ops.similarity) at *conversation* granularity instead of per turn.
+
+    Returns ``(conv_col, text, n_turns)``. ONE shuffle on ``conv_col``:
+    turn order is restored inside the aggregation via ``array_sort`` over
+    (turn_idx, text) structs, so no separate window pass (and no second
+    exchange) is needed. Per-group state is one conversation's turns —
+    naturally bounded, so the agg buffer stays small at 100 TB.
+    """
+    s = F.array_sort(
+        F.collect_list(
+            F.struct(F.col(turn_col).alias("t"), F.col(text_col).alias("x"))
+        )
+    )
+    return df.groupBy(conv_col).agg(
+        F.array_join(F.transform(s, lambda r: r["x"]), sep).alias("text"),
+        F.count("*").alias("n_turns"),
     )
 
 

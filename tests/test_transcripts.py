@@ -77,6 +77,23 @@ def test_tool_stats(transcripts):
                          "n_distinct_tools": 0, "first_tool_turn": -1}
 
 
+def test_conversation_text(spark):
+    from datax_spark.ops.transcripts import conversation_text
+
+    rows = [
+        ("c1", 1, "world"), ("c1", 0, "hello"), ("c1", 2, "again"),
+        ("c2", 0, "solo"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    got = {r["conv_id"]: r for r in conversation_text(df).collect()}
+    assert got["c1"]["text"] == "hello world again"
+    assert got["c1"]["n_turns"] == 3
+    assert got["c2"]["text"] == "solo"
+    # one aggregation, one exchange — no extra window pass
+    plan = conversation_text(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
 def test_single_exchange_reused(spark):
     """The window + groupBy in validate share the conv_id partitioning; the
     plan must contain exactly ONE shuffle exchange."""
