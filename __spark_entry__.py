@@ -1869,6 +1869,94 @@ def q_transcript_tool_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tool_stats(_transcripts(spark, sf_dir))
 
 
+def q_transcript_audit_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog-maintained transcript integrity audit (cdc/audit.py):
+    transcripts land in a LakeTable, a GroupedRecomputeIndex seeds one
+    validate_transcripts row per conversation, then a CDC batch mutates the
+    corpus — uid%9 convs get turn 0 blanked (empty turn), uid%5 lose turn 1
+    (contiguity gap), uid%13 convs are wiped entirely, and uid%23 spawn a
+    fresh 2-turn conversation with a role break. ``refresh()`` re-audits
+    ONLY the touched conversations via keyed point lookups (O(changes));
+    the oracle recomputes the FULL audit over the final corpus state in SQL
+    — incremental maintenance must equal recompute."""
+    import tempfile
+
+    from datax_spark.cdc.audit import transcript_audit_index
+    from datax_spark.lake.table import LakeTable
+    from pyspark.sql import types as T
+
+    tr = _transcripts(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="dsx-audidx-")
+    t = LakeTable.create(spark, root, T.StructType(tr.schema.fields),
+                         bucket_key="conv_id", n_buckets=8)
+    key = ["conv_id", "turn_idx"]
+    t.apply_cdc(
+        tr.withColumn("seq", F.lit(1).cast("long")).withColumn("op", F.lit("I")),
+        key_cols=key,
+    )
+    idx = transcript_audit_index(t, os.path.join(root, "_audit"), n_buckets=8)
+
+    uid = F.substring("conv_id", 2, 18).cast("long")
+    cur = t.read().withColumn("_uid", uid)
+    blank = (
+        cur.filter((F.col("_uid") % 9 == 0) & (F.col("_uid") % 13 != 0)
+                   & (F.col("turn_idx") == 0))
+        .drop("_uid").withColumn("text", F.lit("")).withColumn("op", F.lit("U"))
+    )
+    gap = (
+        cur.filter((F.col("_uid") % 5 == 0) & (F.col("_uid") % 13 != 0)
+                   & (F.col("turn_idx") == 1))
+        .drop("_uid").withColumn("op", F.lit("D"))
+    )
+    wipe = cur.filter(F.col("_uid") % 13 == 0).drop("_uid").withColumn(
+        "op", F.lit("D"))
+    fresh_ids = (
+        cur.filter(F.col("_uid") % 23 == 0)
+        .select(F.concat(F.lit("n"), F.col("_uid").cast("string")).alias("conv_id"))
+        .distinct()
+    )
+    def _fresh(turn: int, text: str, ts: str) -> DataFrame:
+        return fresh_ids.select(
+            "conv_id", F.lit(turn).cast("int").alias("turn_idx"),
+            F.lit(text).alias("text"),
+            F.lit(None).cast("string").alias("tool"),
+            F.lit(ts).cast("timestamp").alias("ts"),
+            F.lit("user").alias("role"),
+            F.lit("I").alias("op"),
+        )
+    events = (
+        blank.unionByName(gap).unionByName(wipe)
+        .unionByName(_fresh(0, "fresh a", "2026-01-01 00:00:00"))
+        .unionByName(_fresh(1, "fresh b", "2026-01-01 00:10:00"))
+        .withColumn("seq", F.lit(2).cast("long"))
+    )
+    t.apply_cdc(events, key_cols=key)
+    idx.refresh()
+    return idx.read()
+
+
+_AUDIT_FINAL_SQL = """
+        , uidd AS (
+            SELECT *, CAST(substr(conv_id, 2) AS BIGINT) AS uid FROM t
+        ), final AS (
+            SELECT conv_id, turn_idx,
+                   CASE WHEN uid % 9 = 0 AND turn_idx = 0 THEN '' ELSE text
+                        END AS text,
+                   role, ts
+            FROM uidd
+            WHERE uid % 13 <> 0 AND NOT (uid % 5 = 0 AND turn_idx = 1)
+            UNION ALL
+            SELECT 'n' || CAST(uid AS VARCHAR), f.turn_idx, f.text, 'user',
+                   f.ts
+            FROM (SELECT DISTINCT uid FROM uidd WHERE uid % 23 = 0)
+            CROSS JOIN (VALUES
+                (0, 'fresh a', TIMESTAMP '2026-01-01 00:00:00'),
+                (1, 'fresh b', TIMESTAMP '2026-01-01 00:10:00')
+            ) AS f(turn_idx, text, ts)
+        )
+"""
+
+
 def q_conv_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation-level near-dup: assemble one text blob per conversation
     (ops.transcripts.conversation_text, one shuffle) and run the MinHash+LSH
@@ -1979,6 +2067,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "transcript_integrity": q_transcript_integrity,
     "transcript_sft_pairs": q_transcript_sft_pairs,
     "transcript_tool_stats": q_transcript_tool_stats,
+    "transcript_audit_incremental": q_transcript_audit_incremental,
     "conv_minhash_near_dup": q_conv_minhash_near_dup,
 }
 
@@ -1995,7 +2084,7 @@ FIXTURE_QUERIES: frozenset[str] = frozenset({
     "remote_object_roundtrip", "hbase_roundtrip", "mongo_export_roundtrip",
     "lake_objectfs_roundtrip", "lake_partial_update", "lake_agg_merge",
     "lake_widen_fold", "lake_point_lookup", "lake_pruned_read",
-    "cdc_changelog_stream",
+    "cdc_changelog_stream", "transcript_audit_incremental",
 })
 
 ORACLES: dict[str, str] = {
@@ -2604,6 +2693,31 @@ ORACLES: dict[str, str] = {
         )
         SELECT conv_id, turn_idx, context, response
         FROM p WHERE role = 'assistant' AND pos >= 2
+    """,
+    "transcript_audit_incremental": _TRANSCRIPTS_ORACLE + _AUDIT_FINAL_SQL + """
+        , ann AS (
+            SELECT conv_id, turn_idx,
+                   CASE WHEN lag(role) OVER w = role THEN 1 ELSE 0 END AS rb,
+                   CASE WHEN ts < lag(ts) OVER w THEN 1 ELSE 0 END AS tr,
+                   CASE WHEN text IS NULL OR trim(text) = '' THEN 1
+                        ELSE 0 END AS et
+            FROM final
+            WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+        )
+        SELECT conv_id,
+               count(*) AS n_turns,
+               count(*) - count(DISTINCT turn_idx) AS dup_turns,
+               CAST(min(turn_idx) = 0 AND max(turn_idx) = count(*) - 1
+                    AND count(*) = count(DISTINCT turn_idx) AS INT)
+                   AS contiguous,
+               CAST(sum(rb) AS BIGINT) AS role_breaks,
+               CAST(sum(et) AS BIGINT) AS empty_turns,
+               CAST(sum(tr) AS BIGINT) AS ts_regressions,
+               CAST(min(turn_idx) = 0 AND max(turn_idx) = count(*) - 1
+                    AND count(*) = count(DISTINCT turn_idx)
+                    AND sum(rb) = 0 AND sum(et) = 0 AND sum(tr) = 0 AS INT)
+                   AS valid
+        FROM ann GROUP BY conv_id
     """,
     "conv_minhash_near_dup": _minhash_oracle_sql(
         n_hashes=64, n_bands=16, threshold=0.5, source=_CONV_CORPUS_SQL),

@@ -1,0 +1,132 @@
+"""GroupedRecomputeIndex: changelog-maintained per-group recompute."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datax_spark.cdc.audit import GroupedRecomputeIndex, transcript_audit_index
+from datax_spark.lake.table import LakeTable
+from datax_spark.ops.transcripts import validate_transcripts
+
+SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType(), False),
+    T.StructField("turn_idx", T.IntegerType(), False),
+    T.StructField("role", T.StringType(), True),
+    T.StructField("text", T.StringType(), True),
+    T.StructField("ts", T.TimestampType(), True),
+])
+
+
+def _ts(m):
+    return datetime.datetime(2026, 1, 1, 12, m)
+
+
+def _turns(spark, rows):
+    return spark.createDataFrame(
+        [r + (_ts(r[1]),) for r in rows],
+        "conv_id string, turn_idx int, role string, text string, ts timestamp",
+    )
+
+
+def _seed_rows():
+    out = []
+    for c in range(8):
+        for t in range(4):
+            out.append((f"c{c}", t, "user" if t % 2 == 0 else "assistant",
+                        f"turn {c} {t}"))
+    return out
+
+
+def _ev(df, op, seq):
+    return df.withColumn("op", F.lit(op)).withColumn(
+        "seq", F.lit(seq).cast("long"))
+
+
+@pytest.fixture()
+def base(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "base"), SCHEMA,
+                         bucket_key="conv_id", n_buckets=4)
+    t.apply_cdc(_ev(_turns(spark, _seed_rows()), "I", 1),
+                key_cols=["conv_id", "turn_idx"])
+    return t
+
+
+def _assert_matches_recompute(idx, base):
+    got = {r["conv_id"]: r.asDict() for r in idx.read().collect()}
+    want = {r["conv_id"]: r.asDict()
+            for r in validate_transcripts(base.read()).collect()}
+    assert got == want
+
+
+def test_seed_matches_full_recompute(spark, base, tmp_path):
+    idx = transcript_audit_index(base, str(tmp_path / "idx"))
+    _assert_matches_recompute(idx, base)
+    assert idx.consumed_version() == base.current_version()
+
+
+def test_refresh_touched_groups_only(spark, base, tmp_path):
+    idx = transcript_audit_index(base, str(tmp_path / "idx"))
+    # mutate: c0 gets an empty turn, c1 loses turn 2 (gap), c2 is wiped,
+    # c9 is brand new (contiguous but with a role break)
+    upd = _turns(spark, [("c0", 1, "assistant", "  ")])
+    gap = _turns(spark, [("c1", 2, "user", "x")])
+    wipe = _turns(spark, [("c2", t, None, None) for t in range(4)])
+    new = _turns(spark, [("c9", 0, "user", "a"), ("c9", 1, "user", "b")])
+    base.apply_cdc(
+        _ev(upd, "U", 2).unionByName(_ev(gap, "D", 2))
+        .unionByName(_ev(wipe, "D", 2)).unionByName(_ev(new, "I", 2)),
+        key_cols=["conv_id", "turn_idx"],
+    )
+    res = idx.refresh()
+    assert res["fetch"] == "point"
+    assert res["groups_touched"] == 4
+    _assert_matches_recompute(idx, base)
+    got = {r["conv_id"]: r.asDict() for r in idx.read().collect()}
+    assert "c2" not in got                     # wiped conv left the index
+    assert got["c0"]["empty_turns"] == 1 and got["c0"]["valid"] == 0
+    assert got["c1"]["contiguous"] == 0
+    assert got["c9"]["role_breaks"] == 1
+    assert got["c3"]["valid"] == 1             # untouched conv intact
+
+
+def test_noop_refresh_commits_nothing(spark, base, tmp_path):
+    idx = transcript_audit_index(base, str(tmp_path / "idx"))
+    v = idx.index.current_version()
+    res = idx.refresh()
+    assert res["groups_touched"] == 0 and res["fetch"] == "none"
+    assert idx.index.current_version() == v
+
+
+def test_scan_fallback_equals_point_path(spark, base, tmp_path):
+    idx = transcript_audit_index(base, str(tmp_path / "idx"),
+                                 max_point_keys=0)
+    upd = _turns(spark, [("c0", 1, "assistant", "  "),
+                         ("c4", 0, "assistant", "flip")])
+    base.apply_cdc(_ev(upd, "U", 2), key_cols=["conv_id", "turn_idx"])
+    res = idx.refresh()
+    assert res["fetch"] == "scan" and res["groups_touched"] == 2
+    _assert_matches_recompute(idx, base)
+
+
+def test_open_reattaches_and_refreshes(spark, base, tmp_path):
+    transcript_audit_index(base, str(tmp_path / "idx"))
+    idx = GroupedRecomputeIndex.open(
+        base, str(tmp_path / "idx"), lambda df: validate_transcripts(df))
+    assert idx.group_col == "conv_id"
+    base.apply_cdc(_ev(_turns(spark, [("c5", 4, "user", "late")]), "I", 2),
+                   key_cols=["conv_id", "turn_idx"])
+    res = idx.refresh()
+    assert res["groups_touched"] == 1
+    _assert_matches_recompute(idx, base)
+    # second refresh from the recorded watermark is a no-op
+    assert idx.refresh()["groups_touched"] == 0
+
+
+def test_derive_must_emit_group_col(spark, base, tmp_path):
+    with pytest.raises(ValueError, match="group column"):
+        GroupedRecomputeIndex.create(
+            base, str(tmp_path / "bad"),
+            lambda df: df.groupBy("conv_id").count().drop("conv_id"),
+            "conv_id")
