@@ -1935,6 +1935,37 @@ def q_transcript_audit_incremental(spark: SparkSession, sf_dir: str) -> DataFram
     return idx.read()
 
 
+def _integrity_select_sql(from_rel: str) -> str:
+    """The validate_transcripts aggregation as DuckDB SQL over ``from_rel``
+    (a CTE name holding (conv_id, turn_idx, role, text, ts) rows) — shared
+    by the batch integrity oracle and the maintained-audit oracle."""
+    return f"""
+        , ann AS (
+            SELECT conv_id, turn_idx,
+                   CASE WHEN lag(role) OVER w = role THEN 1 ELSE 0 END AS rb,
+                   CASE WHEN ts < lag(ts) OVER w THEN 1 ELSE 0 END AS tr,
+                   CASE WHEN text IS NULL OR trim(text) = '' THEN 1
+                        ELSE 0 END AS et
+            FROM {from_rel}
+            WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+        )
+        SELECT conv_id,
+               count(*) AS n_turns,
+               count(*) - count(DISTINCT turn_idx) AS dup_turns,
+               CAST(min(turn_idx) = 0 AND max(turn_idx) = count(*) - 1
+                    AND count(*) = count(DISTINCT turn_idx) AS INT)
+                   AS contiguous,
+               CAST(sum(rb) AS BIGINT) AS role_breaks,
+               CAST(sum(et) AS BIGINT) AS empty_turns,
+               CAST(sum(tr) AS BIGINT) AS ts_regressions,
+               CAST(min(turn_idx) = 0 AND max(turn_idx) = count(*) - 1
+                    AND count(*) = count(DISTINCT turn_idx)
+                    AND sum(rb) = 0 AND sum(et) = 0 AND sum(tr) = 0 AS INT)
+                   AS valid
+        FROM ann GROUP BY conv_id
+    """
+
+
 _AUDIT_FINAL_SQL = """
         , uidd AS (
             SELECT *, CAST(substr(conv_id, 2) AS BIGINT) AS uid FROM t
@@ -2655,31 +2686,7 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, CAST(f AS INT) AS frame_idx
         FROM d, unnest(range(0, nf, 10)) AS t(f)
     """,
-    "transcript_integrity": _TRANSCRIPTS_ORACLE + """
-        , ann AS (
-            SELECT conv_id, turn_idx,
-                   CASE WHEN lag(role) OVER w = role THEN 1 ELSE 0 END AS rb,
-                   CASE WHEN ts < lag(ts) OVER w THEN 1 ELSE 0 END AS tr,
-                   CASE WHEN text IS NULL OR trim(text) = '' THEN 1
-                        ELSE 0 END AS et
-            FROM t
-            WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
-        )
-        SELECT conv_id,
-               count(*) AS n_turns,
-               count(*) - count(DISTINCT turn_idx) AS dup_turns,
-               CAST(min(turn_idx) = 0 AND max(turn_idx) = count(*) - 1
-                    AND count(*) = count(DISTINCT turn_idx) AS INT)
-                   AS contiguous,
-               CAST(sum(rb) AS BIGINT) AS role_breaks,
-               CAST(sum(et) AS BIGINT) AS empty_turns,
-               CAST(sum(tr) AS BIGINT) AS ts_regressions,
-               CAST(min(turn_idx) = 0 AND max(turn_idx) = count(*) - 1
-                    AND count(*) = count(DISTINCT turn_idx)
-                    AND sum(rb) = 0 AND sum(et) = 0 AND sum(tr) = 0 AS INT)
-                   AS valid
-        FROM ann GROUP BY conv_id
-    """,
+    "transcript_integrity": _TRANSCRIPTS_ORACLE + _integrity_select_sql("t"),
     "transcript_sft_pairs": _TRANSCRIPTS_ORACLE + """
         , p AS (
             SELECT conv_id, turn_idx, role, text AS response,
@@ -2694,31 +2701,8 @@ ORACLES: dict[str, str] = {
         SELECT conv_id, turn_idx, context, response
         FROM p WHERE role = 'assistant' AND pos >= 2
     """,
-    "transcript_audit_incremental": _TRANSCRIPTS_ORACLE + _AUDIT_FINAL_SQL + """
-        , ann AS (
-            SELECT conv_id, turn_idx,
-                   CASE WHEN lag(role) OVER w = role THEN 1 ELSE 0 END AS rb,
-                   CASE WHEN ts < lag(ts) OVER w THEN 1 ELSE 0 END AS tr,
-                   CASE WHEN text IS NULL OR trim(text) = '' THEN 1
-                        ELSE 0 END AS et
-            FROM final
-            WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
-        )
-        SELECT conv_id,
-               count(*) AS n_turns,
-               count(*) - count(DISTINCT turn_idx) AS dup_turns,
-               CAST(min(turn_idx) = 0 AND max(turn_idx) = count(*) - 1
-                    AND count(*) = count(DISTINCT turn_idx) AS INT)
-                   AS contiguous,
-               CAST(sum(rb) AS BIGINT) AS role_breaks,
-               CAST(sum(et) AS BIGINT) AS empty_turns,
-               CAST(sum(tr) AS BIGINT) AS ts_regressions,
-               CAST(min(turn_idx) = 0 AND max(turn_idx) = count(*) - 1
-                    AND count(*) = count(DISTINCT turn_idx)
-                    AND sum(rb) = 0 AND sum(et) = 0 AND sum(tr) = 0 AS INT)
-                   AS valid
-        FROM ann GROUP BY conv_id
-    """,
+    "transcript_audit_incremental": (
+        _TRANSCRIPTS_ORACLE + _AUDIT_FINAL_SQL + _integrity_select_sql("final")),
     "conv_minhash_near_dup": _minhash_oracle_sql(
         n_hashes=64, n_bands=16, threshold=0.5, source=_CONV_CORPUS_SQL),
     "transcript_tool_stats": _TRANSCRIPTS_ORACLE + """

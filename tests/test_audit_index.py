@@ -15,6 +15,7 @@ SCHEMA = T.StructType([
     T.StructField("turn_idx", T.IntegerType(), False),
     T.StructField("role", T.StringType(), True),
     T.StructField("text", T.StringType(), True),
+    T.StructField("tool", T.StringType(), True),
     T.StructField("ts", T.TimestampType(), True),
 ])
 
@@ -25,8 +26,9 @@ def _ts(m):
 
 def _turns(spark, rows):
     return spark.createDataFrame(
-        [r + (_ts(r[1]),) for r in rows],
-        "conv_id string, turn_idx int, role string, text string, ts timestamp",
+        [r + (None, _ts(r[1])) for r in rows],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
     )
 
 
@@ -122,6 +124,26 @@ def test_open_reattaches_and_refreshes(spark, base, tmp_path):
     _assert_matches_recompute(idx, base)
     # second refresh from the recorded watermark is a no-op
     assert idx.refresh()["groups_touched"] == 0
+
+
+def test_generic_derive_tool_stats(spark, base, tmp_path):
+    """The index is derivation-agnostic: maintain tool_stats (count_distinct
+    + conditional min — not signed-foldable) the same way."""
+    from datax_spark.ops.transcripts import tool_stats
+
+    idx = GroupedRecomputeIndex.create(
+        base, str(tmp_path / "tools"), tool_stats, "conv_id")
+    base.apply_cdc(
+        _ev(_turns(spark, [("c0", 1, "assistant", "t")])
+            .withColumn("tool", F.lit("search")), "U", 2),
+        key_cols=["conv_id", "turn_idx"],
+    )
+    idx.refresh()
+    got = {r["conv_id"]: r.asDict() for r in idx.read().collect()}
+    want = {r["conv_id"]: r.asDict()
+            for r in tool_stats(base.read()).collect()}
+    assert got == want
+    assert got["c0"]["n_tool_calls"] == 1 and got["c0"]["first_tool_turn"] == 1
 
 
 def test_derive_must_emit_group_col(spark, base, tmp_path):
