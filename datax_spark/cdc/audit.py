@@ -152,9 +152,10 @@ class GroupedRecomputeIndex:
         # (bucket + zone-map + row-group pruning); past it the epoch touched
         # enough of the table that one semi-join scan is the better plan
         keys = [r[0] for r in changed.limit(self.max_point_keys + 1).collect()]
-        if not keys:
-            return {"from": start, "to": end, "groups_touched": 0,
-                    "fetch": "none"}
+        # NOTE: keys may be empty while end > start (a maintenance-only
+        # window: compact/rebucket emit no logical changes). The refresh
+        # still commits, so the watermark advances and follow() never
+        # rescans the window.
         if len(keys) <= self.max_point_keys:
             fetch = "point"
             cur = self.base.lookup(keys, version=end)
@@ -180,6 +181,24 @@ class GroupedRecomputeIndex:
         n = len(keys) if fetch == "point" else changed.count()
         return {"from": start, "to": end, "groups_touched": n,
                 "fetch": fetch}
+
+    def follow(self, poll_s: float = 5.0, max_cycles: int | None = None) -> int:
+        """Tail loop: poll the base for new commits and refresh each window
+        in (same shape as ContinuousAggregate.follow). Returns the number of
+        non-empty windows; ``max_cycles`` bounds the loop for tests/batch
+        catch-up."""
+        import time as _time
+
+        folded = 0
+        cycles = 0
+        while max_cycles is None or cycles < max_cycles:
+            cycles += 1
+            r = self.refresh()
+            if r["to"] > r["from"]:
+                folded += 1
+            elif max_cycles is None or cycles < max_cycles:
+                _time.sleep(poll_s)
+        return folded
 
     def _apply(self, events: DataFrame, base_version: int,
                params: str | None = None) -> None:

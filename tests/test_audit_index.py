@@ -146,6 +146,32 @@ def test_generic_derive_tool_stats(spark, base, tmp_path):
     assert got["c0"]["n_tool_calls"] == 1 and got["c0"]["first_tool_turn"] == 1
 
 
+def test_follow_bounded_cycles(spark, base, tmp_path):
+    idx = transcript_audit_index(base, str(tmp_path / "idx"))
+    base.apply_cdc(_ev(_turns(spark, [("c6", 4, "user", "x")]), "I", 2),
+                   key_cols=["conv_id", "turn_idx"])
+    assert idx.follow(poll_s=0.01, max_cycles=3) == 1
+    _assert_matches_recompute(idx, base)
+
+
+def test_maintenance_only_window_advances_watermark(spark, base, tmp_path):
+    """rebucket() makes a new base version with no logical changes; refresh
+    must still commit so the watermark passes the window (else follow()
+    rescans it forever)."""
+    idx = transcript_audit_index(base, str(tmp_path / "idx"))
+    base.apply_cdc(_ev(_turns(spark, [("c7", 4, "user", "x")]), "I", 2),
+                   key_cols=["conv_id", "turn_idx"])
+    idx.refresh()
+    v_before = base.current_version()
+    base.rebucket(8)
+    assert base.current_version() > v_before
+    res = idx.refresh()
+    assert res["groups_touched"] == 0 and res["to"] == base.current_version()
+    assert idx.consumed_version() == base.current_version()
+    assert idx.refresh()["fetch"] == "none"
+    _assert_matches_recompute(idx, base)
+
+
 def test_derive_must_emit_group_col(spark, base, tmp_path):
     with pytest.raises(ValueError, match="group column"):
         GroupedRecomputeIndex.create(
