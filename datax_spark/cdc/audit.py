@@ -145,23 +145,37 @@ class GroupedRecomputeIndex:
                     "fetch": "none"}
 
         g = self.group_col
+        snap = self.base.snapshot(end)
+        merge_keys = {k for k in
+                      snap.properties.get("merge_keys", "").split(",") if k}
+        # When the group column is part of the merge key, a row can never
+        # move between groups and every change row (incl. delete markers)
+        # carries its group value — post-images suffice. Otherwise an update
+        # can MOVE a row between groups and a lean delete marker may carry a
+        # NULL group: read pre-images too so the moved-from / deleted-from
+        # group also re-derives. (Groups keyed by NULL are not tracked.)
+        pre = bool(merge_keys) and g not in merge_keys
         changed = (
-            self.base.read_changes(start, end).select(g).distinct()
+            self.base.read_changes(start, end, include_preimages=pre)
+            .select(g).distinct().filter(F.col(g).isNotNull())
         )
         # bounded collect: up to the cap the key list steers point lookups
         # (bucket + zone-map + row-group pruning); past it the epoch touched
-        # enough of the table that one semi-join scan is the better plan
-        keys = [r[0] for r in changed.limit(self.max_point_keys + 1).collect()]
+        # enough of the table that one semi-join scan is the better plan.
+        # Point lookups key by the base's BUCKET key — when the group column
+        # is anything else, only the semi-join scan is sound.
+        pointable = snap.bucket_key == g
+        cap = self.max_point_keys if pointable else 0
+        keys = [r[0] for r in changed.limit(cap + 1).collect()]
         # NOTE: keys may be empty while end > start (a maintenance-only
         # window: compact/rebucket emit no logical changes). The refresh
         # still commits, so the watermark advances and follow() never
         # rescans the window.
-        if len(keys) <= self.max_point_keys:
+        if len(keys) <= cap or not keys:
             fetch = "point"
             cur = self.base.lookup(keys, version=end)
             changed = self.base.spark.createDataFrame(
-                [(k,) for k in keys],
-                T.StructType([self.base.snapshot(end).schema[g]]))
+                [(k,) for k in keys], T.StructType([snap.schema[g]]))
         else:
             fetch = "scan"
             cur = self.base.read(end).join(changed, g, "left_semi")

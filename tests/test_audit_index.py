@@ -172,6 +172,31 @@ def test_maintenance_only_window_advances_watermark(spark, base, tmp_path):
     _assert_matches_recompute(idx, base)
 
 
+def test_non_bucket_group_forces_scan(spark, base, tmp_path):
+    """Point lookups key by the base's bucket key; a group column that
+    isn't the bucket key must always take the semi-join scan path."""
+    def per_role(df):
+        return df.groupBy("role").agg(F.count("*").alias("n"))
+
+    idx = GroupedRecomputeIndex.create(
+        base, str(tmp_path / "roles"), per_role, "role")
+    base.apply_cdc(_ev(_turns(spark, [("c0", 4, "tooluser", "x")]), "I", 2),
+                   key_cols=["conv_id", "turn_idx"])
+    res = idx.refresh()
+    assert res["fetch"] == "scan"
+    got = {r["role"]: r["n"] for r in idx.read().collect()}
+    want = {r["role"]: r["n"] for r in per_role(base.read()).collect()}
+    assert got == want and "tooluser" in got
+    # a row MOVING between groups must re-derive the moved-FROM group too
+    # (pre-image tracking): tooluser's only row becomes assistant
+    base.apply_cdc(_ev(_turns(spark, [("c0", 4, "assistant", "x")]), "U", 3),
+                   key_cols=["conv_id", "turn_idx"])
+    idx.refresh()
+    got = {r["role"]: r["n"] for r in idx.read().collect()}
+    want = {r["role"]: r["n"] for r in per_role(base.read()).collect()}
+    assert got == want and "tooluser" not in got
+
+
 def test_derive_must_emit_group_col(spark, base, tmp_path):
     with pytest.raises(ValueError, match="group column"):
         GroupedRecomputeIndex.create(
