@@ -1947,7 +1947,9 @@ def _integrity_select_sql(from_rel: str) -> str:
                    CASE WHEN text IS NULL OR trim(text) = '' THEN 1
                         ELSE 0 END AS et
             FROM {from_rel}
-            WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+            WINDOW w AS (PARTITION BY conv_id
+                         ORDER BY turn_idx NULLS LAST, ts NULLS LAST,
+                                  role NULLS LAST, text NULLS LAST)
         )
         SELECT conv_id,
                count(*) AS n_turns,
@@ -2691,11 +2693,16 @@ ORACLES: dict[str, str] = {
         , p AS (
             SELECT conv_id, turn_idx, role, text AS response,
                    coalesce(string_agg(role || ': ' || text, chr(10)) OVER (
-                       PARTITION BY conv_id ORDER BY turn_idx
+                       PARTITION BY conv_id
+                       ORDER BY turn_idx NULLS LAST, ts NULLS LAST,
+                                role NULLS LAST, text NULLS LAST
                        ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), '')
                        AS context,
                    row_number() OVER (PARTITION BY conv_id
-                                      ORDER BY turn_idx) AS pos
+                                      ORDER BY turn_idx NULLS LAST,
+                                               ts NULLS LAST,
+                                               role NULLS LAST,
+                                               text NULLS LAST) AS pos
             FROM t
         )
         SELECT conv_id, turn_idx, context, response

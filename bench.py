@@ -270,9 +270,11 @@ def main() -> None:
         ops_scale = run_ops_scale_bench(spark, sf_dir, mult=ops_mult) \
             if ops_mult else {}
 
-        out = {
-            # headline = the north-rule metric: sustained MERGE-apply
-            # change-events/sec into the lake table (higher is better)
+        # Full per-query record goes to a committed side file — round 4's
+        # single stdout line outgrew the driver's tail capture and lost the
+        # first ~28 query timings (BENCH_r04 "parsed": null). stdout stays a
+        # compact headline the driver can always parse.
+        detail = {
             "metric": "cdc_merge_apply_sustained_events_per_sec",
             "value": cdc["sustained_events_per_sec"] or cdc["events_per_sec"],
             "unit": "events/sec",
@@ -286,6 +288,30 @@ def main() -> None:
             "sf": float(sf),
             "cdc": cdc,
             "ops_scale": ops_scale,
+            "cores": spark.sparkContext.defaultParallelism,
+        }
+        round_tag = os.environ.get("DSX_BENCH_ROUND", "05")
+        side_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            f"BENCH_QUERIES_r{round_tag}.json")
+        try:
+            with open(side_path, "w") as f:
+                json.dump(detail, f, indent=1, sort_keys=True)
+        except OSError:
+            side_path = None
+        out = {
+            # headline = the north-rule metric: sustained MERGE-apply
+            # change-events/sec into the lake table (higher is better)
+            "metric": "cdc_merge_apply_sustained_events_per_sec",
+            "value": detail["value"],
+            "unit": "events/sec",
+            "sf": float(sf),
+            "n_queries": len(query_secs),
+            "queries_file": side_path and os.path.basename(side_path),
+            "cdc": {k: cdc[k] for k in (
+                "events", "generate_sec", "replay_sec", "events_per_sec",
+                "sustained_events_per_sec", "epochs", "final_rows",
+                "trials_sustained", "host_bw_gbps_4proc") if k in cdc},
             "cores": spark.sparkContext.defaultParallelism,
         }
         print(json.dumps(out))

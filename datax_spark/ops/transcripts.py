@@ -64,8 +64,18 @@ def validate_transcripts(
     - ``valid`` — 1 iff all of the above are clean.
 
     One window pass + one aggregation, both partitioned by ``conv_col``.
+
+    Window order is ``(turn_idx, ts, role, text)`` with NULLS LAST — a
+    deterministic total order even when dirty data repeats a ``turn_idx``,
+    so ``role_breaks``/``ts_regressions`` can't drift between engines (the
+    DuckDB oracle orders identically).
     """
-    w = Window.partitionBy(conv_col).orderBy(turn_col)
+    w = Window.partitionBy(conv_col).orderBy(
+        F.col(turn_col).asc_nulls_last(),
+        F.col(ts_col).asc_nulls_last(),
+        F.col(role_col).asc_nulls_last(),
+        F.col(text_col).asc_nulls_last(),
+    )
     prev_role = F.lag(F.col(role_col)).over(w)
     prev_ts = F.lag(F.col(ts_col)).over(w)
     ann = df.select(
@@ -119,6 +129,7 @@ def sft_pairs(
     turn_col: str = "turn_idx",
     role_col: str = "role",
     text_col: str = "text",
+    ts_col: str | None = "ts",
 ) -> DataFrame:
     """Explode transcripts into supervised-fine-tuning (context, response)
     pairs: one row per ``response_role`` turn that has at least one earlier
@@ -128,8 +139,17 @@ def sft_pairs(
     The frame is ROWS-based over the conversation's *present* turns, so gaps
     in ``turn_idx`` don't shrink the context below ``k`` available turns —
     what you want when pairing after a lossy filter stage.
+
+    Window order is ``(turn_idx[, ts], role, text)`` NULLS LAST (``ts_col``
+    participates only when present in ``df``): a deterministic total order
+    under duplicate turn indexes, matching the DuckDB oracle exactly.
     """
-    w = Window.partitionBy(conv_col).orderBy(turn_col)
+    order = [F.col(turn_col).asc_nulls_last()]
+    if ts_col and ts_col in df.columns:
+        order.append(F.col(ts_col).asc_nulls_last())
+    order += [F.col(role_col).asc_nulls_last(),
+              F.col(text_col).asc_nulls_last()]
+    w = Window.partitionBy(conv_col).orderBy(*order)
     line = F.concat(F.col(role_col), F.lit(": "), F.col(text_col))
     ctx = F.concat_ws(
         "\n",
