@@ -1129,6 +1129,55 @@ def q_mongo_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mongo_import_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mongodbwriter (sources/mongo_json.py write side — the mongoimport
+    NDJSON emitter, reference MongoDBWriter.java:133-316): 300 documents are
+    written as canonical extended JSON in insert mode, then every 5th doc is
+    re-written through the ReplaceOne-with-upsert analog (replace-by-_id)
+    with updated text plus one brand-new doc upserted; the final dump is read
+    back through the typed decoder. Oracle applies the same CASE/UNION to
+    the parquet slice directly."""
+    import tempfile
+
+    from datax_spark.sources.mongo_json import (
+        mongo_export_read,
+        mongo_import_write,
+    )
+
+    dump = tempfile.mkdtemp(prefix="dsx-mongoimp-") + "/dump"
+    base = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+        .orderBy("doc_id")
+        .limit(300)
+        .withColumn("oid", F.format_string("%024x", F.col("doc_id")))
+    )
+    wcols = [
+        {"name": "_id", "type": "objectid", "source": "oid"},
+        {"name": "n", "type": "long", "source": "doc_id"},
+        {"name": "doc.lang", "type": "string", "source": "lang"},
+        {"name": "doc.text", "type": "string", "source": "text"},
+    ]
+    mongo_import_write(spark, base, dump, wcols)
+    upd = base.filter(F.pmod("doc_id", F.lit(5)) == 0).withColumn(
+        "text", F.concat(F.lit("UPDATED "), F.col("lang")))
+    fresh = spark.createDataFrame(
+        [(99_999_999, "xx", "fresh doc")], "doc_id long, lang string, text string"
+    ).withColumn("oid", F.format_string("%024x", F.col("doc_id")))
+    mongo_import_write(
+        spark, upd.unionByName(fresh), dump, wcols,
+        write_mode={"is_replace": True, "replace_key": "_id"})
+    return mongo_export_read(spark, dump, [
+        {"name": "n", "type": "long"},
+        {"name": "doc.lang", "type": "string"},
+        {"name": "doc.text", "type": "string"},
+    ]).select(
+        F.col("n").alias("doc_id"),
+        F.col("doc_lang").alias("lang"),
+        F.col("doc_text").alias("text"),
+    )
+
+
 # gateways spun up inside entry queries must outlive the callable (the driver
 # collects the returned DataFrame afterwards); daemon threads die with the
 # process.
@@ -2086,6 +2135,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "remote_object_roundtrip": q_remote_object_roundtrip,
     "hbase_roundtrip": q_hbase_roundtrip,
     "mongo_export_roundtrip": q_mongo_export_roundtrip,
+    "mongo_import_roundtrip": q_mongo_import_roundtrip,
     "lake_objectfs_roundtrip": q_lake_objectfs_roundtrip,
     "lake_partial_update": q_lake_partial_update,
     "lake_agg_merge": q_lake_agg_merge,
@@ -2115,6 +2165,7 @@ FIXTURE_QUERIES: frozenset[str] = frozenset({
     "zipcsv_roundtrip", "dbapi_roundtrip", "dbapi_string_split",
     "doc_minhash_incremental", "doc_dedup_canonical", "emb_lsh_incremental",
     "remote_object_roundtrip", "hbase_roundtrip", "mongo_export_roundtrip",
+    "mongo_import_roundtrip",
     "lake_objectfs_roundtrip", "lake_partial_update", "lake_agg_merge",
     "lake_widen_fold", "lake_point_lookup", "lake_pruned_read",
     "cdc_changelog_stream", "transcript_audit_incremental",
@@ -2170,6 +2221,17 @@ ORACLES: dict[str, str] = {
     """,
     "hbase_roundtrip": """
         SELECT doc_id, lang, text FROM documents ORDER BY doc_id LIMIT 200
+    """,
+    "mongo_import_roundtrip": """
+        WITH base AS (
+            SELECT doc_id, lang, text FROM documents ORDER BY doc_id LIMIT 300
+        )
+        SELECT doc_id, lang,
+               CASE WHEN doc_id % 5 = 0 THEN 'UPDATED ' || lang ELSE text END
+                   AS text
+        FROM base
+        UNION ALL
+        SELECT 99999999 AS doc_id, 'xx' AS lang, 'fresh doc' AS text
     """,
     "mongo_export_roundtrip": """
         SELECT doc_id, lang, text FROM documents ORDER BY doc_id LIMIT 200

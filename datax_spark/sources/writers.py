@@ -333,6 +333,25 @@ def hbase11x_writer(df: DataFrame, p: dict) -> dict:
     )
 
 
+@writer("mongodbwriter")
+def mongodb_writer(df: DataFrame, p: dict) -> dict:
+    """mongodbwriter over the mongoimport dump format: canonical extended-
+    JSON emit + insert / replace-by-key write modes (reference
+    MongoDBWriter.java:133-316, KeyConstant.java:59-63). Parameters mirror
+    the plugin: ``column`` meta list, ``writeMode`` {"isReplace", "replaceKey"}."""
+    from datax_spark.sources.mongo_json import mongo_import_write
+
+    wm = p.get("writeMode") or {}
+    mongo_import_write(
+        df.sparkSession, df, p["path"], p["column"],
+        write_mode={"is_replace": str(wm.get("isReplace", "")).lower()
+                    in ("true", "1"),
+                    "replace_key": wm.get("replaceKey")},
+        partitions=p.get("partitions"),
+    )
+    return {"written": True}
+
+
 @writer("streamwriter")
 def stream_writer(df: DataFrame, p: dict) -> dict:
     """Test sink (streamwriter): print/collect. One pass: collect the bounded

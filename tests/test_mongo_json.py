@@ -108,3 +108,128 @@ def test_decode_is_pure_catalyst(spark):
     df = spark.createDataFrame([(x,) for x in CANONICAL], ["value"])
     plan = decode_mongo_lines(df, COLS)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+# --------------------------- writer (mongoimport) ---------------------------
+
+WCOLS = [
+    {"name": "_id", "type": "objectid", "source": "oid"},
+    {"name": "user.name", "type": "string", "source": "name"},
+    {"name": "user.age", "type": "long", "source": "age"},
+    {"name": "ts", "type": "date", "source": "ts"},
+    {"name": "tags", "type": "array", "splitter": "|", "source": "tags"},
+    {"name": "score", "type": "double", "source": "score"},
+    {"name": "ok", "type": "bool", "source": "ok"},
+]
+RCOLS = [
+    {"name": "_id", "type": "objectid"},
+    {"name": "user.name", "type": "string"},
+    {"name": "user.age", "type": "long"},
+    {"name": "ts", "type": "date"},
+    {"name": "tags", "type": "array", "splitter": "|"},
+    {"name": "score", "type": "double"},
+    {"name": "ok", "type": "bool"},
+]
+
+
+def _wdf(spark, rows):
+    return spark.createDataFrame(
+        rows, "oid string, name string, age long, ts timestamp, "
+              "tags string, score double, ok boolean")
+
+
+def _read_back(spark, path):
+    return {
+        r["_id"]: r
+        for r in mongo_export_read(spark, path, RCOLS).collect()
+    }
+
+
+def test_import_write_roundtrip(spark, tmp_path):
+    """insert mode: typed encode → canonical extended JSON → typed decode is
+    lossless, including nested dotted paths, arrays, dates and NULLs."""
+    from datax_spark.sources.mongo_json import mongo_import_write
+
+    t0 = dt.datetime(2024, 1, 15, 10, 30)
+    rows = [
+        ("a" * 24, "jo", 7, t0, "x|y", 1.5, True),
+        ("b" * 24, None, None, None, None, -0.25, False),
+    ]
+    path = str(tmp_path / "dump")
+    mongo_import_write(spark, _wdf(spark, rows), path, WCOLS)
+    got = _read_back(spark, path)
+    assert len(got) == 2
+    r = got["a" * 24]
+    assert (r["user_name"], r["user_age"], r["score"], r["ok"]) == (
+        "jo", 7, 1.5, True)
+    assert r["tags"] == "x|y"
+    assert r["ts"].replace(tzinfo=None) == t0
+    r2 = got["b" * 24]
+    # NULL scalars stay NULL (lossless upgrade over the reference's "")
+    assert (r2["user_name"], r2["user_age"], r2["ts"]) == (None, None, None)
+    # NULL array column → [] (reference MongoDBWriter.java:161-163 parity)
+    assert r2["tags"] == ""
+
+
+def test_import_write_insert_appends(spark, tmp_path):
+    from datax_spark.sources.mongo_json import mongo_import_write
+
+    path = str(tmp_path / "dump")
+    t0 = dt.datetime(2024, 1, 1)
+    mongo_import_write(
+        spark, _wdf(spark, [("a" * 24, "jo", 1, t0, "x", 1.0, True)]),
+        path, WCOLS)
+    mongo_import_write(
+        spark, _wdf(spark, [("b" * 24, "an", 2, t0, "y", 2.0, True)]),
+        path, WCOLS)
+    assert set(_read_back(spark, path)) == {"a" * 24, "b" * 24}
+
+
+def test_import_write_replace_by_key(spark, tmp_path):
+    """ReplaceOne-with-upsert analog: matching keys superseded, other
+    existing lines kept verbatim, unseen keys inserted."""
+    from datax_spark.sources.mongo_json import mongo_import_write
+
+    path = str(tmp_path / "dump")
+    t0 = dt.datetime(2024, 1, 1)
+    base = [("a" * 24, "jo", 1, t0, "x", 1.0, True),
+            ("b" * 24, "an", 2, t0, "y", 2.0, True)]
+    mongo_import_write(spark, _wdf(spark, base), path, WCOLS)
+    upd = [("b" * 24, "bo", 22, t0, "z", 0.5, False),   # replace existing
+           ("c" * 24, "cy", 3, t0, "w", 3.0, True)]     # upsert new
+    mongo_import_write(
+        spark, _wdf(spark, upd), path, WCOLS,
+        write_mode={"is_replace": True, "replace_key": "_id"})
+    got = _read_back(spark, path)
+    assert len(got) == 3
+    assert got["a" * 24]["user_name"] == "jo"          # untouched
+    assert (got["b" * 24]["user_name"], got["b" * 24]["user_age"]) == ("bo", 22)
+    assert got["c" * 24]["user_name"] == "cy"          # upserted
+
+
+def test_import_write_registry(spark, tmp_path):
+    """mongodbwriter drives through the writer registry with the reference's
+    writeMode param shape."""
+    from datax_spark.sources.writers import build_writer
+
+    path = str(tmp_path / "dump")
+    t0 = dt.datetime(2024, 1, 1)
+    build_writer(_wdf(spark, [("a" * 24, "jo", 1, t0, "x", 1.0, True)]),
+                 "mongodbwriter", {"path": path, "column": WCOLS})
+    build_writer(
+        _wdf(spark, [("a" * 24, "JO", 11, t0, "x", 1.0, True)]),
+        "mongodbwriter",
+        {"path": path, "column": WCOLS,
+         "writeMode": {"isReplace": "true", "replaceKey": "_id"}})
+    got = _read_back(spark, path)
+    assert len(got) == 1 and got["a" * 24]["user_name"] == "JO"
+
+
+def test_import_encode_is_pure_catalyst(spark):
+    from datax_spark.sources.mongo_json import mongo_import_lines
+
+    df = _wdf(spark, [("a" * 24, "jo", 1, dt.datetime(2024, 1, 1),
+                       "x", 1.0, True)])
+    plan = (mongo_import_lines(df, WCOLS)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "EvalPython" not in plan
