@@ -1129,6 +1129,51 @@ def q_mongo_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cassandra_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cassandrawriter (sources/nosql.py — CQL INSERT framing + token-aware
+    batching + upsert-by-pk analog, reference CassandraWriter.java:106-217):
+    500 customers are written, then every 7th is re-written with a NEWER
+    writetime (wins last-write-wins) plus one row with an OLDER writetime
+    (loses) and one fresh pk (upserted); the analog table is read back.
+    Oracle applies the same CASE/UNION to the parquet slice."""
+    import tempfile
+
+    from datax_spark.sources.writers import build_writer
+
+    root = tempfile.mkdtemp(prefix="dsx-cass-")
+    cols = [{"name": "pk", "type": "bigint"},
+            {"name": "name", "type": "text"},
+            {"name": "bal", "type": "double"},
+            {"name": "wt", "type": "timestamp"}]
+    p = {"keyspace": "ks", "table": "customers", "column": cols,
+         "pk": ["pk"], "path": root + "/tbl", "batchSize": 16,
+         "writeTimestampColumn": "wt",
+         "statementsPath": root + "/cql"}
+    base = (
+        _t(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").cast("long").alias("pk"),
+                F.col("c_name").alias("name"),
+                F.col("c_acctbal").cast("double").alias("bal"))
+        .orderBy("pk")
+        .limit(500)
+        .withColumn("wt", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    )
+    build_writer(base, "cassandrawriter", p)
+    newer = base.filter(F.pmod("pk", F.lit(7)) == 0).select(
+        "pk", F.concat(F.lit("UPD "), F.col("name")).alias("name"),
+        (F.col("bal") + 1000.0).alias("bal"),
+        F.lit("2024-06-01 00:00:00").cast("timestamp").alias("wt"))
+    older = base.filter(F.col("pk") == 1).select(
+        "pk", F.lit("STALE").alias("name"), F.lit(-1.0).alias("bal"),
+        F.lit("2023-01-01 00:00:00").cast("timestamp").alias("wt"))
+    fresh = spark.createDataFrame(
+        [(99_999_999, "fresh", 0.0)], "pk long, name string, bal double"
+    ).withColumn("wt", F.lit("2024-06-01 00:00:00").cast("timestamp"))
+    build_writer(newer.unionByName(older).unionByName(fresh),
+                 "cassandrawriter", p)
+    return spark.read.parquet(p["path"]).select("pk", "name", "bal")
+
+
 def q_mongo_import_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mongodbwriter (sources/mongo_json.py write side — the mongoimport
     NDJSON emitter, reference MongoDBWriter.java:133-316): 300 documents are
@@ -2136,6 +2181,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hbase_roundtrip": q_hbase_roundtrip,
     "mongo_export_roundtrip": q_mongo_export_roundtrip,
     "mongo_import_roundtrip": q_mongo_import_roundtrip,
+    "cassandra_upsert_roundtrip": q_cassandra_upsert_roundtrip,
     "lake_objectfs_roundtrip": q_lake_objectfs_roundtrip,
     "lake_partial_update": q_lake_partial_update,
     "lake_agg_merge": q_lake_agg_merge,
@@ -2165,7 +2211,7 @@ FIXTURE_QUERIES: frozenset[str] = frozenset({
     "zipcsv_roundtrip", "dbapi_roundtrip", "dbapi_string_split",
     "doc_minhash_incremental", "doc_dedup_canonical", "emb_lsh_incremental",
     "remote_object_roundtrip", "hbase_roundtrip", "mongo_export_roundtrip",
-    "mongo_import_roundtrip",
+    "mongo_import_roundtrip", "cassandra_upsert_roundtrip",
     "lake_objectfs_roundtrip", "lake_partial_update", "lake_agg_merge",
     "lake_widen_fold", "lake_point_lookup", "lake_pruned_read",
     "cdc_changelog_stream", "transcript_audit_incremental",
@@ -2221,6 +2267,19 @@ ORACLES: dict[str, str] = {
     """,
     "hbase_roundtrip": """
         SELECT doc_id, lang, text FROM documents ORDER BY doc_id LIMIT 200
+    """,
+    "cassandra_upsert_roundtrip": """
+        WITH base AS (
+            SELECT CAST(c_custkey AS BIGINT) AS pk, c_name AS name,
+                   CAST(c_acctbal AS DOUBLE) AS bal
+            FROM customer ORDER BY pk LIMIT 500
+        )
+        SELECT pk,
+               CASE WHEN pk % 7 = 0 THEN 'UPD ' || name ELSE name END AS name,
+               CASE WHEN pk % 7 = 0 THEN bal + 1000.0 ELSE bal END AS bal
+        FROM base
+        UNION ALL
+        SELECT 99999999 AS pk, 'fresh' AS name, 0.0 AS bal
     """,
     "mongo_import_roundtrip": """
         WITH base AS (

@@ -129,6 +129,183 @@ def cassandra_read(spark: SparkSession, p: dict) -> DataFrame:
     return df
 
 
+# ---------------------------------------------------------------------------
+# cassandrawriter — CQL INSERT framing + token-aware task grouping.
+#
+# The reference writer builds one prepared INSERT per task
+# (CassandraWriter.java:192-217: QueryBuilder.insertInto + bindMarker per
+# column, optional USING TIMESTAMP, consistency level), binds each record's
+# columns by the live table's CQL types (CassandraWriterHelper.
+# parseFromString:46-141 — text/blob hex/boolean/int family/float family/
+# decimal/date/time/timestamp/uuid/collections-from-JSON) and executes either
+# row-at-a-time async or UNLOGGED BATCH groups of batchSize
+# (CassandraWriter.java:106-146). No live cluster is reachable here, so the
+# Spark form produces the two cluster-mode artifacts directly and applies the
+# same upsert semantics to the local table analog:
+#
+# - ``cassandra_statements`` renders the exact CQL statement stream a driver
+#   would execute — typed literals, UNLOGGED BATCH framing, rows grouped
+#   token-contiguously (same tile of the murmur3 ring → same task/batch, the
+#   grouping a token-aware driver does so a batch hits one replica set);
+# - ``cassandra_write`` folds the rows into the parquet analog with
+#   INSERT-is-upsert-by-primary-key semantics (optional writetime column =
+#   Cassandra's last-write-wins timestamp).
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import Column  # noqa: E402  (grouped with the writer block)
+
+
+def cql_literal(col: Column, cql_type: str) -> Column:
+    """Render one typed CQL literal (Catalyst only) — the expression mirror
+    of CassandraWriterHelper.parseFromString's type switch."""
+    t = cql_type.lower()
+    if t in ("ascii", "text", "varchar"):
+        lit = F.concat(F.lit("'"), F.replace(col.cast("string"), F.lit("'"),
+                                             F.lit("''")), F.lit("'"))
+    elif t == "blob":
+        lit = F.concat(F.lit("0x"), F.lower(F.hex(col)))
+    elif t in ("boolean", "bool"):
+        lit = F.lower(col.cast("boolean").cast("string"))
+    elif t in ("tinyint", "smallint", "int", "bigint", "varint", "counter"):
+        lit = col.cast("long").cast("string")
+    elif t in ("float", "double", "decimal"):
+        lit = col.cast("string")
+    elif t == "date":
+        lit = F.concat(F.lit("'"), F.date_format(col, "yyyy-MM-dd"), F.lit("'"))
+    elif t == "time":
+        lit = F.concat(F.lit("'"), F.date_format(col, "HH:mm:ss.SSS"), F.lit("'"))
+    elif t == "timestamp":
+        lit = F.concat(F.lit("'"),
+                       F.date_format(col, "yyyy-MM-dd'T'HH:mm:ss.SSSZ"),
+                       F.lit("'"))
+    elif t in ("uuid", "timeuuid", "inet"):
+        lit = col.cast("string")
+    elif t in ("list", "set", "map", "tuple", "udt"):
+        # reference parity: collections arrive as JSON text and are parsed
+        # (parseFromString:129-135); CQL collection literals are JSON-shaped
+        # for lists/tuples, and {'k': 'v'} (single quotes) for maps/sets —
+        # the caller provides JSON with double quotes, we transpose quoting
+        lit = F.replace(col.cast("string"), F.lit('"'), F.lit("'"))
+        if t == "set":
+            lit = F.concat(F.lit("{"),
+                           F.regexp_replace(lit, r"^\[|\]$", ""), F.lit("}"))
+    else:
+        raise ValueError(f"unsupported CQL type {cql_type!r}")
+    return F.coalesce(lit, F.lit("NULL"))
+
+
+def _token_tile(pk_cols: list[str], n: int) -> Column:
+    """Contiguous ring-tile index of a row — xxhash64 stands in for murmur3
+    exactly as in cassandra_read; tiles are the token_range_splits tiles, so
+    grouping by this column is the reference's token-aware batching."""
+    tok = F.xxhash64(*pk_cols).cast("decimal(38,0)")
+    width = int(Decimal(MURMUR3_MAX) - Decimal(MURMUR3_MIN) + 1)
+    # 2^64 exceeds a long literal — ship it as a decimal string
+    width_lit = F.lit(str(width)).cast("decimal(38,0)")
+    idx = F.floor(((tok - F.lit(MURMUR3_MIN)).cast("decimal(38,0)")
+                   * F.lit(n)) / width_lit)
+    return F.least(idx.cast("int"), F.lit(n - 1))
+
+
+def cassandra_statements(df: DataFrame, p: dict) -> DataFrame:
+    """The CQL statement stream (column ``value``) a token-aware driver task
+    executes: typed INSERT literals, grouped token-contiguously and framed as
+    UNLOGGED BATCHes of ``batchSize`` (>1), one statement per row otherwise.
+
+    ``p``: keyspace, table, column = [{"name", "type"}], pk = [names],
+    batchSize, adviceNumber (ring tiles = write tasks),
+    writeTimestampColumn (optional USING TIMESTAMP source column)."""
+    ks, tbl = p["keyspace"], p["table"]
+    cols = p["column"]
+    pk = p["pk"] if isinstance(p["pk"], list) else [p["pk"]]
+    batch = int(p.get("batchSize", 1))
+    n_tiles = int(p.get("adviceNumber", p.get("channel", 4)))
+    names = ", ".join(c["name"] for c in cols)
+    parts: list[Column] = [
+        F.lit(f"INSERT INTO {ks}.{tbl} ({names}) VALUES (")]
+    for i, c in enumerate(cols):
+        if i:
+            parts.append(F.lit(", "))
+        parts.append(cql_literal(F.col(c["name"]), c["type"]))
+    parts.append(F.lit(")"))
+    ts_col = p.get("writeTimestampColumn")
+    if ts_col:
+        # reference: insertStmt.using(timestamp(bindMarker())) — micros
+        parts += [F.lit(" USING TIMESTAMP "),
+                  F.coalesce(F.unix_micros(F.col(ts_col).cast("timestamp"))
+                             .cast("string"), F.lit("NULL"))]
+    parts.append(F.lit(";"))
+    stmts = df.withColumn("_tile", _token_tile(pk, n_tiles)) \
+              .repartition(n_tiles, "_tile") \
+              .select(F.concat(*parts).alias("stmt"), "_tile")
+    if batch <= 1:
+        return stmts.select(F.col("stmt").alias("value"))
+    # monotonically_increasing_id is per-partition contiguous, so floor-div
+    # groups <=batchSize consecutive rows of ONE task into each batch
+    batched = stmts.withColumn(
+        "_b", F.floor(F.monotonically_increasing_id() / batch))
+    return batched.groupBy("_b").agg(
+        F.concat(
+            F.lit("BEGIN UNLOGGED BATCH\n"),
+            F.concat_ws("\n", F.collect_list("stmt")),
+            F.lit("\nAPPLY BATCH;"),
+        ).alias("value")
+    ).select("value")
+
+
+def cassandra_write(spark: SparkSession, df: DataFrame, p: dict) -> dict:
+    """Apply the writer's semantics to the local table analog: Cassandra
+    INSERT upserts by primary key; with ``writeTimestampColumn`` the larger
+    writetime wins (last-write-wins), otherwise incoming rows supersede
+    existing ones and batch-internal duplicates reduce to one survivor via
+    max-by-writetime-then-arbitrary-max (deterministic under Spark's
+    unordered shuffle). The analog table is staged and swapped like
+    mongo_import_write."""
+    import os
+    import shutil
+    import uuid
+
+    path = p["path"]
+    pk = p["pk"] if isinstance(p["pk"], list) else [p["pk"]]
+    ts_col = p.get("writeTimestampColumn")
+    cols = [c["name"] for c in p["column"]]
+    new = df.select(*cols)
+    prio = (F.col(ts_col).cast("timestamp").cast("double")
+            if ts_col else F.lit(float("inf")))
+    # a NULL writetime on an incoming row means "now" — it wins
+    new = new.withColumn("_w", F.coalesce(prio, F.lit(float("inf"))))
+    exists = os.path.isdir(path) and any(
+        not fn.startswith(("_", ".")) for fn in os.listdir(path))
+    if exists:
+        old = spark.read.parquet(path).select(*cols)
+        # stored rows compete with their own writetime when the table carries
+        # it (true LWW); otherwise incoming always supersedes stored
+        old_prio = (F.col(ts_col).cast("timestamp").cast("double")
+                    if ts_col and ts_col in cols else F.lit(float("-inf")))
+        old = old.withColumn("_w", F.coalesce(old_prio,
+                                              F.lit(float("-inf"))))
+        allr = new.unionByName(old)
+    else:
+        allr = new
+    ranked = allr.withColumn(
+        "_s", F.struct(F.col("_w"), *[F.col(c) for c in cols
+                                      if c not in pk]))
+    folded = ranked.groupBy(*pk).agg(F.max("_s").alias("_s")).select(
+        *pk, *[F.col(f"_s.{c}").alias(c) for c in cols if c not in pk])
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    folded.write.parquet(tmp)
+    if exists:
+        back = f"{path}.old-{uuid.uuid4().hex[:8]}"
+        os.rename(path, back)
+        os.rename(tmp, path)
+        shutil.rmtree(back)
+    else:
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        os.rename(tmp, path)
+    return {"written": True}
+
+
 _GDB_EDGE_ONLY = {"srcPrimaryKey", "srcPrimaryLabel", "dstPrimaryKey", "dstPrimaryLabel"}
 
 

@@ -333,6 +333,21 @@ def hbase11x_writer(df: DataFrame, p: dict) -> dict:
     )
 
 
+@writer("cassandrawriter")
+def cassandra_writer(df: DataFrame, p: dict) -> dict:
+    """cassandrawriter: CQL INSERT framing + token-aware batching
+    (reference CassandraWriter.java:106-217, CassandraWriterHelper.
+    parseFromString:46-141). ``statementsPath`` additionally persists the
+    rendered CQL statement stream (the cluster-mode artifact); ``path`` is
+    the local upsert-by-pk table analog."""
+    from datax_spark.sources.nosql import cassandra_statements, cassandra_write
+
+    if p.get("statementsPath"):
+        cassandra_statements(df, p).write.mode("overwrite").text(
+            p["statementsPath"])
+    return cassandra_write(df.sparkSession, df, p)
+
+
 @writer("mongodbwriter")
 def mongodb_writer(df: DataFrame, p: dict) -> dict:
     """mongodbwriter over the mongoimport dump format: canonical extended-

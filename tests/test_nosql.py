@@ -3,6 +3,7 @@ from __future__ import annotations
 import json
 
 import pytest
+from pyspark.sql import functions as F
 
 from datax_spark.sources.nosql import (
     MURMUR3_MAX,
@@ -164,3 +165,127 @@ def test_cassandra_reader_single_scan_plan(spark, tmp_path):
         for rng in token_range_splits(8)
     ]
     assert len(cqls) == 8 and all("token(pk) >" in c for c in cqls)
+
+
+# ----------------------------- cassandrawriter -----------------------------
+
+WCOLS = [
+    {"name": "pk", "type": "bigint"},
+    {"name": "name", "type": "text"},
+    {"name": "score", "type": "double"},
+    {"name": "ok", "type": "boolean"},
+    {"name": "payload", "type": "blob"},
+    {"name": "ts", "type": "timestamp"},
+]
+
+
+def _cdf(spark, rows):
+    return spark.createDataFrame(
+        rows, "pk long, name string, score double, ok boolean, "
+              "payload binary, ts timestamp")
+
+
+def test_cassandra_statement_framing(spark):
+    """Rendered CQL mirrors the reference INSERT shape: typed literals
+    (text '' escaping, 0x blob, lowercase boolean, quoted ISO timestamp),
+    USING TIMESTAMP micros, NULL for null columns."""
+    import datetime as dt
+
+    from datax_spark.sources.nosql import cassandra_statements
+
+    t0 = dt.datetime(2024, 1, 15, 10, 30)
+    df = _cdf(spark, [
+        (1, "o'hara", 1.5, True, b"\x01\xff", t0),
+        (2, None, None, None, None, None),
+    ])
+    got = sorted(r["value"] for r in cassandra_statements(df, {
+        "keyspace": "ks", "table": "t", "column": WCOLS, "pk": ["pk"],
+        "batchSize": 1, "writeTimestampColumn": "ts",
+    }).collect())
+    s1 = next(s for s in got if "o''hara" in s)
+    assert s1.startswith(
+        "INSERT INTO ks.t (pk, name, score, ok, payload, ts) VALUES (1, "
+        "'o''hara', 1.5, true, 0x01ff, '2024-01-15T10:30:00.000")
+    assert " USING TIMESTAMP " in s1 and s1.endswith(";")
+    s2 = next(s for s in got if "(2, NULL" in s)
+    assert "NULL, NULL, NULL" in s2
+    # a NULL writetime renders NULL after USING TIMESTAMP (driver -> "now")
+    assert s2.rstrip(";").endswith("NULL")
+
+
+def test_cassandra_unlogged_batches(spark):
+    from datax_spark.sources.nosql import cassandra_statements
+
+    df = _cdf(spark, [(i, f"n{i}", float(i), True, None, None)
+                      for i in range(40)])
+    got = [r["value"] for r in cassandra_statements(df, {
+        "keyspace": "ks", "table": "t", "column": WCOLS, "pk": ["pk"],
+        "batchSize": 8, "adviceNumber": 4,
+    }).collect()]
+    assert all(v.startswith("BEGIN UNLOGGED BATCH\n") and
+               v.endswith("\nAPPLY BATCH;") for v in got)
+    stmts = [ln for v in got for ln in v.split("\n")
+             if ln.startswith("INSERT")]
+    assert len(stmts) == 40
+    assert max(v.count("INSERT") for v in got) <= 8
+
+
+def test_cassandra_token_tile_groups_rows(spark):
+    """Rows sharing a pk land in the same ring tile, and tiles are within
+    [0, adviceNumber) — the token-aware grouping contract."""
+    from datax_spark.sources.nosql import _token_tile
+
+    df = _cdf(spark, [(i % 5, "x", 0.0, True, None, None)
+                      for i in range(50)])
+    tiles = df.select(F.col("pk"), _token_tile(["pk"], 4).alias("tile"))
+    per_pk = tiles.groupBy("pk").agg(
+        F.count_distinct("tile").alias("n"),
+        F.min("tile").alias("lo"), F.max("tile").alias("hi")).collect()
+    assert all(r["n"] == 1 for r in per_pk)
+    assert all(0 <= r["lo"] <= r["hi"] <= 3 for r in per_pk)
+
+
+def test_cassandra_write_upsert_analog(spark, tmp_path):
+    """INSERT-is-upsert-by-pk over the local analog, LWW by writetime."""
+    import datetime as dt
+
+    from datax_spark.sources.writers import build_writer
+
+    path = str(tmp_path / "tbl")
+    t1, t2 = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2)
+    p = {"keyspace": "ks", "table": "t", "column": WCOLS, "pk": ["pk"],
+         "path": path, "writeTimestampColumn": "ts",
+         "statementsPath": str(tmp_path / "cql")}
+    build_writer(_cdf(spark, [(1, "a", 1.0, True, None, t2),
+                              (2, "b", 2.0, True, None, t1)]),
+                 "cassandrawriter", p)
+    # second write: pk=1 arrives with an OLDER writetime -> loses LWW;
+    # pk=2 newer -> wins; pk=3 fresh -> inserted
+    build_writer(_cdf(spark, [(1, "A-old", 0.0, False, None, t1),
+                              (2, "B-new", 20.0, False, None, t2),
+                              (3, "c", 3.0, True, None, t1)]),
+                 "cassandrawriter", p)
+    got = {r["pk"]: r for r in spark.read.parquet(path).collect()}
+    assert len(got) == 3
+    assert got[1]["name"] == "a"          # older writetime lost
+    assert got[2]["name"] == "B-new"      # newer writetime won
+    assert got[3]["name"] == "c"
+    # the statement-stream artifact was persisted alongside
+    cql = [r["value"] for r in
+           spark.read.text(str(tmp_path / "cql")).collect()]
+    assert any("INSERT INTO ks.t" in s for s in cql)
+
+
+def test_cassandra_collection_literals(spark):
+    from datax_spark.sources.nosql import cql_literal
+
+    df = spark.createDataFrame(
+        [('["a","b"]', '{"k":"v"}')], "l string, m string")
+    got = df.select(
+        cql_literal(F.col("l"), "list").alias("l"),
+        cql_literal(F.col("l"), "set").alias("s"),
+        cql_literal(F.col("m"), "map").alias("m"),
+    ).first()
+    assert got["l"] == "['a','b']"
+    assert got["s"] == "{'a','b'}"
+    assert got["m"] == "{'k':'v'}"
