@@ -110,6 +110,16 @@ class EngineConfig:
     # expire snapshots older than the last K after each epoch commit (None =
     # keep everything for time travel; long replays should bound disk)
     vacuum_keep_last: int | None = None
+    # engine-scheduled CLUSTERING: every N applied epochs run
+    # compact(sort_by=cluster_sort_by or key_cols) — the maintenance rewrite
+    # that makes keyed point lookups ~2.7x faster (BENCH_LOOKUP: clustered+
+    # pushdown 0.40 s vs 0.78 on-path) without a manual jobs/maintain.py run.
+    # Rides the epoch loop AFTER the commit, so replay correctness and
+    # resume idempotence are untouched (clustering rewrites data layout, not
+    # content; re-running it after a crash is safe). None disables.
+    cluster_every: int | None = None
+    cluster_sort_by: tuple[str, ...] | None = None  # default: key_cols
+    cluster_max_rows_per_file: int | None = None    # range-disjoint slices
     metrics: list = field(default_factory=list)
 
 
@@ -586,6 +596,26 @@ class CdcEngine:
 
     # --------------------------------------------------------------------- run
 
+    def run_clustering(self, epoch: int | None = None) -> dict:
+        """One scheduled clustering pass: key-sorted compaction rewrite
+        (LakeTable.compact(sort_by=...) — Iceberg sort-order rewrite /
+        Delta OPTIMIZE ZORDER analog). Emitted as a ``cluster`` metric so
+        operators can track rewrite cost against the lookup-latency win."""
+        sort_by = list(self.cfg.cluster_sort_by or self.cfg.key_cols)
+        t0 = time.time()
+        snap = self.table.compact(
+            sort_by=sort_by,
+            max_rows_per_file=self.cfg.cluster_max_rows_per_file)
+        m = {
+            "kind": "cluster",
+            "epoch": epoch,
+            "sort_by": sort_by,
+            "duration_s": round(time.time() - t0, 3),
+            "snapshot_version": snap.version,
+        }
+        self._emit(m)
+        return m
+
     def run(self, through_epoch: int | None = None) -> dict:
         """Replay all (or up to ``through_epoch``) uncommitted epochs; resumable."""
         done = set(self.committed_epochs())
@@ -601,6 +631,8 @@ class CdcEngine:
             m = self.apply_epoch(epoch)
             applied += 1
             n_events += m["events"]
+            if self.cfg.cluster_every and applied % self.cfg.cluster_every == 0:
+                self.run_clustering(epoch=epoch)
             self._emit(
                 {
                     "kind": "lag",

@@ -88,9 +88,26 @@ def main() -> None:
         # row-group stats real skip power
         t.compact(sort_by=["conv_id"], max_rows_per_file=200_000)
         clustered_s, n_cl = timed("1")
+        # fourth config: the SAME clustered layout produced by the ENGINE
+        # path (EngineConfig cluster_every) instead of a manual maintenance
+        # job — proves the scheduled rewrite yields the same lookup win
+        root2 = os.path.join(work, "table-eng")
+        LakeTable.create(spark, root2, TRANSCRIPTS_SCHEMA_V1,
+                         bucket_key="conv_id", n_buckets=64)
+        eng2 = CdcEngine(spark, EngineConfig(
+            table_root=root2, feed_dir=feed,
+            checkpoint_dir=os.path.join(work, "ckpt2"),
+            write_mode="mor", compact_threshold=10_000,
+            cluster_every=args.epochs, cluster_sort_by=("conv_id",),
+            cluster_max_rows_per_file=200_000))
+        eng2.run()
+        t = eng2.table
+        assert t.snapshot().properties.get("clustered_by") == "conv_id"
+        engine_clustered_s, n_ec = timed("1")
+        t = eng.table
         os.environ.pop("DSX_KEY_PUSHDOWN", None)
-        assert n_on == n_off == n_cl, \
-            f"pushdown changed results: {n_on} vs {n_off} vs {n_cl}"
+        assert n_on == n_off == n_cl == n_ec, \
+            f"pushdown changed results: {n_on}/{n_off}/{n_cl}/{n_ec}"
         point = {
             "table_rows": total_rows,
             "max_layers_per_bucket": layers,
@@ -99,6 +116,7 @@ def main() -> None:
             "lookup_sec_pushdown_on": on_s,
             "lookup_sec_pushdown_off": off_s,
             "lookup_sec_clustered": clustered_s,
+            "lookup_sec_engine_clustered": engine_clustered_s,
             "speedup": round(off_s / on_s, 2) if on_s else None,
         }
         path = os.path.join(REPO, "BENCH_LOOKUP.json")
