@@ -141,6 +141,22 @@ class CdcEngine:
         self.commits_dir = os.path.join(cfg.checkpoint_dir, "commits")
         self.quarantine_dir = os.path.join(cfg.checkpoint_dir, "quarantine")
         os.makedirs(self.commits_dir, exist_ok=True)
+        # Stable identity for THIS checkpoint's epoch counter. The snapshot
+        # property ``engine_epoch`` is only meaningful relative to the
+        # checkpoint that wrote it: a second feed attached to the same table
+        # restarts its epochs at 0, and without the identity scope the
+        # crashed-manifest rebuild guard would silently drop its batches as
+        # "already applied".
+        id_path = os.path.join(cfg.checkpoint_dir, "engine_id")
+        if os.path.exists(id_path):
+            with open(id_path) as f:
+                self.engine_id = f.read().strip()
+        else:
+            self.engine_id = uuid.uuid4().hex
+            tmp = f"{id_path}.tmp-{self.engine_id}"
+            with open(tmp, "w") as f:
+                f.write(self.engine_id)
+            os.replace(tmp, id_path)
 
     # ------------------------------------------------------------- feed access
 
@@ -296,9 +312,20 @@ class CdcEngine:
                 return json.load(f)  # exactly-once: replay is a no-op
         if self._feed_aligned() and self.cfg.merge_strategy == "colocated":
             snap = self.table.snapshot()
-            if int(snap.properties.get("engine_epoch", -1)) < epoch:
+            if self._applied_epoch(snap) < epoch:
                 return self._apply_epoch_aligned(epoch, manifest_path)
         return self.apply_batch(self.read_epoch(epoch), epoch)
+
+    def _applied_epoch(self, snap) -> int:
+        """Table-side epoch high-water mark, scoped to THIS checkpoint.
+
+        ``engine_epoch`` written by a DIFFERENT checkpoint (another feed
+        attached to the same table) says nothing about our progress — treat
+        it as -1 so our epochs apply normally; the MERGE stays idempotent
+        per (key, seq) regardless."""
+        if snap.properties.get("engine_ckpt_id") != self.engine_id:
+            return -1
+        return int(snap.properties.get("engine_epoch", -1))
 
     def _feed_aligned(self) -> bool:
         """Feed shards align with table buckets (same key hash + modulus)?"""
@@ -373,6 +400,7 @@ class CdcEngine:
             )
             return {
                 "engine_epoch": epoch,
+                "engine_ckpt_id": self.engine_id,
                 "max_applied_seq": stats["max_applied_seq"],
             }
 
@@ -408,7 +436,7 @@ class CdcEngine:
                 return json.load(f)
 
         snap = self.table.snapshot()
-        already = int(snap.properties.get("engine_epoch", -1))
+        already = self._applied_epoch(snap)
         t0 = time.time()
         self._evolve_schema(batch)
         snap = self.table.snapshot()
@@ -473,6 +501,7 @@ class CdcEngine:
                 affected_buckets=[int(b) for b in lineage],
                 properties={
                     "engine_epoch": epoch,
+                    "engine_ckpt_id": self.engine_id,
                     "max_applied_seq": max_seq,
                 },
                 n_salts=self.cfg.merge_salts,
@@ -530,6 +559,7 @@ class CdcEngine:
             )
             return {
                 "engine_epoch": epoch,
+                "engine_ckpt_id": self.engine_id,
                 "max_applied_seq": stats["max_applied_seq"],
             }
 

@@ -26,6 +26,10 @@ def main(argv: list[str]) -> int:
     ap.add_argument("--gen-convs", type=int, default=None,
                     help="generate a synthetic feed of N conversations first")
     ap.add_argument("--gen-epochs", type=int, default=4)
+    ap.add_argument("--gen-seed", type=int, default=42,
+                    help="generator seed — vary to produce a DIFFERENT feed "
+                         "against the same table (same feed re-applied is an "
+                         "exactly-once no-op by design)")
     ap.add_argument("--write-mode", choices=("mor", "cow"), default="mor")
     ap.add_argument("--compact-threshold", type=int, default=8)
     ap.add_argument("--error-limit-fraction", type=float, default=None)
@@ -47,7 +51,8 @@ def main(argv: list[str]) -> int:
             from datax_spark.cdc.generator import ChangeFeedSpec, generate_change_feed
 
             spec = ChangeFeedSpec(
-                seed=42, n_convs=args.gen_convs, n_epochs=args.gen_epochs,
+                seed=args.gen_seed, n_convs=args.gen_convs,
+                n_epochs=args.gen_epochs,
                 evolve_frac=0.5, shards_per_epoch=args.buckets,
             )
             generate_change_feed(spark, args.feed, spec)

@@ -91,3 +91,34 @@ def test_manifest_lineage_covers_all_events(spark, tmp_path):
         seen_max = m["max_applied_seq"]
     feed_total = spark.read.option("mergeSchema", "true").parquet(engine.cfg.feed_dir).count()
     assert total == feed_total
+
+
+def test_second_checkpoint_attach_applies(spark, tmp_path):
+    """A SECOND feed+checkpoint attached to an existing table must apply its
+    epochs even though they restart at 0 below the table's engine_epoch —
+    the crashed-manifest rebuild guard is scoped to the checkpoint that
+    wrote the snapshot property (engine_ckpt_id), not to epoch numbers.
+    Regression: before the scope, feed2's batches were silently dropped as
+    "already applied"."""
+    spec1 = ChangeFeedSpec(seed=3, n_convs=60, n_epochs=2)
+    engine = _setup(spark, tmp_path, spec1)
+    engine.run()
+    v1 = engine.table.current_version()
+    rows1 = engine.table.read().count()
+
+    feed2 = str(tmp_path / "feed2")
+    generate_change_feed(
+        spark, feed2, ChangeFeedSpec(seed=11, n_convs=90, n_epochs=2))
+    cfg2 = EngineConfig(
+        table_root=engine.cfg.table_root, feed_dir=feed2,
+        checkpoint_dir=str(tmp_path / "ckpt2"))
+    s2 = CdcEngine(spark, cfg2).run()
+    assert s2["epochs_applied"] == 2
+    t = LakeTable(spark, engine.cfg.table_root)
+    assert t.current_version() > v1          # feed2 actually committed
+    assert t.read().count() > rows1          # 30 new conversations landed
+
+    # the FIRST checkpoint still resumes as an exactly-once no-op
+    s3 = CdcEngine(spark, engine.cfg).run()
+    assert s3["epochs_applied"] == 0
+    assert LakeTable(spark, engine.cfg.table_root).current_version() == t.current_version()

@@ -72,3 +72,48 @@ def test_py_files_replay_and_cross_jvm_resume(tmp_path):
     again = _submit(base, str(neutral))
     assert again["epochs_applied"] == 0, again
     assert again["table_version"] == summary["table_version"]
+
+
+@pytest.mark.skipif(not os.path.exists(SPARK_SUBMIT), reason="spark-submit not on PATH")
+def test_audit_follow_cross_jvm_resume(tmp_path):
+    """The maintained-audit loop survives JVM boundaries: seed in one
+    process, mutate the base from another replay, re-attach in a THIRD
+    process and fold only the new window — then verify the maintained index
+    equals a full recomputation."""
+    zip_path = _build_zip(str(tmp_path))
+    neutral = tmp_path / "cwd"
+    neutral.mkdir()
+    feed, table, ckpt = (str(tmp_path / d) for d in ("feed", "table", "ckpt"))
+    feed2, ckpt2 = str(tmp_path / "feed2"), str(tmp_path / "ckpt2")
+    index = str(tmp_path / "audit")
+
+    replay = ["--py-files", zip_path, os.path.join(REPO, "jobs", "replay.py"),
+              "--feed", feed, "--table", table, "--ckpt", ckpt,
+              "--buckets", "4"]
+    _submit(replay + ["--gen-convs", "60", "--gen-epochs", "2"], str(neutral))
+
+    audit = ["--py-files", zip_path,
+             os.path.join(REPO, "jobs", "audit_follow.py"),
+             "--table", table, "--index", index, "--catch-up",
+             "--max-cycles", "5"]
+    s1 = _submit(audit, str(neutral))
+    assert s1["created"] is True
+    assert s1["index_rows"] > 0
+    assert s1["consumed_version"] == s1["base_version"]
+
+    # mutate the base from a fresh replay with a DIFFERENT feed (new seed +
+    # 30 extra conversations — re-applying the identical feed is an
+    # exactly-once no-op by design, so it would not advance the base)
+    _submit(["--py-files", zip_path, os.path.join(REPO, "jobs", "replay.py"),
+             "--feed", feed2, "--table", table, "--ckpt", ckpt2,
+             "--buckets", "4", "--gen-convs", "90", "--gen-epochs", "2",
+             "--gen-seed", "7"],
+            str(neutral))
+
+    # third JVM: re-attach, fold ONLY the new window, verify vs recompute
+    s2 = _submit(audit + ["--verify"], str(neutral))
+    assert s2["created"] is False
+    assert s2["refreshes"] >= 1
+    assert s2["base_version"] > s1["base_version"]
+    assert s2["consumed_version"] == s2["base_version"]
+    assert s2["verified"] is True
