@@ -147,12 +147,14 @@ def run_ops_scale_bench(spark, sf_dir: str, mult: int = 10) -> dict:
     numbers measure scaling of the bucketed algorithms, not fixed overhead."""
     from pyspark.sql import functions as F
 
+    from datax_spark.ops.curation import ngram_contamination
     from datax_spark.ops.dedup import (
         connected_components,
         minhash_near_dupes,
         simhash_near_dupes,
     )
     from datax_spark.ops.similarity import embedding_near_dupes, ivf_topk
+    from datax_spark.ops.transcripts import conversation_text
 
     d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     copies = [
@@ -190,7 +192,36 @@ def run_ops_scale_bench(spark, sf_dir: str, mult: int = 10) -> dict:
     vecs = vecs.persist()
     n_vecs = vecs.count()
 
-    out = {"n_docs": n_docs, "n_vecs": n_vecs, "mult": mult}
+    # conversation corpus at mult x: the events table as (conv_id, turn_idx,
+    # text) turns, copies shifted to fresh conv ids with variant-prefixed
+    # text — measures the conv_id assembly shuffle + MinHash over whole
+    # conversations at scale (the conversation-granularity dedup path)
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    turns0 = ev.select(
+        F.col("user_id").cast("long").alias("conv_id"),
+        F.col("event_id").alias("turn_idx"),
+        F.concat(F.col("event_type"), F.lit(" "),
+                 F.coalesce(F.col("props"), F.lit(""))).alias("text"),
+    )
+    turns = None
+    for i in range(mult):
+        c = turns0.select(
+            (F.col("conv_id") + 1_000_000 * i).alias("conv_id"),
+            "turn_idx",
+            F.concat(F.lit(f"variant {i} "), F.col("text")).alias("text"),
+        )
+        turns = c if turns is None else turns.unionByName(c)
+    turns = turns.persist()
+    n_turns = turns.count()
+
+    # decontamination audit at mult x train docs: the eval side stays a
+    # fixed benchmark-sized set (every 97th BASE doc), so the measurement is
+    # the broadcast-join explode over the scaled train corpus
+    eval_docs = d.filter(F.pmod(F.col("doc_id"), F.lit(97)) == 0) \
+                 .select("doc_id", "text")
+
+    out = {"n_docs": n_docs, "n_vecs": n_vecs, "n_turns": n_turns,
+           "mult": mult}
     probes = vecs.filter(F.pmod(F.col("vec_id"), F.lit(397)) == 0)
     # clustering scale point: star-shaped near-dup clusters of size `mult`
     # per base doc (the realistic dedup shape — every variant near-dups the
@@ -212,6 +243,12 @@ def run_ops_scale_bench(spark, sf_dir: str, mult: int = 10) -> dict:
         "emb_lsh_near_dup_sec": lambda: embedding_near_dupes(
             vecs, threshold=0.97, n_planes=None, n_bands=8, dim=64),
         "ivf_topk_sec": lambda: ivf_topk(probes, vecs, k=5, n_lists=32, n_probe=4),
+        "conv_minhash_near_dup_sec": lambda: minhash_near_dupes(
+            conversation_text(turns).select(
+                F.col("conv_id").alias("doc_id"), "text"),
+            threshold=0.5, n_bands=16),
+        "ngram_contamination_sec": lambda: ngram_contamination(
+            docs, eval_docs, n=13),
     }
     if cc_pairs is not None:
         ops["cc_cluster_sec"] = lambda: connected_components(
@@ -226,7 +263,7 @@ def run_ops_scale_bench(spark, sf_dir: str, mult: int = 10) -> dict:
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         out[key] = round(best, 3)
-    docs.unpersist(); vecs.unpersist()
+    docs.unpersist(); vecs.unpersist(); turns.unpersist()
     return out
 
 
