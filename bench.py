@@ -95,6 +95,23 @@ def run_cdc_bench(spark, workdir: str, n_convs: int, n_epochs: int) -> dict:
         prev_best = max((t["sustained_events_per_sec"] or 0) for t in ts[:-1])
         return last > prev_best * 1.15
 
+    # Untimed warm-up: replay epoch 0 against a throwaway table so JIT /
+    # codegen / Arrow-channel init are paid OUTSIDE the measured trials.
+    # Round 4's driver run rose 0.96M -> 3.30M -> 3.58M and stopped while
+    # still warming — the cold first trial wastes a third of the trial
+    # budget on measuring the JVM, not the engine. Reuses the main feed
+    # (no extra generation); ~1/n_epochs of one trial's cost.
+    if os.environ.get("DSX_BENCH_WARMUP", "1") != "0":
+        wdir = os.path.join(workdir, "warmup")
+        LakeTable.create(spark, os.path.join(wdir, "table"),
+                         TRANSCRIPTS_SCHEMA_V1, bucket_key="conv_id",
+                         n_buckets=int(os.environ.get("DSX_BENCH_BUCKETS", "64")))
+        CdcEngine(spark, EngineConfig(
+            table_root=os.path.join(wdir, "table"), feed_dir=feed,
+            checkpoint_dir=os.path.join(wdir, "ckpt"),
+        )).run(through_epoch=0)
+        shutil.rmtree(wdir, ignore_errors=True)
+
     trials = []
     trial = 0
     while True:
@@ -285,7 +302,11 @@ def main() -> None:
     os.makedirs(workdir)
     try:
         bw_pre = host_probe()
-        cdc = run_cdc_bench(spark, workdir, n_convs, n_epochs)
+        # DSX_BENCH_CONVS=0 skips the replay phase entirely (A/B runs that
+        # time query families in a JVM that never ran the CDC replay)
+        cdc = run_cdc_bench(spark, workdir, n_convs, n_epochs) if n_convs \
+            else {"events": 0, "sustained_events_per_sec": None,
+                  "events_per_sec": None}
         cdc["host_bw_gbps_4proc"] = {"pre": bw_pre, "post": host_probe()}
 
         # per-query timings are best-of-N for the same reason the replay is:
@@ -293,8 +314,17 @@ def main() -> None:
         # DSX_BENCH_QUERY_TRIALS=0 / DSX_BENCH_OPS_MULT=0 skip a phase (for
         # CDC-only points at larger feed sizes, e.g. the table-size ladder).
         q_trials = int(os.environ.get("DSX_BENCH_QUERY_TRIALS", "3"))
+        # DSX_BENCH_QUERY_PREFIX="doc_,conv_" restricts the sweep to the
+        # named families — the fresh-JVM-per-family A/B lever (isolates a
+        # family from co-resident JVM state left by the other 60+ queries)
+        prefixes = tuple(p for p in os.environ.get(
+            "DSX_BENCH_QUERY_PREFIX", "").split(",") if p)
+        query_items = [
+            (n, f) for n, f in entry_mod.queries().items()
+            if not prefixes or n.startswith(prefixes)
+        ]
         query_secs: dict[str, float] = {}
-        for name, fn in entry_mod.queries().items() if q_trials else []:
+        for name, fn in query_items if q_trials else []:
             best = None
             for _ in range(q_trials):
                 t0 = time.time()
