@@ -462,6 +462,28 @@ def mongodb_reader(spark: SparkSession, p: dict) -> DataFrame:
     return _apply_pushdown(df, {k: v for k, v in p.items() if k != "column"})
 
 
+@reader("hbase20xsqlreader")
+def hbase20xsql_reader(spark: SparkSession, p: dict) -> DataFrame:
+    """Phoenix SQL-over-HBase read (sources/phoenix.py): reference config
+    keys (hbase20xsqlreader Key.java — table/column/schema/splitKey/
+    splitPoint/where/querySql) mapped onto the shared DB-API seam;
+    ``queryServerAddress`` becomes the driver's connect target (`phoenixdb`
+    on a cluster, sqlite3 in-sandbox tests)."""
+    from datax_spark.sources.phoenix import phoenix_read
+
+    return phoenix_read(
+        spark, p.get("driver", "phoenixdb"), p["queryServerAddress"],
+        p["outputSchema"], table=p.get("table"), columns=p.get("column"),
+        where=p.get("where"), split_key=p.get("splitKey"),
+        split_points=p.get("splitPoint"),
+        split_point_kind=p.get("splitPointKind", "long"),
+        num_partitions=int(p.get("numPartitions", 4)),
+        query_sqls=p.get("querySql"), catalog_sql=p.get("catalogSql"),
+        fetch_size=int(p.get("fetchSize", 1024)),
+        connect_args=p.get("connectArgs"), schema_name=p.get("schema"),
+    )
+
+
 @reader("hbase11xreader")
 def hbase11x_reader(spark: SparkSession, p: dict) -> DataFrame:
     """HBase scan through the REST gateway (sources/hbase_rest.py): one task

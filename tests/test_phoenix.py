@@ -125,3 +125,19 @@ def test_phoenix_read_query_sqls_mode(spark, db):
         ],
     ).toPandas()
     assert sorted(got["id"].tolist()) == list(range(1, 301))
+
+
+def test_jobspec_registry_adapter(spark, db):
+    from datax_spark.sources.readers import build_reader
+
+    got = build_reader(spark, "hbase20xsqlreader", {
+        "driver": "sqlite3",
+        "queryServerAddress": db,
+        "outputSchema": "id long, v long",
+        "table": "kv",
+        "column": ["id", "v"],
+        "splitKey": "id",
+        "splitPoint": [150],
+        "catalogSql": CATALOG_SQL,
+    }).toPandas()
+    assert sorted(got["id"].tolist()) == list(range(1, 301))
