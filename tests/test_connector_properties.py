@@ -102,3 +102,33 @@ def test_int_range_predicates_tile_exactly(lo, span, n):
     for k in sample:
         hits = sum(1 for p in preds if matches(k, p))
         assert hits == 1, (k, preds)
+
+
+# --- Phoenix splitPoints tiling (sources/phoenix.py) ---
+
+from datax_spark.sources.phoenix import split_point_predicates  # noqa: E402
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    points=st.lists(st.integers(-10_000, 10_000), min_size=1, max_size=8,
+                    unique=True).map(sorted),
+    key=st.integers(-20_000, 20_000),
+)
+def test_split_points_tile_int_space_exactly_once(points, key):
+    """Every integer key matches EXACTLY ONE of the n+1 splitPoint ranges
+    (buildSplitRange semantics: <= p1, (p_{i-1}, p_i], > p_n) — no gaps, no
+    overlaps, regardless of the points chosen."""
+    preds = split_point_predicates("k", points, kind="long")
+    assert len(preds) == len(points) + 1
+
+    def matches(pred: str) -> bool:
+        # predicates use only <=, >, AND over one variable
+        clauses = pred.split(" AND ")
+        ok = True
+        for c in clauses:
+            _, op, lit = c.split(" ", 2)
+            ok &= (key <= int(lit)) if op == "<=" else (key > int(lit))
+        return ok
+
+    assert sum(matches(p) for p in preds) == 1
