@@ -82,9 +82,15 @@ def csv_reader(spark: SparkSession, p: dict) -> DataFrame:
     """txtfilereader/ftpreader/ossreader CSV surface
     (UnstructuredStorageReaderUtil: fieldDelimiter/encoding/compress/
     skipHeader/nullFormat). gzip/bzip2 are inferred natively by Spark;
-    ``compress: "zip"`` routes to the zip member-extraction path below."""
-    if str(p.get("compress", "")).lower() == "zip":
+    ``compress: "zip"`` routes to the zip member-extraction path below,
+    ``"lzo"``/``"lzo_deflate"`` to the LZO whole-file path (sources/lzo.py),
+    completing the reference codec matrix
+    (UnstructuredStorageReaderUtil.java:104-135)."""
+    compress = str(p.get("compress", "")).lower()
+    if compress == "zip":
         return zip_csv_reader(spark, p)
+    if compress in ("lzo", "lzo_deflate"):
+        return lzo_csv_reader(spark, p)
     opts = {
         "sep": p.get("fieldDelimiter", ","),
         "encoding": p.get("encoding", "UTF-8"),
@@ -200,6 +206,55 @@ def zip_csv_reader(spark: SparkSession, p: dict) -> DataFrame:
     return _apply_pushdown(_typed_from_raw(df, target, capture), p)
 
 
+@reader("lzocsvreader")
+def lzo_csv_reader(spark: SparkSession, p: dict) -> DataFrame:
+    """LZO-compressed CSV — ``compress: "lzo"`` (lzop file,
+    ExpandLzopInputStream parity) and ``"lzo_deflate"`` (bare block stream,
+    org.anarres LzoInputStream parity), decoded by sources/lzo.py.
+
+    Same plan shape and contract as zip_csv_reader: lzo text is not
+    splittable, so the parallel unit is the file (binaryFile scan →
+    mapInPandas decompress+parse → Catalyst cast); explicit ``schema`` DDL
+    required; quarantine capture via ``quarantineDir``. The pure-Python
+    block decoder is a compatibility path for legacy lzo drops — python-lzo
+    is picked up automatically when shipped to the cluster."""
+    schema = p.get("schema")
+    if not schema:
+        raise ValueError("lzo csv reader requires an explicit schema (DDL string)")
+    from pyspark.sql import types as T
+
+    target = T._parse_datatype_string(schema)
+    names = [f.name for f in target.fields]
+    sep = p.get("fieldDelimiter", ",")
+    encoding = p.get("encoding", "UTF-8")
+    skip_header = bool(p.get("skipHeader", False))
+    null_fmt = p.get("nullFormat", "\\N")
+    capture = bool(p.get("quarantineDir"))
+    deflate = str(p.get("compress", "lzo")).lower() == "lzo_deflate"
+
+    bin_df = spark.read.format("binaryFile").load(*_paths(p)).select("content")
+    raw_schema = ", ".join(f"`{n}` string" for n in names) + f", {_CORRUPT} string"
+
+    def extract(batches):
+        import pandas as pd
+
+        from datax_spark.sources.lzo import (
+            lzo_block_stream_decompress,
+            lzop_decompress,
+        )
+
+        decode = lzo_block_stream_decompress if deflate else lzop_decompress
+        for pdf in batches:
+            rows: list[list] = []
+            for content in pdf["content"]:
+                text = decode(bytes(content)).decode(encoding, errors="replace")
+                rows += _csv_records(text, names, sep, skip_header, null_fmt)
+            yield pd.DataFrame(rows, columns=names + [_CORRUPT], dtype=object)
+
+    df = bin_df.mapInPandas(extract, schema=raw_schema)
+    return _apply_pushdown(_typed_from_raw(df, target, capture), p)
+
+
 @reader("ftpreader")
 @reader("ossreader")
 @reader("remotecsvreader")
@@ -264,6 +319,15 @@ def remote_csv_reader(spark: SparkSession, p: dict) -> DataFrame:
                                  for m in z.namelist() if not m.endswith("/")]
                 elif compress in ("gzip", "gz"):
                     texts = [_gzip.decompress(data).decode(encoding, errors="replace")]
+                elif compress in ("lzo", "lzo_deflate"):
+                    from datax_spark.sources.lzo import (
+                        lzo_block_stream_decompress,
+                        lzop_decompress,
+                    )
+
+                    dec = (lzo_block_stream_decompress
+                           if compress == "lzo_deflate" else lzop_decompress)
+                    texts = [dec(data).decode(encoding, errors="replace")]
                 else:
                     texts = [data.decode(encoding, errors="replace")]
                 for text in texts:
