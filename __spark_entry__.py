@@ -310,6 +310,85 @@ def q_dbapi_string_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_phoenix_split_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phoenix SQL-over-HBase reader analog (sources/phoenix.py —
+    hbase20xsqlreader planning parity): the 300-customer sqlite fixture is
+    read back through user splitPoints (HBase20SQLReaderHelper
+    .buildSplitRange:264-318 — n+1 typed ranges tiling the PK space exactly
+    once) after SYSTEM.CATALOG-style metadata validation of the projected
+    columns and the PK split key. The oracle selects the same slice straight
+    from parquet."""
+    import sqlite3
+    import tempfile
+
+    from datax_spark.sources.phoenix import phoenix_read
+
+    rows = (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+        .limit(300)
+        .collect()
+    )
+    db = tempfile.mktemp(prefix="dsx-phx-", suffix=".db")
+    con = sqlite3.connect(db)
+    con.execute(
+        "CREATE TABLE cust (c_custkey INTEGER PRIMARY KEY, c_name TEXT, "
+        "c_acctbal REAL)")
+    con.executemany(
+        "INSERT INTO cust VALUES (?,?,?)",
+        [(r.c_custkey, r.c_name, float(r.c_acctbal)) for r in rows],
+    )
+    con.execute("CREATE TABLE cat (column_name TEXT, column_family TEXT)")
+    con.executemany("INSERT INTO cat VALUES (?,?)", [
+        ("c_custkey", None), ("c_name", "0"), ("c_acctbal", "0")])
+    con.commit()
+    con.close()
+    mid = rows[len(rows) // 3].c_custkey, rows[2 * len(rows) // 3].c_custkey
+    return phoenix_read(
+        spark, "sqlite3", db,
+        "c_custkey long, c_name string, c_acctbal double",
+        table="cust", split_key="c_custkey", split_points=list(mid),
+        catalog_sql="SELECT column_name, column_family FROM cat",
+    )
+
+
+def q_lzocsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LZO-compressed CSV reader (compress:"lzo" — the last cell of the
+    reference codec matrix, UnstructuredStorageReaderUtil.java:121-130):
+    a deterministic 200-doc slice is written as a multi-block lzop file by
+    the format-valid LZO1X encoder (sources/lzo.py), then read back through
+    the binaryFile→mapInPandas decode path with the pure-Python LZO1X
+    decoder and typed casts. The oracle selects the same slice straight
+    from parquet — a lossless round trip through csv-in-lzop."""
+    import io
+    import csv as _csv
+    import tempfile
+
+    from datax_spark.sources.lzo import lzop_compress
+    from datax_spark.sources.readers import build_reader
+
+    rows = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+        .orderBy("doc_id")
+        .limit(200)
+        .collect()
+    )
+    buf = io.StringIO()
+    wtr = _csv.writer(buf)
+    for r in rows:
+        wtr.writerow([r.doc_id, r.lang, r.text])
+    path = tempfile.mktemp(prefix="dsx-lzoq-", suffix=".csv.lzo")
+    with open(path, "wb") as f:
+        f.write(lzop_compress(buf.getvalue().encode(), block_size=8192))
+    return build_reader(
+        spark, "csvreader",
+        {"path": path, "compress": "lzo",
+         "schema": "doc_id long, lang string, text string"},
+    )
+
+
 # ------------------------------------------------- dx_* transformer queries
 
 def q_dx_transform_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2141,6 +2220,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zipcsv_roundtrip": q_zipcsv_roundtrip,
     "dbapi_roundtrip": q_dbapi_roundtrip,
     "dbapi_string_split": q_dbapi_string_split,
+    "phoenix_split_read": q_phoenix_split_read,
+    "lzocsv_roundtrip": q_lzocsv_roundtrip,
     "dx_transform_chain": q_dx_transform_chain,
     "dx_filter": q_dx_filter,
     "dx_cast_chain": q_dx_cast_chain,
@@ -2209,6 +2290,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 FIXTURE_QUERIES: frozenset[str] = frozenset({
     "cdc_changelog", "cdc_rebucket", "cdc_incremental_rollup",
     "zipcsv_roundtrip", "dbapi_roundtrip", "dbapi_string_split",
+    "phoenix_split_read", "lzocsv_roundtrip",
     "doc_minhash_incremental", "doc_dedup_canonical", "emb_lsh_incremental",
     "remote_object_roundtrip", "hbase_roundtrip", "mongo_export_roundtrip",
     "mongo_import_roundtrip", "cassandra_upsert_roundtrip",
@@ -2416,6 +2498,13 @@ ORACLES: dict[str, str] = {
     "dbapi_string_split": """
         SELECT c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal
         FROM customer ORDER BY c_name LIMIT 300
+    """,
+    "phoenix_split_read": """
+        SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+        FROM customer ORDER BY c_custkey LIMIT 300
+    """,
+    "lzocsv_roundtrip": """
+        SELECT doc_id, lang, text FROM documents ORDER BY doc_id LIMIT 200
     """,
     "dx_transform_chain": """
         SELECT l_orderkey, l_linenumber,
