@@ -1253,6 +1253,55 @@ def q_cassandra_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(p["path"]).select("pk", "name", "bal")
 
 
+def q_kudu_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kudu11xwriter (sources/kudu.py — spec validation, string→type cell
+    coercion incl. Java parseBoolean, hash-tablet routing, upsert-by-pk
+    analog, flush-framed op stream; reference KuduWriterTask.java:66-199,
+    Kudu11xHelper.java:207-293): 400 suppliers are written under 4-way hash
+    partitioning, then every 9th is re-written with an updated name/balance
+    plus one fresh key and one blank-pk record (dirty under skipFail — never
+    stored); the tablet store is read back. Oracle applies the same
+    CASE/UNION to the parquet slice."""
+    import tempfile
+
+    from datax_spark.sources.kudu import kudu_read
+    from datax_spark.sources.writers import build_writer
+
+    root = tempfile.mkdtemp(prefix="dsx-kudu-")
+    cols = [{"name": "k", "type": "long", "primaryKey": True},
+            {"name": "name", "type": "string"},
+            {"name": "bal", "type": "double"},
+            {"name": "even", "type": "boolean"}]
+    p = {"column": cols, "path": root + "/tbl", "insertMode": "upsert",
+         "writeBatchSize": 64, "skipFail": True,
+         "partition": {"hash": {"column": ["k"]}}, "hashNum": 4,
+         "operationsPath": root + "/ops"}
+    base = (
+        _t(spark, sf_dir, "supplier")
+        .select(F.col("s_suppkey").cast("long").alias("k"),
+                F.col("s_name").alias("name"),
+                F.col("s_acctbal").cast("double").alias("bal"))
+        .orderBy("k")
+        .limit(400)
+        # "true"/"no" exercises Java Boolean.parseBoolean: "no" → false
+        .withColumn("even", F.when(F.pmod("k", F.lit(2)) == 0,
+                                   F.lit("true")).otherwise(F.lit("no")))
+    )
+    build_writer(base, "kudu11xwriter", p)
+    upd = base.filter(F.pmod("k", F.lit(9)) == 0) \
+        .withColumn("name", F.concat(F.lit("UPD "), F.col("name"))) \
+        .withColumn("bal", F.col("bal") + 500.0)
+    fresh = spark.createDataFrame(
+        [(77_777_777, "fresh", 1.0, "true")],
+        "k long, name string, bal double, even string")
+    blank = spark.createDataFrame(
+        [(None, "dirty", 0.0, "no")],
+        "k long, name string, bal double, even string")
+    build_writer(upd.unionByName(fresh).unionByName(blank),
+                 "kudu11xwriter", p)
+    return kudu_read(spark, p["path"], ["k", "name", "bal", "even"])
+
+
 def q_mongo_import_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mongodbwriter (sources/mongo_json.py write side — the mongoimport
     NDJSON emitter, reference MongoDBWriter.java:133-316): 300 documents are
@@ -2263,6 +2312,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mongo_export_roundtrip": q_mongo_export_roundtrip,
     "mongo_import_roundtrip": q_mongo_import_roundtrip,
     "cassandra_upsert_roundtrip": q_cassandra_upsert_roundtrip,
+    "kudu_upsert_roundtrip": q_kudu_upsert_roundtrip,
     "lake_objectfs_roundtrip": q_lake_objectfs_roundtrip,
     "lake_partial_update": q_lake_partial_update,
     "lake_agg_merge": q_lake_agg_merge,
@@ -2294,6 +2344,7 @@ FIXTURE_QUERIES: frozenset[str] = frozenset({
     "doc_minhash_incremental", "doc_dedup_canonical", "emb_lsh_incremental",
     "remote_object_roundtrip", "hbase_roundtrip", "mongo_export_roundtrip",
     "mongo_import_roundtrip", "cassandra_upsert_roundtrip",
+    "kudu_upsert_roundtrip",
     "lake_objectfs_roundtrip", "lake_partial_update", "lake_agg_merge",
     "lake_widen_fold", "lake_point_lookup", "lake_pruned_read",
     "cdc_changelog_stream", "transcript_audit_incremental",
@@ -2362,6 +2413,21 @@ ORACLES: dict[str, str] = {
         FROM base
         UNION ALL
         SELECT 99999999 AS pk, 'fresh' AS name, 0.0 AS bal
+    """,
+    "kudu_upsert_roundtrip": """
+        WITH base AS (
+            SELECT CAST(s_suppkey AS BIGINT) AS k, s_name AS name,
+                   CAST(s_acctbal AS DOUBLE) AS bal,
+                   (s_suppkey % 2 = 0) AS even
+            FROM supplier ORDER BY k LIMIT 400
+        )
+        SELECT k,
+               CASE WHEN k % 9 = 0 THEN 'UPD ' || name ELSE name END AS name,
+               CASE WHEN k % 9 = 0 THEN bal + 500.0 ELSE bal END AS bal,
+               even
+        FROM base
+        UNION ALL
+        SELECT 77777777 AS k, 'fresh' AS name, 1.0 AS bal, TRUE AS even
     """,
     "mongo_import_roundtrip": """
         WITH base AS (

@@ -367,6 +367,22 @@ def mongodb_writer(df: DataFrame, p: dict) -> dict:
     return {"written": True}
 
 
+@writer("kudu11xwriter")
+def kudu11x_writer(df: DataFrame, p: dict) -> dict:
+    """kuduwriter: spec validation + pk-prefix rule + string→type cell
+    coercion + insert/upsert/update modes + hash/range tablet routing +
+    MANUAL_FLUSH batching semantics (reference KuduWriterTask.java:66-199,
+    Kudu11xHelper.java:207-293). ``operationsPath`` additionally persists
+    the flush-framed operation stream (the cluster-mode artifact); ``path``
+    is the local tablet-store analog."""
+    from datax_spark.sources.kudu import kudu_operations, kudu_write
+
+    if p.get("operationsPath"):
+        kudu_operations(df, p).write.mode("overwrite").json(
+            p["operationsPath"])
+    return kudu_write(df.sparkSession, df, p)
+
+
 @writer("streamwriter")
 def stream_writer(df: DataFrame, p: dict) -> dict:
     """Test sink (streamwriter): print/collect. One pass: collect the bounded
