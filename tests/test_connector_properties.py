@@ -132,3 +132,67 @@ def test_split_points_tile_int_space_exactly_once(points, key):
         return ok
 
     assert sum(matches(p) for p in preds) == 1
+
+
+# --- Kudu range-tablet assignment (sources/kudu.py) ---
+
+from datax_spark.sources.kudu import kudu_normalize_spec, kudu_tablet_expr  # noqa: E402
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    bounds=st.lists(
+        st.text(alphabet="abcdefgh", min_size=1, max_size=4),
+        min_size=2, max_size=6, unique=True).map(sorted),
+    keys=st.lists(st.text(alphabet="abcdefghij", min_size=0, max_size=5),
+                  min_size=1, max_size=8),
+)
+def test_kudu_range_assignment_model(bounds, keys, spark):
+    """Pure-model property: the range spec built from consecutive sorted
+    bounds assigns every key to the FIRST [lower, upper) range covering it,
+    -1 when none covers (NonCoveredRangeException analog). With contiguous
+    ranges that is exactly the bisect position. The Spark expression itself
+    is checked against this model once, below."""
+    ranges = [{"lower": bounds[i], "upper": bounds[i + 1]}
+              for i in range(len(bounds) - 1)]
+    spec = kudu_normalize_spec({
+        "column": [{"name": "k", "type": "string", "primaryKey": True}],
+        "partition": {"range": {"k": ranges}}})
+    _, n = kudu_tablet_expr(spec)
+    assert n == len(ranges)
+    for k in keys:
+        want = -1
+        for i, r in enumerate(ranges):
+            if r["lower"] <= k < r["upper"]:
+                want = i
+                break
+        # contiguous ranges: covered iff bounds[0] <= k < bounds[-1]
+        assert (want >= 0) == (bounds[0] <= k < bounds[-1])
+        if want >= 0:
+            import bisect
+            assert want == bisect.bisect_right(bounds, k) - 1
+
+
+def test_kudu_range_spark_expr_matches_model(spark):
+    """One Spark evaluation of kudu_tablet_expr over an adversarial key set
+    (bound values themselves, neighbors, out-of-range on both sides) agrees
+    with the first-covering-range model above."""
+    from pyspark.sql import functions as F
+
+    bounds = ["b", "d", "dd", "g"]
+    ranges = [{"lower": bounds[i], "upper": bounds[i + 1]}
+              for i in range(len(bounds) - 1)]
+    spec = kudu_normalize_spec({
+        "column": [{"name": "k", "type": "string", "primaryKey": True}],
+        "partition": {"range": {"k": ranges}}})
+    expr, n = kudu_tablet_expr(spec)
+    keys = ["a", "az", "b", "c", "d", "db", "dd", "de", "f", "g", "gz", ""]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    got = {r.k: r.t for r in df.select("k", expr.alias("t")).collect()}
+    for k in keys:
+        want = -1
+        for i, r in enumerate(ranges):
+            if r["lower"] <= k < r["upper"]:
+                want = i
+                break
+        assert got[k] == want, (k, got[k], want)
