@@ -1396,6 +1396,48 @@ def q_hbase_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ocs_cache_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ocswriter over the memcached text wire (sources/memcached.py;
+    reference OcsWriter.java:127-268 — delimiter framing, set/add/replace
+    modes, NOT_STORED failures to dirty): 250 customers are SET through real
+    TCP (one pipelined connection per task), every 4th is REPLACEd with an
+    updated name/balance, then an ADD pass re-offers 10 existing keys (all
+    NOT_STORED — values must stay the replaced ones) plus one fresh key
+    (stored); the cache is read back via multi-key get and re-split. Oracle
+    applies the same CASE/UNION to the parquet slice."""
+    from datax_spark.sources.memcached import LocalMemcachedServer, memcached_get
+    from datax_spark.sources.writers import build_writer
+
+    srv = LocalMemcachedServer().start()
+    _LIVE_SERVERS.append(srv)
+    p = {"proxy": "127.0.0.1", "port": srv.port, "fieldDelimiter": ":",
+         "batchSize": 50}
+    base = (
+        _t(spark, sf_dir, "customer")
+        .select(F.format_string("c%07d", F.col("c_custkey")).alias("ck"),
+                F.col("c_name").alias("name"),
+                F.col("c_acctbal").cast("double").alias("bal"))
+        .orderBy("ck")
+        .limit(250)
+        .repartition(2)
+    )
+    build_writer(base, "ocswriter", {**p, "writeMode": "set"})
+    upd = base.filter(F.substring("ck", 8, 1).isin("0", "4", "8")) \
+        .withColumn("name", F.concat(F.lit("UPD "), F.col("name"))) \
+        .withColumn("bal", F.col("bal") + 77.0)
+    build_writer(upd, "ocswriter", {**p, "writeMode": "replace"})
+    readd = base.limit(10).withColumn("name", F.lit("MUST NOT LAND"))
+    fresh = spark.createDataFrame([("c9999999", "fresh", 5.0)],
+                                  "ck string, name string, bal double")
+    build_writer(readd.unionByName(fresh), "ocswriter",
+                 {**p, "writeMode": "add"})
+    keys = [r.ck for r in base.select("ck").collect()] + ["c9999999"]
+    got = memcached_get(spark, "127.0.0.1", srv.port, keys, delimiter=":",
+                        columns=["ck", "name", "bal"])
+    return got.select(F.col("ck"), F.col("name"),
+                      F.col("bal").cast("double").alias("bal"))
+
+
 def q_lake_objectfs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full CDC fold on a lake table whose METADATA lives on an object store
     (lake/objectstore.py: ObjectFS over the emulated client — conditional-PUT
@@ -2313,6 +2355,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mongo_import_roundtrip": q_mongo_import_roundtrip,
     "cassandra_upsert_roundtrip": q_cassandra_upsert_roundtrip,
     "kudu_upsert_roundtrip": q_kudu_upsert_roundtrip,
+    "ocs_cache_roundtrip": q_ocs_cache_roundtrip,
     "lake_objectfs_roundtrip": q_lake_objectfs_roundtrip,
     "lake_partial_update": q_lake_partial_update,
     "lake_agg_merge": q_lake_agg_merge,
@@ -2344,7 +2387,7 @@ FIXTURE_QUERIES: frozenset[str] = frozenset({
     "doc_minhash_incremental", "doc_dedup_canonical", "emb_lsh_incremental",
     "remote_object_roundtrip", "hbase_roundtrip", "mongo_export_roundtrip",
     "mongo_import_roundtrip", "cassandra_upsert_roundtrip",
-    "kudu_upsert_roundtrip",
+    "kudu_upsert_roundtrip", "ocs_cache_roundtrip",
     "lake_objectfs_roundtrip", "lake_partial_update", "lake_agg_merge",
     "lake_widen_fold", "lake_point_lookup", "lake_pruned_read",
     "cdc_changelog_stream", "transcript_audit_incremental",
@@ -2413,6 +2456,21 @@ ORACLES: dict[str, str] = {
         FROM base
         UNION ALL
         SELECT 99999999 AS pk, 'fresh' AS name, 0.0 AS bal
+    """,
+    "ocs_cache_roundtrip": """
+        WITH base AS (
+            SELECT 'c' || lpad(CAST(c_custkey AS VARCHAR), 7, '0') AS ck,
+                   c_name AS name, CAST(c_acctbal AS DOUBLE) AS bal,
+                   c_custkey % 10 AS d
+            FROM customer ORDER BY ck LIMIT 250
+        )
+        SELECT ck,
+               CASE WHEN d IN (0, 4, 8) THEN 'UPD ' || name ELSE name END
+                   AS name,
+               CASE WHEN d IN (0, 4, 8) THEN bal + 77.0 ELSE bal END AS bal
+        FROM base
+        UNION ALL
+        SELECT 'c9999999' AS ck, 'fresh' AS name, 5.0 AS bal
     """,
     "kudu_upsert_roundtrip": """
         WITH base AS (

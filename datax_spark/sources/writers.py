@@ -367,6 +367,19 @@ def mongodb_writer(df: DataFrame, p: dict) -> dict:
     return {"written": True}
 
 
+@writer("ocswriter")
+def ocs_writer(df: DataFrame, p: dict) -> dict:
+    """ocswriter over the memcached text wire: delimiter-framed key/value
+    records, set/add/replace/append/prepend modes with the reference's
+    retry split (idempotent modes retried, append/prepend not), wire
+    failures routed to dirty (reference OcsWriter.java:127-268; the
+    reference speaks the binary protocol via spymemcached — same command
+    set and semantics)."""
+    from datax_spark.sources.memcached import memcached_write
+
+    return memcached_write(df, p)
+
+
 @writer("kudu11xwriter")
 def kudu11x_writer(df: DataFrame, p: dict) -> dict:
     """kuduwriter: spec validation + pk-prefix rule + string→type cell

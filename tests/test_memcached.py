@@ -1,0 +1,123 @@
+"""ocswriter over a protocol-faithful local memcached text-protocol server.
+
+Covers the reference semantics (OcsWriter.java):
+- key/value delimiter framing + dirty rules   buildKey:240-268, buildValue:204-238
+- set / add / replace / append / prepend       startWrite:127-152, commit:155-186
+- add on existing key → NOT_STORED → dirty     commit:162-166
+- replace on missing key → NOT_STORED → dirty
+- append/prepend mutate existing values
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datax_spark.sources.memcached import (
+    LocalMemcachedServer,
+    memcached_get,
+    memcached_write,
+    ocs_frame,
+)
+from datax_spark.sources.writers import build_writer
+
+
+@pytest.fixture()
+def mc():
+    with LocalMemcachedServer() as s:
+        yield s
+
+
+def _df(spark, n=30):
+    return spark.range(n).select(
+        F.format_string("k%03d", F.col("id")).alias("uid"),
+        F.format_string("name-%d", F.col("id")).alias("name"),
+        (F.col("id") * 2.5).alias("score"),
+    )
+
+
+def test_set_roundtrip_multi_partition(spark, mc):
+    p = {"proxy": "127.0.0.1", "port": mc.port, "writeMode": "set",
+         "batchSize": 7}
+    r = memcached_write(_df(spark).repartition(4), p)
+    assert r == {"stored": 30, "failed": 0, "dirty": 0}
+    back = memcached_get(spark, "127.0.0.1", mc.port,
+                         [f"k{i:03d}" for i in range(30)],
+                         delimiter="\x01",
+                         columns=["uid", "name", "score"])
+    assert back.count() == 30
+    row = back.filter("key = 'k004'").first()
+    assert row.name == "name-4" and row.score == "10.0"
+
+
+def test_add_fails_on_existing_key(spark, mc):
+    p = {"proxy": "127.0.0.1", "port": mc.port, "writeMode": "set"}
+    memcached_write(_df(spark, 10), p)
+    r = memcached_write(_df(spark, 15), {**p, "writeMode": "add"})
+    assert r["stored"] == 5 and r["failed"] == 10  # 10 keys already present
+
+
+def test_replace_fails_on_missing_key(spark, mc):
+    p = {"proxy": "127.0.0.1", "port": mc.port, "writeMode": "set"}
+    memcached_write(_df(spark, 5), p)
+    r = memcached_write(_df(spark, 10), {**p, "writeMode": "replace"})
+    assert r["stored"] == 5 and r["failed"] == 5
+
+
+def test_append_and_prepend_mutate_existing(spark, mc):
+    p = {"proxy": "127.0.0.1", "port": mc.port, "writeMode": "set"}
+    one = spark.createDataFrame([("a", "MID")], "uid string, v string")
+    memcached_write(one, p)
+    memcached_write(one.withColumn("v", F.lit(">>")),
+                    {**p, "writeMode": "prepend"})
+    memcached_write(one.withColumn("v", F.lit("<<")),
+                    {**p, "writeMode": "append"})
+    # appended/prepended payloads are full framed records (all columns
+    # joined), so the mutations land around the original framed value
+    v = mc.store["a"].decode()
+    assert v.endswith("<<") and v.startswith("a\x01>>")
+    assert v.index(">>") < v.index("MID") < v.index("<<")
+
+
+def test_framing_dirty_rules(spark):
+    delim = "|"
+    df = spark.createDataFrame(
+        [("ok", "v1"), ("has|delim", "v2"), ("", "v3"),
+         ("space key", "v4"), (None, "v5")],
+        "uid string, v string")
+    framed = ocs_frame(df, {"fieldDelimiter": delim})
+    got = {r.value: r._dirty for r in framed.collect()}
+    assert got["ok|v1"] is None
+    assert "fieldDelimiter" in got["has|delim|v2"]
+    assert "invalid" in got["|v3"]          # empty key (NULL renders "")
+    assert "invalid" in got["space key|v4"]
+    assert "invalid" in got["|v5"]
+
+
+def test_multi_index_key_printable_delimiter(spark):
+    df = spark.createDataFrame([("u1", "s1", "x")],
+                               "a string, b string, c string")
+    # a printable delimiter — with the default \x01 a multi-part key is
+    # itself dirty under the text-wire control-byte rule (documented)
+    framed = ocs_frame(df, {"indexes": "0,1", "fieldDelimiter": ":"})
+    r = framed.first()
+    assert r.key == "u1:s1"
+    # value joins ALL columns (buildValue), key only the indexed ones
+    assert r.value == "u1:s1:x"
+    # a multi-part key contains the delimiter by construction — the per-cell
+    # dirty check must not fire on it
+    assert r._dirty is None
+
+
+def test_binary_column_rejected(spark):
+    df = spark.createDataFrame([("k", bytearray(b"\x00"))],
+                               "uid string, blob binary")
+    with pytest.raises(ValueError, match="binary"):
+        ocs_frame(df, {})
+
+
+def test_registry_entry(spark, mc):
+    r = build_writer(_df(spark, 8), "ocswriter",
+                     {"proxy": "127.0.0.1", "port": mc.port,
+                      "writeMode": "set"})
+    assert r["stored"] == 8
