@@ -1438,6 +1438,54 @@ def q_ocs_cache_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("bal").cast("double").alias("bal"))
 
 
+def q_gdb_graph_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdbwriter (sources/nosql.py — column/columnType element mapping,
+    Gremlin DSL framing, INSERT/SKIP/MERGE duplicate-id semantics; reference
+    ScriptGdbGraph.java:26-187, DefaultGdbMapper.java:45-120): 200 customers
+    become person vertices via INSERT, every 6th is property-patched via
+    MERGE (name updated, balance kept), a SKIP pass re-offers 10 ids (must
+    not land), and the store is read back through gdb_read's columnType
+    rules. Oracle applies the same CASE to the parquet slice."""
+    import tempfile
+
+    from datax_spark.sources.nosql import gdb_read
+    from datax_spark.sources.writers import build_writer
+
+    root = tempfile.mkdtemp(prefix="dsx-gdb-")
+    path = root + "/graph"
+    vcols = [{"name": "ck", "columnType": "primaryKey"},
+             {"name": "name", "columnType": "vertexProperty"},
+             {"name": "bal", "columnType": "vertexProperty"}]
+    base = (
+        _t(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").cast("long").alias("ck"),
+                F.col("c_name").alias("name"),
+                F.col("c_acctbal").cast("double").alias("bal"))
+        .orderBy("ck")
+        .limit(200)
+    )
+    p = {"labelType": "VERTEX", "label": "person", "column": vcols,
+         "path": path, "writeMode": "INSERT",
+         "statementsPath": root + "/dsl"}
+    build_writer(base, "gdbwriter", p)
+    patch = base.filter(F.pmod("ck", F.lit(6)) == 0).select(
+        "ck", F.concat(F.lit("UPD "), F.col("name")).alias("name"))
+    build_writer(patch, "gdbwriter", {
+        "labelType": "VERTEX", "label": "person", "path": path,
+        "writeMode": "MERGE", "column": [
+            {"name": "ck", "columnType": "primaryKey"},
+            {"name": "name", "columnType": "vertexProperty"}]})
+    skip = base.limit(10).withColumn("name", F.lit("MUST NOT LAND"))
+    build_writer(skip, "gdbwriter", {**p, "writeMode": "SKIP"})
+    return gdb_read(spark, {
+        "labelType": "VERTEX", "path": path, "format": "parquet",
+        "labels": ["person"], "column": [
+            {"name": "ck", "type": "long", "columnType": "primaryKey"},
+            {"name": "name", "columnType": "vertexProperty"},
+            {"name": "bal", "type": "double",
+             "columnType": "vertexProperty"}]})
+
+
 def q_lake_objectfs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full CDC fold on a lake table whose METADATA lives on an object store
     (lake/objectstore.py: ObjectFS over the emulated client — conditional-PUT
@@ -2356,6 +2404,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cassandra_upsert_roundtrip": q_cassandra_upsert_roundtrip,
     "kudu_upsert_roundtrip": q_kudu_upsert_roundtrip,
     "ocs_cache_roundtrip": q_ocs_cache_roundtrip,
+    "gdb_graph_roundtrip": q_gdb_graph_roundtrip,
     "lake_objectfs_roundtrip": q_lake_objectfs_roundtrip,
     "lake_partial_update": q_lake_partial_update,
     "lake_agg_merge": q_lake_agg_merge,
@@ -2387,7 +2436,7 @@ FIXTURE_QUERIES: frozenset[str] = frozenset({
     "doc_minhash_incremental", "doc_dedup_canonical", "emb_lsh_incremental",
     "remote_object_roundtrip", "hbase_roundtrip", "mongo_export_roundtrip",
     "mongo_import_roundtrip", "cassandra_upsert_roundtrip",
-    "kudu_upsert_roundtrip", "ocs_cache_roundtrip",
+    "kudu_upsert_roundtrip", "ocs_cache_roundtrip", "gdb_graph_roundtrip",
     "lake_objectfs_roundtrip", "lake_partial_update", "lake_agg_merge",
     "lake_widen_fold", "lake_point_lookup", "lake_pruned_read",
     "cdc_changelog_stream", "transcript_audit_incremental",
@@ -2456,6 +2505,17 @@ ORACLES: dict[str, str] = {
         FROM base
         UNION ALL
         SELECT 99999999 AS pk, 'fresh' AS name, 0.0 AS bal
+    """,
+    "gdb_graph_roundtrip": """
+        WITH base AS (
+            SELECT CAST(c_custkey AS BIGINT) AS ck, c_name AS name,
+                   CAST(c_acctbal AS DOUBLE) AS bal
+            FROM customer ORDER BY ck LIMIT 200
+        )
+        SELECT ck,
+               CASE WHEN ck % 6 = 0 THEN 'UPD ' || name ELSE name END AS name,
+               bal
+        FROM base
     """,
     "ocs_cache_roundtrip": """
         WITH base AS (

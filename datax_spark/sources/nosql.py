@@ -377,3 +377,255 @@ def gdb_read(spark: SparkSession, p: dict) -> DataFrame:
             raise ValueError(f"unknown columnType {ctype!r}")
         exprs.append(col.cast(cast_t).alias(name))
     return df.select(*exprs) if exprs else df
+
+
+# ---------------------------------------------------------------------------
+# gdbwriter — Gremlin DSL framing + element-store analog.
+#
+# The reference plugin (gdbwriter/.../model/ScriptGdbGraph.java:26-187,
+# mapping/DefaultGdbMapper.java:45-120) maps each record to a graph element
+# via the column/columnType rules, renders parameterized Gremlin scripts
+# (g.addV(GDB___label).property(id, GDB___id).property(GDB___PK0,
+# GDB___PV0)... — properties split into batches of maxPropertiesBatchNumber,
+# the first batch as addV/addE, the rest as g.V(id).property(...) updates),
+# and applies them through a Gremlin client with UpdateMode semantics on
+# duplicate ids (Key.UpdateMode / ScriptGdbGraph.addInternal:81-101):
+# INSERT → the record errors (dirty), SKIP → keep the stored element,
+# MERGE → re-apply properties onto the existing element.
+#
+# Spark-first split: element mapping and DSL rendering are one Catalyst
+# projection (gdb_elements / gdb_statements — scripts are config-static,
+# only the param map varies per row); gdb_write applies the same UpdateMode
+# fold to a local element-store analog in gdb_read's dump schema, so a
+# write → gdb_read roundtrip closes the loop.
+# ---------------------------------------------------------------------------
+
+GDB_VAR = "GDB___"
+DEFAULT_BATCH_PROPERTY_NUM = 30  # GdbWriterConfig.DEFAULT_BATCH_PROPERTY_NUM
+
+
+def _gdb_spec(df: DataFrame, p: dict) -> dict:
+    kind = (p.get("labelType") or "VERTEX").upper()
+    cols = p.get("column", [])
+    spec = {"kind": kind, "id": None, "src": None, "dst": None,
+            "props": [], "json_props": []}
+    for c in cols:
+        ctype = c.get("columnType", "vertexProperty")
+        name = c["name"]
+        if ctype == "primaryKey":
+            spec["id"] = name
+        elif ctype == "srcPrimaryKey":
+            spec["src"] = name
+        elif ctype == "dstPrimaryKey":
+            spec["dst"] = name
+        elif ctype in ("vertexProperty", "edgeProperty"):
+            spec["props"].append((name, "single"))
+        elif ctype == "vertexSetProperty":
+            spec["props"].append((name, "set"))
+        elif ctype in ("vertexJsonProperty", "edgeJsonProperty"):
+            spec["json_props"].append(name)
+        else:
+            raise ValueError(f"gdbwriter: unknown columnType {ctype!r}")
+    if spec["id"] is None:
+        raise ValueError("gdbwriter: a primaryKey column is required")
+    if kind == "EDGE" and (spec["src"] is None or spec["dst"] is None):
+        raise ValueError("gdbwriter: EDGE needs srcPrimaryKey and "
+                         "dstPrimaryKey columns")
+    return spec
+
+
+def gdb_elements(df: DataFrame, p: dict) -> DataFrame:
+    """Map records to graph elements (gdb_read's dump schema): vertices
+    ``(id, label, properties)``, edges ``+ (from, to, fromLabel, toLabel)``.
+
+    ``idTransRule: labelPrefix`` prefixes ids with the label
+    (Key.IdTransRule; MappingRuleFactory) — the reference applies the same
+    rule to edge endpoints via src/dstIdTransRule, mirrored here.
+    """
+    spec = _gdb_spec(df, p)
+    label = p.get("label", "record")
+
+    def xid(col: Column, rule: str | None, lbl: str) -> Column:
+        if (rule or p.get("idTransRule", "none")) == "labelPrefix":
+            return F.concat(F.lit(lbl), F.lit(":"), col.cast("string"))
+        return col.cast("string")
+
+    prop_entries = [
+        F.struct(F.lit(n).alias("key"),
+                 F.col(n).cast("string").alias("value"))
+        for n, _card in spec["props"]
+    ]
+    props = (F.map_from_entries(F.array(*prop_entries)) if prop_entries
+             else F.expr("cast(map() as map<string,string>)"))
+    for jp in spec["json_props"]:
+        # {"properties":[{"k":...,"v":...}]} json bundles merge into the bag
+        bundle = F.map_from_entries(F.expr(
+            f"transform(from_json({jp}, "
+            "'struct<properties:array<struct<k:string,v:string>>>')"
+            ".properties, e -> struct(e.k as key, e.v as value))"))
+        props = F.map_zip_with(
+            props, F.coalesce(bundle,
+                              F.expr("cast(map() as map<string,string>)")),
+            lambda _k, v1, v2: F.coalesce(v2, v1))
+    out = [xid(F.col(spec["id"]), p.get("idTransRule"), label).alias("id"),
+           F.lit(label).alias("label"), props.alias("properties")]
+    if spec["kind"] == "EDGE":
+        src_l, dst_l = p.get("srcLabel", "v"), p.get("dstLabel", "v")
+        out += [xid(F.col(spec["src"]), p.get("srcIdTransRule"), src_l)
+                .alias("from"),
+                xid(F.col(spec["dst"]), p.get("dstIdTransRule"), dst_l)
+                .alias("to"),
+                F.lit(src_l).alias("fromLabel"),
+                F.lit(dst_l).alias("toLabel")]
+    return df.select(*out)
+
+
+def gdb_statements(df: DataFrame, p: dict) -> DataFrame:
+    """The parameterized Gremlin script stream (columns ``script``,
+    ``params``) a Gremlin driver task submits — ScriptGdbGraph.buildDsl
+    parity: GDB___-prefixed bind variables, ``.property(set, ...)`` for set
+    cardinality, property batches of ``maxPropertiesBatchNumber`` (first
+    batch rides the addV/addE, later batches become g.V(id) updates)."""
+    spec = _gdb_spec(df, p)
+    elems = gdb_elements(df, p)
+    batch_n = int(p.get("maxPropertiesBatchNumber",
+                        DEFAULT_BATCH_PROPERTY_NUM))
+    is_v = spec["kind"] != "EDGE"
+    props = spec["props"]
+
+    rows: list[tuple[Column, Column]] = []
+    batches = [props[i:i + batch_n] for i in range(0, len(props), batch_n)] \
+        or [[]]
+    for bi, batch in enumerate(batches):
+        first = bi == 0
+        if is_v:
+            script = (f"g.addV({GDB_VAR}label).property(id, {GDB_VAR}id)"
+                      if first else f"g.V({GDB_VAR}id)")
+        else:
+            script = (f"g.addE({GDB_VAR}label).property(id, {GDB_VAR}id)"
+                      f".from(V({GDB_VAR}from)).to(V({GDB_VAR}to))"
+                      if first else f"g.E({GDB_VAR}id)")
+        entries = [F.struct(F.lit(f"{GDB_VAR}id").alias("key"),
+                            F.col("id").alias("value"))]
+        if first:
+            entries.append(F.struct(F.lit(f"{GDB_VAR}label").alias("key"),
+                                    F.col("label").alias("value")))
+            if not is_v:
+                entries.append(F.struct(F.lit(f"{GDB_VAR}from").alias("key"),
+                                        F.col("from").alias("value")))
+                entries.append(F.struct(F.lit(f"{GDB_VAR}to").alias("key"),
+                                        F.col("to").alias("value")))
+        for i, (name, card) in enumerate(batch):
+            script += (f".property(set, {GDB_VAR}PK{i}, {GDB_VAR}PV{i})"
+                       if card == "set"
+                       else f".property({GDB_VAR}PK{i}, {GDB_VAR}PV{i})")
+            entries.append(F.struct(F.lit(f"{GDB_VAR}PK{i}").alias("key"),
+                                    F.lit(name).alias("value")))
+            entries.append(F.struct(
+                F.lit(f"{GDB_VAR}PV{i}").alias("key"),
+                F.col("properties").getItem(name).alias("value")))
+        rows.append((F.lit(script), F.map_from_entries(F.array(*entries))))
+    parts = [elems.select(s.alias("script"), m.alias("params"))
+             for s, m in rows]
+    out = parts[0]
+    for nxt in parts[1:]:
+        out = out.unionByName(nxt)
+    return out
+
+
+def _merge_props(acc: Column, new: Column) -> Column:
+    """Overlay ``new`` onto ``acc`` (new keys win) — the MERGE re-apply."""
+    return F.map_from_entries(F.concat(
+        F.filter(F.map_entries(acc),
+                 lambda e: ~F.map_contains_key(new, e["key"])),
+        F.map_entries(new)))
+
+
+def gdb_write(spark: SparkSession, df: DataFrame, p: dict) -> dict:
+    """Apply the writer's UpdateMode semantics to the local element-store
+    analog at ``p['path']`` (gdb_read dump schema, parquet): INSERT →
+    duplicate ids are dirty records (GdbDuplicateIdException → collector),
+    SKIP → stored element kept, MERGE → properties re-applied onto the
+    stored element. Batch-internal duplicates fold deterministically in
+    ascending (properties-json) order before the store merge."""
+    import os
+    import shutil
+    import uuid
+
+    mode = str(p.get("writeMode", "INSERT")).upper()
+    if mode not in ("INSERT", "SKIP", "MERGE"):
+        raise ValueError(f"gdbwriter: writeMode {mode!r} not in "
+                         "INSERT/SKIP/MERGE")
+    path = p["path"]
+    elems = gdb_elements(df, p)
+    extra = [c for c in elems.columns if c not in ("id", "properties")]
+
+    # deterministic batch-internal fold: one element per id, properties
+    # merged in ascending to_json order (arrival order is shuffle-dependent)
+    # MERGE folds duplicate properties; INSERT/SKIP keep ONE element (the
+    # reference would error/skip the later arrivals, never blend them)
+    merged_props = F.aggregate(
+        F.array_sort(
+            F.collect_list(F.struct("_ord", "properties")),
+            # structs holding maps aren't naturally orderable — compare the
+            # json sort key explicitly
+            lambda a, b: F.when(a["_ord"] < b["_ord"], F.lit(-1))
+                          .when(a["_ord"] > b["_ord"], F.lit(1))
+                          .otherwise(F.lit(0))),
+        F.expr("cast(map() as map<string,string>)"),
+        lambda acc, x: _merge_props(acc, x["properties"]))
+    first_props = F.min_by("properties", "_ord")
+    folded = (elems
+              .withColumn("_ord", F.to_json(F.struct("properties")))
+              .groupBy("id")
+              .agg((merged_props if mode == "MERGE" else first_props)
+                   .alias("properties"),
+                   *[F.max(c).alias(c) for c in extra],
+                   (F.count(F.lit(1)) - 1).alias("_dups")))
+
+    exists = os.path.isdir(path) and any(
+        not fn.startswith(("_", ".")) for fn in os.listdir(path))
+    n_dirty = 0
+    if mode == "INSERT":
+        n_dirty = folded.agg(F.sum("_dups")).first()[0] or 0
+    incoming = folded.drop("_dups")
+
+    if exists:
+        old = spark.read.parquet(path)
+        if mode == "INSERT":
+            n_dirty += incoming.join(old.select("id"), "id",
+                                     "left_semi").count()
+            fresh = incoming.join(old.select("id"), "id", "left_anti")
+            merged = old.unionByName(fresh)
+        elif mode == "SKIP":
+            fresh = incoming.join(old.select("id"), "id", "left_anti")
+            merged = old.unionByName(fresh)
+        else:  # MERGE: overlay incoming properties onto stored elements
+            joined = old.alias("o").join(
+                incoming.alias("n"), "id", "full_outer")
+            merged = joined.select(
+                "id",
+                F.coalesce(F.col("o.label"), F.col("n.label")).alias("label"),
+                F.when(F.col("n.properties").isNull(), F.col("o.properties"))
+                 .when(F.col("o.properties").isNull(), F.col("n.properties"))
+                 .otherwise(_merge_props(F.col("o.properties"),
+                                         F.col("n.properties")))
+                 .alias("properties"),
+                *[F.coalesce(F.col(f"o.{c}"), F.col(f"n.{c}")).alias(c)
+                  for c in extra if c != "label"])
+    else:
+        merged = incoming
+
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    merged.write.parquet(tmp)
+    n_rows = spark.read.parquet(tmp).count()
+    if exists:
+        back = f"{path}.old-{uuid.uuid4().hex[:8]}"
+        os.rename(path, back)
+        os.rename(tmp, path)
+        shutil.rmtree(back)
+    else:
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        os.rename(tmp, path)
+    return {"written": True, "rows": n_rows, "dirty": int(n_dirty)}

@@ -367,6 +367,22 @@ def mongodb_writer(df: DataFrame, p: dict) -> dict:
     return {"written": True}
 
 
+@writer("gdbwriter")
+def gdb_writer(df: DataFrame, p: dict) -> dict:
+    """gdbwriter: column/columnType element mapping, parameterized Gremlin
+    DSL rendering with property batching, INSERT/SKIP/MERGE duplicate-id
+    semantics (reference ScriptGdbGraph.java:26-187, DefaultGdbMapper.
+    java:45-120). ``statementsPath`` persists the (script, params) stream
+    (the cluster-mode artifact a Gremlin driver submits); ``path`` is the
+    local element-store analog in gdb_read's dump schema."""
+    from datax_spark.sources.nosql import gdb_statements, gdb_write
+
+    if p.get("statementsPath"):
+        gdb_statements(df, p).write.mode("overwrite").json(
+            p["statementsPath"])
+    return gdb_write(df.sparkSession, df, p)
+
+
 @writer("ocswriter")
 def ocs_writer(df: DataFrame, p: dict) -> dict:
     """ocswriter over the memcached text wire: delimiter-framed key/value
