@@ -1486,6 +1486,42 @@ def q_gdb_graph_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
              "columnType": "vertexProperty"}]})
 
 
+def q_neo4j_batch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """neo4jwriter (sources/neo4j_cypher.py — ValueAdapter's typed value
+    rules + UNWIND-batch framing; reference Neo4jClient.java:35-190): 300
+    orders are adapted (long/string/double/LOCAL_DATE typed properties) and
+    framed into batchSize-16 session batches, then the parameter stream is
+    exploded back to rows — the batches must carry every record exactly
+    once with types intact. Oracle selects the slice from parquet."""
+    from datax_spark.sources.neo4j_cypher import neo4j_batches
+
+    base = (
+        _t(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").cast("string").alias("okey"),
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_totalprice").cast("string").alias("total"),
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"))
+        .orderBy(F.col("okey").cast("long"))
+        .limit(300)
+    )
+    batches = neo4j_batches(base, {
+        "cypher": "unwind $batch as row merge (o:Order {id: row.okey}) "
+                  "set o += row",
+        "batchSize": 16,
+        "properties": [
+            {"name": "okey", "type": "long"},
+            {"name": "status", "type": "string"},
+            {"name": "total", "type": "double"},
+            {"name": "odate", "type": "LOCAL_DATE",
+             "dateFormat": "yyyy-MM-dd"},
+        ]})
+    return batches.select(F.explode("batch").alias("r")).select(
+        F.col("r.okey").alias("okey"),
+        F.col("r.status").alias("status"),
+        F.col("r.total").alias("total"),
+        F.date_format("r.odate", "yyyy-MM-dd").alias("odate"))
+
+
 def q_lake_objectfs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full CDC fold on a lake table whose METADATA lives on an object store
     (lake/objectstore.py: ObjectFS over the emulated client — conditional-PUT
@@ -2405,6 +2441,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kudu_upsert_roundtrip": q_kudu_upsert_roundtrip,
     "ocs_cache_roundtrip": q_ocs_cache_roundtrip,
     "gdb_graph_roundtrip": q_gdb_graph_roundtrip,
+    "neo4j_batch_roundtrip": q_neo4j_batch_roundtrip,
     "lake_objectfs_roundtrip": q_lake_objectfs_roundtrip,
     "lake_partial_update": q_lake_partial_update,
     "lake_agg_merge": q_lake_agg_merge,
@@ -2437,6 +2474,7 @@ FIXTURE_QUERIES: frozenset[str] = frozenset({
     "remote_object_roundtrip", "hbase_roundtrip", "mongo_export_roundtrip",
     "mongo_import_roundtrip", "cassandra_upsert_roundtrip",
     "kudu_upsert_roundtrip", "ocs_cache_roundtrip", "gdb_graph_roundtrip",
+    "neo4j_batch_roundtrip",
     "lake_objectfs_roundtrip", "lake_partial_update", "lake_agg_merge",
     "lake_widen_fold", "lake_point_lookup", "lake_pruned_read",
     "cdc_changelog_stream", "transcript_audit_incremental",
@@ -2505,6 +2543,13 @@ ORACLES: dict[str, str] = {
         FROM base
         UNION ALL
         SELECT 99999999 AS pk, 'fresh' AS name, 0.0 AS bal
+    """,
+    "neo4j_batch_roundtrip": """
+        SELECT CAST(o_orderkey AS BIGINT) AS okey,
+               o_orderstatus AS status,
+               CAST(o_totalprice AS DOUBLE) AS total,
+               strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS odate
+        FROM orders ORDER BY okey LIMIT 300
     """,
     "gdb_graph_roundtrip": """
         WITH base AS (

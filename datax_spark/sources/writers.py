@@ -367,6 +367,18 @@ def mongodb_writer(df: DataFrame, p: dict) -> dict:
     return {"written": True}
 
 
+@writer("neo4jwriter")
+def neo4j_writer(df: DataFrame, p: dict) -> dict:
+    """neo4jwriter: twenty-rule typed value adaptation + UNWIND-batch
+    framing around the user's Cypher (reference Neo4jClient.java:35-190,
+    ValueAdapter.java:14-77). Emits the (cypher, batch) parameter stream —
+    one row per session.run — to ``batchesPath``; a bolt-driver runner
+    replays it against the live endpoint."""
+    from datax_spark.sources.neo4j_cypher import neo4j_write
+
+    return neo4j_write(df, p)
+
+
 @writer("gdbwriter")
 def gdb_writer(df: DataFrame, p: dict) -> dict:
     """gdbwriter: column/columnType element mapping, parameterized Gremlin
