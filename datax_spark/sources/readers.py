@@ -579,6 +579,66 @@ def lake_reader(spark: SparkSession, p: dict) -> DataFrame:
     return _apply_pushdown(df, {k: v for k, v in p.items() if k != "where"})
 
 
+# ---------------------------------------------------------------------------
+# Reference plugin-name aliases.
+#
+# DataX ships ~20 RDBMS reader plugins that are one class each: a subclass of
+# CommonRdbmsReader pinned to a DataBaseType constant (mysqlreader/.../
+# MysqlReader.java:24, oraclereader, postgresqlreader, ...). The mechanism —
+# column/where/splitPk/fetchSize/querySql with range + string + quantile
+# splits — lives in the shared core, implemented here once as the DB-API
+# reader (sources/dbapi.py, tested over real sqlite3). Each reference name
+# resolves to that core (the dialect only matters on the write side, where
+# dbapi_write renders per-dialect upsert templates).
+_RDBMS_READER_NAMES = (
+    "mysqlreader", "oraclereader", "postgresqlreader", "sqlserverreader",
+    "rdbmsreader", "drdsreader", "gaussdbreader", "kingbaseesreader",
+    "oceanbasev10reader", "sybasereader", "dorisreader", "starrocksreader",
+    "tdenginereader",
+)
+for _n in _RDBMS_READER_NAMES:
+    READERS[_n] = dbapi_reader
+
+# hbase11xsqlreader (Phoenix 4.x over HBase 1.x) shares the Phoenix
+# splitPoints/thin-JDBC semantics of hbase20xsqlreader
+READERS["hbase11xsqlreader"] = READERS["hbase20xsqlreader"]
+
+
+@reader("hdfsreader")
+def hdfs_reader(spark: SparkSession, p: dict) -> DataFrame:
+    """hdfsreader (HdfsReader.java:82-89): fileType dispatch over the six
+    storage formats — TEXT/CSV delimited, ORC, PARQUET, SEQ, RC. Path
+    globbing, column specs, and compression ride each format reader."""
+    ft = str(p.get("fileType", "text")).lower()
+    target = {"text": "txtfilereader", "csv": "csvreader",
+              "orc": "orcreader", "parquet": "parquetreader",
+              "seq": "seqfilereader", "rc": "rcfilereader"}.get(ft)
+    if target is None:
+        raise ValueError(f"hdfsreader: unsupported fileType {ft!r}")
+    return READERS[target](spark, p)
+
+
+@reader("opentsdbreader")
+@reader("tsdbreader")
+def tsdb_reader(spark: SparkSession, p: dict) -> DataFrame:
+    """OpenTSDB/TSDB range read (TSDBReader.java:163-270): metric IN-list +
+    half-open [beginDateTime, endDateTime) + tag equality, pushed down into
+    the tall-series scan (sources/tsdb.py:series_read)."""
+    from datax_spark.sources.tsdb import series_read
+
+    fmt = p.get("format", "parquet")
+    src = spark.read.options(**p.get("options", {}))
+    df = src.parquet(p["path"]) if fmt == "parquet" else src.json(p["path"])
+    return series_read(
+        df, p["column"] if isinstance(p.get("column"), list)
+        else [p.get("metric")],
+        begin=p.get("beginDateTime"), end=p.get("endDateTime"),
+        tags=p.get("tags"), output=p.get("output", "rdb"),
+        metric_col=p.get("metricCol", "metric"),
+        ts_col=p.get("tsCol", "ts"), value_col=p.get("valueCol", "value"),
+        tag_cols=p.get("tagCols"))
+
+
 def _paths(p: dict) -> list[str]:
     path = p.get("path")
     if isinstance(path, str):

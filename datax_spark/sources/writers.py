@@ -438,6 +438,60 @@ def stream_writer(df: DataFrame, p: dict) -> dict:
     return {"shown": len(rows)}
 
 
+# ---------------------------------------------------------------------------
+# Reference plugin-name aliases.
+#
+# The reference's RDBMS writer plugins are one-class subclasses of
+# CommonRdbmsWriter pinned to a DataBaseType (mysqlwriter, oraclewriter,
+# hologresjdbcwriter, ...). They all route to the DB-API writer core with
+# the dialect recorded, so writeMode=replace/update renders that dialect's
+# upsert template (dbapi.write_sql_template). adbmysql/oceanbase/drds/ads/
+# doris/selectdb/databend speak the MySQL wire protocol; gaussdb/kingbasees/
+# adbpg/hologres speak PostgreSQL's.
+_RDBMS_WRITER_DIALECTS = {
+    "mysqlwriter": "mysql", "adbmysqlwriter": "mysql", "adswriter": "mysql",
+    "drdswriter": "mysql", "oceanbasev10writer": "mysql",
+    "databendwriter": "mysql", "selectdbwriter": "mysql",
+    "oraclewriter": "oracle", "postgresqlwriter": "postgresql",
+    "adbpgwriter": "postgresql", "gaussdbwriter": "postgresql",
+    "kingbaseeswriter": "postgresql", "hologresjdbcwriter": "postgresql",
+    "sqlserverwriter": "sqlserver", "sybasewriter": "sqlserver",
+    "rdbmswriter": None, "oscarwriter": None,
+}
+
+
+def _rdbms_alias(dialect):
+    def fn(df: DataFrame, p: dict) -> dict:
+        return dbapi_writer(df, {**({"dialect": dialect} if dialect else {}),
+                                 **p})
+    return fn
+
+
+for _n, _d in _RDBMS_WRITER_DIALECTS.items():
+    WRITERS[_n] = _rdbms_alias(_d)
+
+# bulk-appender dialect names → the proven bulk/wire cores
+WRITERS["elasticsearchwriter"] = WRITERS["eswriter"]
+WRITERS["hbase094xwriter"] = WRITERS["hbase11xwriter"]
+WRITERS["hbase11xsqlwriter"] = WRITERS["dbapiwriter"]
+WRITERS["hbase20xsqlwriter"] = WRITERS["dbapiwriter"]
+WRITERS["tdenginewriter"] = WRITERS["dbapiwriter"]
+
+
+@writer("hdfswriter")
+def hdfs_writer(df: DataFrame, p: dict) -> dict:
+    """hdfswriter (HdfsWriter.java fileType dispatch): TEXT/CSV delimited,
+    ORC, PARQUET, RC — writeMode append/nonConflict/truncate and the
+    two-phase tmp→rename commit ride each format writer."""
+    ft = str(p.get("fileType", "text")).lower()
+    target = {"text": "txtfilewriter", "csv": "csvwriter",
+              "orc": "orcwriter", "parquet": "parquetwriter",
+              "rc": "rcfilewriter"}.get(ft)
+    if target is None:
+        raise ValueError(f"hdfswriter: unsupported fileType {ft!r}")
+    return WRITERS[target](df, p)
+
+
 def build_writer(df: DataFrame, name: str, parameter: dict) -> dict:
     if name not in WRITERS:
         raise KeyError(f"unknown writer {name!r}; available: {sorted(WRITERS)}")

@@ -1,0 +1,93 @@
+"""Reference plugin-name aliases resolve to the proven cores.
+
+A reference job config names plugins like mysqlreader / hologresjdbcwriter /
+hdfsreader; each is a one-class dialect pin over a shared core in the
+reference (CommonRdbmsReader/Writer, HdfsReader fileType dispatch). The
+aliases route those names to this package's implementations so the config's
+reader/writer names resolve unchanged.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datax_spark.sources.readers import READERS, build_reader
+from datax_spark.sources.writers import WRITERS, build_writer
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_rdbms_reader_names_resolve_to_dbapi_core():
+    for n in ("mysqlreader", "oraclereader", "postgresqlreader",
+              "sqlserverreader", "rdbmsreader", "drdsreader",
+              "gaussdbreader", "oceanbasev10reader", "starrocksreader"):
+        assert READERS[n] is READERS["dbapireader"], n
+
+
+def test_rdbms_writer_names_inject_their_dialect(spark, tmp_path):
+    import sqlite3
+
+    db = str(tmp_path / "t.db")
+    with sqlite3.connect(db) as c:
+        c.execute("CREATE TABLE t (k INTEGER PRIMARY KEY, v TEXT)")
+    df = spark.range(10).select(F.col("id").alias("k"),
+                                F.lit("x").alias("v"))
+    # generic-dialect alias executes against the sqlite backend end-to-end
+    r = build_writer(df, "rdbmswriter", {
+        "database": db, "table": "t", "writeMode": "insert"})
+    with sqlite3.connect(db) as c:
+        assert c.execute("SELECT count(*) FROM t").fetchone()[0] == 10
+    assert r is not None
+    # dialect-pinned aliases exist and are distinct wrappers over the core
+    for n in ("mysqlwriter", "hologresjdbcwriter", "adbpgwriter",
+              "oraclewriter", "sqlserverwriter", "databendwriter"):
+        assert n in WRITERS, n
+
+
+def test_mysql_dialect_alias_renders_mysql_upsert_template():
+    from datax_spark.sources.dbapi import get_write_template
+
+    sql = get_write_template("mysql", "replace", "t", ["k", "v"], ["k"])
+    assert sql.upper().startswith("REPLACE INTO")
+
+
+def test_hdfsreader_filetype_dispatch(spark, tmp_path):
+    df = build_reader(spark, "hdfsreader", {
+        "fileType": "parquet", "path": f"{SF}/region.parquet",
+        "columns": ["r_regionkey", "r_name"]})
+    assert df.count() == 5 and set(df.columns) == {"r_regionkey", "r_name"}
+    with pytest.raises(ValueError, match="fileType"):
+        build_reader(spark, "hdfsreader", {"fileType": "avro", "path": "x"})
+
+
+def test_hdfswriter_filetype_dispatch_roundtrip(spark, tmp_path):
+    out = str(tmp_path / "out")
+    df = spark.range(20).select(F.col("id"), F.lit("r").alias("v"))
+    r = build_writer(df, "hdfswriter", {
+        "fileType": "parquet", "path": out, "writeMode": "truncate"})
+    assert r["mode"] == "overwrite"
+    assert spark.read.parquet(out).count() == 20
+    with pytest.raises(ValueError, match="fileType"):
+        build_writer(df, "hdfswriter", {"fileType": "avro", "path": out})
+
+
+def test_tsdbreader_alias_range_read(spark, tmp_path):
+    src = str(tmp_path / "series")
+    spark.createDataFrame(
+        [("cpu", 1000, 0.5, "h1"), ("cpu", 2000, 0.7, "h1"),
+         ("mem", 1500, 0.9, "h1"), ("cpu", 3000, 0.2, "h2")],
+        "metric string, ts long, value double, host string",
+    ).write.parquet(src)
+    got = build_reader(spark, "opentsdbreader", {
+        "path": src, "column": ["cpu"],
+        "beginDateTime": 1000, "endDateTime": 3000})
+    rows = got.collect()
+    assert len(rows) == 2  # half-open window, metric-filtered
+
+
+def test_bulk_and_sql_over_nosql_aliases_resolve():
+    assert WRITERS["elasticsearchwriter"] is WRITERS["eswriter"]
+    assert WRITERS["hbase094xwriter"] is WRITERS["hbase11xwriter"]
+    assert WRITERS["hbase20xsqlwriter"] is WRITERS["dbapiwriter"]
+    assert READERS["hbase11xsqlreader"] is READERS["hbase20xsqlreader"]
