@@ -177,27 +177,45 @@ def memcached_get(spark: SparkSession, host: str, port: int,
     point-lookup store, not a scan source."""
     out: list[tuple] = []
     sock = socket.create_connection((host, port), timeout=30)
+
+    def read_until(buf: bytearray, n: int) -> None:
+        while len(buf) < n:
+            got = sock.recv(65536)
+            if not got:
+                raise ConnectionError("memcached closed during get")
+            buf.extend(got)
+
+    def read_line(buf: bytearray) -> bytes:
+        while b"\r\n" not in buf:
+            got = sock.recv(65536)
+            if not got:
+                raise ConnectionError("memcached closed during get")
+            buf.extend(got)
+        i = buf.index(b"\r\n")
+        line = bytes(buf[:i])
+        del buf[:i + 2]
+        return line
+
     try:
         for i in range(0, len(keys), 64):
             chunk = keys[i:i + 64]
             sock.sendall(("get " + " ".join(chunk) + "\r\n").encode())
-            buf = b""
-            while not buf.endswith(b"END\r\n"):
-                got = sock.recv(65536)
-                if not got:
-                    raise ConnectionError("memcached closed during get")
-                buf += got
-            lines = buf.split(b"\r\n")
-            j = 0
-            while j < len(lines):
-                if lines[j].startswith(b"VALUE "):
-                    key = lines[j].split()[1].decode()
-                    val = lines[j + 1].decode("utf-8")
-                    out.append((key, *val.split(delimiter)) if columns
-                               else (key, val))
-                    j += 2
-                else:
-                    j += 1
+            buf = bytearray()
+            while True:
+                # length-aware parse: data blocks are length-prefixed and may
+                # legally contain \r\n, so never line-split blindly
+                line = read_line(buf)
+                if line == b"END":
+                    break
+                if not line.startswith(b"VALUE "):
+                    raise ConnectionError(f"unexpected reply {line!r}")
+                _, key, _flags, nbytes = line.split()[:4]
+                n = int(nbytes)
+                read_until(buf, n + 2)
+                val = bytes(buf[:n]).decode("utf-8")
+                del buf[:n + 2]
+                out.append((key.decode(), *val.split(delimiter)) if columns
+                           else (key.decode(), val))
     finally:
         sock.close()
     if columns:

@@ -121,3 +121,18 @@ def test_registry_entry(spark, mc):
                      {"proxy": "127.0.0.1", "port": mc.port,
                       "writeMode": "set"})
     assert r["stored"] == 8
+
+
+def test_values_containing_crlf_roundtrip(spark, mc):
+    # data blocks are length-prefixed on the wire, so a cell with \r\n is
+    # protocol-legal — the get parser must not line-split blindly
+    df = spark.createDataFrame([("k1", "line1\r\nline2"), ("k2", "END\r\n")],
+                               "uid string, v string")
+    p = {"proxy": "127.0.0.1", "port": mc.port, "writeMode": "set",
+         "fieldDelimiter": "|"}
+    r = memcached_write(df, p)
+    assert r["stored"] == 2
+    back = memcached_get(spark, "127.0.0.1", mc.port, ["k1", "k2"],
+                         delimiter="|", columns=["uid", "v"])
+    got = {r.key: r.v for r in back.collect()}
+    assert got == {"k1": "line1\r\nline2", "k2": "END\r\n"}
