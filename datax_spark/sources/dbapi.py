@@ -38,10 +38,14 @@ def get_write_template(
     ``%s``-style placeholders are rendered as the dialect's paramstyle marker
     (``?`` for sqlite, ``%s`` for mysql/postgres).
     """
-    mark = "?" if dialect == "sqlite" else "%s"
+    mark = "?" if dialect in ("sqlite", "phoenix") else "%s"
     cols = ", ".join(columns)
     vals = ", ".join([mark] * len(columns))
     mode = {"upsert": "update"}.get(write_mode, write_mode)
+    if dialect == "phoenix" and mode in ("insert", "replace", "update"):
+        # Phoenix SQL (hbase11x/20xsqlwriter) has exactly one DML verb:
+        # UPSERT VALUES — insert/replace/update all render it
+        return f"UPSERT INTO {table} ({cols}) VALUES ({vals})"
     if mode == "insert":
         return f"INSERT INTO {table} ({cols}) VALUES ({vals})"
     if mode == "replace":

@@ -473,8 +473,8 @@ for _n, _d in _RDBMS_WRITER_DIALECTS.items():
 # bulk-appender dialect names → the proven bulk/wire cores
 WRITERS["elasticsearchwriter"] = WRITERS["eswriter"]
 WRITERS["hbase094xwriter"] = WRITERS["hbase11xwriter"]
-WRITERS["hbase11xsqlwriter"] = WRITERS["dbapiwriter"]
-WRITERS["hbase20xsqlwriter"] = WRITERS["dbapiwriter"]
+WRITERS["hbase11xsqlwriter"] = _rdbms_alias("phoenix")
+WRITERS["hbase20xsqlwriter"] = _rdbms_alias("phoenix")
 WRITERS["tdenginewriter"] = WRITERS["dbapiwriter"]
 
 

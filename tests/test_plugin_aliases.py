@@ -89,5 +89,16 @@ def test_tsdbreader_alias_range_read(spark, tmp_path):
 def test_bulk_and_sql_over_nosql_aliases_resolve():
     assert WRITERS["elasticsearchwriter"] is WRITERS["eswriter"]
     assert WRITERS["hbase094xwriter"] is WRITERS["hbase11xwriter"]
-    assert WRITERS["hbase20xsqlwriter"] is WRITERS["dbapiwriter"]
+    assert "hbase20xsqlwriter" in WRITERS  # phoenix-dialect dbapi wrapper
     assert READERS["hbase11xsqlreader"] is READERS["hbase20xsqlreader"]
+
+
+def test_phoenix_dialect_renders_upsert_only():
+    from datax_spark.sources.dbapi import get_write_template
+
+    for mode in ("insert", "replace", "update"):
+        sql = get_write_template("phoenix", mode, "t", ["k", "v"], ["k"])
+        assert sql.startswith("UPSERT INTO t"), (mode, sql)
+    # and the delete path stays a keyed DELETE
+    assert get_write_template("phoenix", "delete", "t", ["k"]).startswith(
+        "DELETE FROM t")
