@@ -602,6 +602,14 @@ for _n in _RDBMS_READER_NAMES:
 # hbase11xsqlreader (Phoenix 4.x over HBase 1.x) shares the Phoenix
 # splitPoints/thin-JDBC semantics of hbase20xsqlreader
 READERS["hbase11xsqlreader"] = READERS["hbase20xsqlreader"]
+# hbase094x speaks the same REST scan surface as the 1.x gateway reader
+READERS["hbase094xreader"] = READERS["hbase11xreader"]
+# odpsreader (partitioned lake scan) and otsreader (keyed PK-range scan)
+# are the lake table's read modes in this engine — documented analogs
+# (SURVEY §2.1 #7/#13): partition pruning = bucket/zone-map pruning,
+# GetRow = keyed lookup pushdown
+READERS["odpsreader"] = READERS["lakereader"]
+READERS["otsreader"] = READERS["lakereader"]
 
 
 @reader("hdfsreader")

@@ -476,6 +476,11 @@ WRITERS["hbase094xwriter"] = WRITERS["hbase11xwriter"]
 WRITERS["hbase11xsqlwriter"] = _rdbms_alias("phoenix")
 WRITERS["hbase20xsqlwriter"] = _rdbms_alias("phoenix")
 WRITERS["tdenginewriter"] = WRITERS["dbapiwriter"]
+# odpswriter (partitioned block write) and otswriter (keyed PUT/UPDATE/
+# DELETE) are the lake writer's modes — documented analogs (SURVEY §2.4
+# #29/#32): blocks = snapshot-committed appends, keyed ops = MERGE apply
+WRITERS["odpswriter"] = WRITERS["lakewriter"]
+WRITERS["otswriter"] = WRITERS["lakewriter"]
 
 
 @writer("hdfswriter")

@@ -102,3 +102,11 @@ def test_phoenix_dialect_renders_upsert_only():
     # and the delete path stays a keyed DELETE
     assert get_write_template("phoenix", "delete", "t", ["k"]).startswith(
         "DELETE FROM t")
+
+
+def test_lake_and_hbase094_aliases_resolve():
+    assert READERS["odpsreader"] is READERS["lakereader"]
+    assert READERS["otsreader"] is READERS["lakereader"]
+    assert READERS["hbase094xreader"] is READERS["hbase11xreader"]
+    assert WRITERS["odpswriter"] is WRITERS["lakewriter"]
+    assert WRITERS["otswriter"] is WRITERS["lakewriter"]
