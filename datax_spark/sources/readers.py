@@ -612,6 +612,25 @@ READERS["odpsreader"] = READERS["lakereader"]
 READERS["otsreader"] = READERS["lakereader"]
 
 
+@reader("datahubreader")
+@reader("loghubreader")
+def loghub_reader(spark: SparkSession, p: dict) -> DataFrame:
+    """loghub/datahub batch pull (LogHubReader's cursor-window analog —
+    reference loghubreader pulls [beginCursor, endCursor) per shard): the
+    keyed epoch=K/shard=S feed layout IS the topic; ``beginEpoch``/
+    ``endEpoch`` select the half-open cursor window via partition pruning
+    (epoch is a partition column — no data read outside the window), and
+    ``shards`` restricts to a shard subset like a consumer group split."""
+    df = spark.read.options(**p.get("options", {})).parquet(p["path"])
+    if p.get("beginEpoch") is not None:
+        df = df.filter(F.col("epoch") >= int(p["beginEpoch"]))
+    if p.get("endEpoch") is not None:
+        df = df.filter(F.col("epoch") < int(p["endEpoch"]))
+    if p.get("shards"):
+        df = df.filter(F.col("shard").isin([int(x) for x in p["shards"]]))
+    return _apply_pushdown(df, p)
+
+
 @reader("hdfsreader")
 def hdfs_reader(spark: SparkSession, p: dict) -> DataFrame:
     """hdfsreader (HdfsReader.java:82-89): fileType dispatch over the six

@@ -483,6 +483,45 @@ WRITERS["odpswriter"] = WRITERS["lakewriter"]
 WRITERS["otswriter"] = WRITERS["lakewriter"]
 
 
+@writer("datahubwriter")
+@writer("loghubwriter")
+def loghub_writer(df: DataFrame, p: dict) -> dict:
+    """loghub/datahub topic appender: writes ONE epoch of the key-sharded
+    change-feed layout (epoch=K/shard=S parquet + the _dsx_feed.json
+    alignment contract) that CdcEngine and the changelog streaming source
+    tail — the reference LogHubWriter's keyed-shard put, re-expressed as a
+    partitioned columnar append. When the downstream table buckets by the
+    same key hash and modulus, consumption rides the zero-shuffle aligned
+    apply path."""
+    import json as _json
+    import os
+
+    path = p["path"]
+    key = p.get("shardKey", "conv_id")
+    n = int(p.get("shards", 32))
+    if p.get("epoch") is not None:
+        epoch = int(p["epoch"])
+    else:
+        existing = [int(d.split("=", 1)[1]) for d in os.listdir(path)
+                    if d.startswith("epoch=")] if os.path.isdir(path) else []
+        epoch = max(existing, default=-1) + 1
+    shard = F.when(F.col(key).isNull(), F.lit(None).cast("long"))         .otherwise(F.pmod(F.xxhash64(F.col(key)), F.lit(n)))
+    (df.withColumn("epoch", F.lit(epoch))
+       .withColumn("shard", shard)
+       .repartition(n, "shard")
+       .write.mode("append").partitionBy("epoch", "shard").parquet(path))
+    manifest = os.path.join(path, "_dsx_feed.json")
+    if not os.path.exists(manifest):
+        with open(manifest, "w") as f:
+            _json.dump({
+                "shards_per_epoch": n,
+                "shard_fn": f"pmod(xxhash64({key}), shards_per_epoch)",
+                "key_cols": [key, "turn_idx"],
+                "seq_col": "seq",
+            }, f)
+    return {"epoch": epoch, "shards": n, "path": path}
+
+
 @writer("hdfswriter")
 def hdfs_writer(df: DataFrame, p: dict) -> dict:
     """hdfswriter (HdfsWriter.java fileType dispatch): TEXT/CSV delimited,
