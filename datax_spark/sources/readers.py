@@ -666,6 +666,11 @@ def tsdb_reader(spark: SparkSession, p: dict) -> DataFrame:
         tag_cols=p.get("tagCols"))
 
 
+# otsstreamreader (the CDC tail) batch-pulls an epoch window of the keyed
+# feed — the engine/streaming source are its continuous forms
+READERS["otsstreamreader"] = READERS["loghubreader"]
+
+
 def _paths(p: dict) -> list[str]:
     path = p.get("path")
     if isinstance(path, str):

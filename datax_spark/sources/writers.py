@@ -481,6 +481,9 @@ WRITERS["tdenginewriter"] = WRITERS["dbapiwriter"]
 # #29/#32): blocks = snapshot-committed appends, keyed ops = MERGE apply
 WRITERS["odpswriter"] = WRITERS["lakewriter"]
 WRITERS["otswriter"] = WRITERS["lakewriter"]
+# the reference kuduwriter plugin dir registers itself as kudu11xwriter;
+# accept both spellings
+WRITERS["kuduwriter"] = WRITERS["kudu11xwriter"]
 
 
 @writer("datahubwriter")

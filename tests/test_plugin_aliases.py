@@ -110,3 +110,19 @@ def test_lake_and_hbase094_aliases_resolve():
     assert READERS["hbase094xreader"] is READERS["hbase11xreader"]
     assert WRITERS["odpswriter"] is WRITERS["lakewriter"]
     assert WRITERS["otswriter"] is WRITERS["lakewriter"]
+
+
+def test_every_reference_plugin_name_resolves():
+    """The full coverage statement: every reader/writer plugin directory in
+    the reference repo has a registry entry here (implementation, analog,
+    or dialect alias — see SURVEY §2 for which is which)."""
+    import os
+
+    ref_root = "/root/reference"
+    if not os.path.isdir(ref_root):
+        pytest.skip("reference repo not present")
+    ref = [d for d in os.listdir(ref_root)
+           if d.endswith("reader") or d.endswith("writer")]
+    missing = [n for n in sorted(ref)
+               if n not in READERS and n not in WRITERS]
+    assert not missing, missing
