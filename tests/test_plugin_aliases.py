@@ -126,3 +126,33 @@ def test_every_reference_plugin_name_resolves():
     missing = [n for n in sorted(ref)
                if n not in READERS and n not in WRITERS]
     assert not missing, missing
+
+
+def test_cli_runs_reference_named_job_cross_process(tmp_path):
+    """`python -m datax_spark job.json` (the reference's `python datax.py
+    job.json` UX) executes a job whose reader/writer use REFERENCE plugin
+    names end-to-end in a fresh process."""
+    import json
+    import sqlite3
+    import subprocess
+    import sys
+
+    db = str(tmp_path / "t.db")
+    with sqlite3.connect(db) as c:
+        c.execute("CREATE TABLE regions (r_regionkey INTEGER, r_name TEXT)")
+    job = {"job": {"content": [{
+        "reader": {"name": "hdfsreader", "parameter": {
+            "fileType": "parquet", "path": f"{SF}/region.parquet",
+            "columns": ["r_regionkey", "r_name"]}},
+        "writer": {"name": "rdbmswriter", "parameter": {
+            "database": db, "table": "regions", "writeMode": "insert"}},
+    }]}}
+    jp = tmp_path / "job.json"
+    jp.write_text(json.dumps(job))
+    r = subprocess.run(
+        [sys.executable, "-m", "datax_spark", str(jp),
+         "--master", "local[2]", "--shuffle-partitions", "4"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    with sqlite3.connect(db) as c:
+        assert c.execute("SELECT count(*) FROM regions").fetchone()[0] == 5
