@@ -410,6 +410,12 @@ def dbapi_write(
     ``{"written": n, "dirty": n, "dirty_reasons": {...}}``.
     """
     dialect = dialect or ("sqlite" if driver == "sqlite3" else driver)
+    if dialect == "phoenix" and driver == "sqlite3":
+        # UPSERT INTO is not sqlite SQL — executing it would per-row-fail
+        # every record into quarantine and report a "successful" empty write
+        raise ValueError(
+            "dialect=phoenix renders Phoenix UPSERT SQL; point 'driver' at "
+            "a Phoenix thin DB-API driver (e.g. phoenixdb), not sqlite3")
     columns = list(df.columns)
     sql = get_write_template(dialect, write_mode, table, columns, key_cols)
     run_sql(driver, database, pre_sql or [], connect_args)

@@ -40,9 +40,8 @@ a real Kudu session fans out to tablet servers.
 
 from __future__ import annotations
 
-import os
-import shutil
-import uuid
+
+from datax_spark.sources.store_swap import staged_swap, store_exists
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -263,9 +262,7 @@ def kudu_write(spark: SparkSession, df: DataFrame, p: dict) -> dict:
         routed = routed.filter(F.col("_tablet") >= 0)
 
         # tablet dirs are `_tablet=N` — underscore-prefixed but real data
-        exists = os.path.isdir(path) and any(
-            fn.startswith("_tablet=") or not fn.startswith(("_", "."))
-            for fn in os.listdir(path))
+        exists = store_exists(path, ("_tablet=",))
         old = spark.read.parquet(path).select(*names) if exists else None
 
         n_conflict = 0
@@ -302,20 +299,15 @@ def kudu_write(spark: SparkSession, df: DataFrame, p: dict) -> dict:
         else:
             merged = incoming
 
-        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
-        merged.repartition(max(n_tablets, 1), "_tablet") \
-              .write.partitionBy("_tablet").parquet(tmp)
-        n_rows = spark.read.parquet(tmp).count()
-        if exists:
-            back = f"{path}.old-{uuid.uuid4().hex[:8]}"
-            os.rename(path, back)
-            os.rename(tmp, path)
-            shutil.rmtree(back)
-        else:
-            if os.path.isdir(path):
-                shutil.rmtree(path)
-            os.rename(tmp, path)
-        return {"written": True, "rows": n_rows,
+        counted = {}
+
+        def write_tmp(tmp: str) -> None:
+            merged.repartition(max(n_tablets, 1), "_tablet") \
+                  .write.partitionBy("_tablet").parquet(tmp)
+            counted["rows"] = spark.read.parquet(tmp).count()
+
+        staged_swap(path, write_tmp)
+        return {"written": True, "rows": counted["rows"],
                 "dirty": n_dirty + n_uncovered
                 + (n_conflict if spec["insert_mode"] == "insert"
                    and spec["skip_fail"] else 0),

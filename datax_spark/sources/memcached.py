@@ -128,6 +128,16 @@ def memcached_write(df: DataFrame, p: dict) -> dict:
 
         def write_partition(rows):
             stored = failed = 0
+            # peek before connecting: empty partitions (filtered/small
+            # inputs under many shuffle partitions) must not cost the cache
+            # endpoint a connect/close round-trip each
+            first = next(rows, None)
+            if first is None:
+                yield (0, 0)
+                return
+            import itertools
+
+            rows = itertools.chain([first], rows)
             sock = socket.create_connection((host, port), timeout=30)
             try:
                 pend: list[tuple[str, bytes]] = []
@@ -136,19 +146,30 @@ def memcached_write(df: DataFrame, p: dict) -> dict:
                     nonlocal stored, failed
                     if not pend:
                         return
-                    payload = b"".join(
-                        f"{mode} {k} 0 {exptime} {len(v)}\r\n".encode()
-                        + v + b"\r\n" for k, v in pend)
+                    todo = list(pend)
                     for attempt in range(retries):
+                        payload = b"".join(
+                            f"{mode} {k} 0 {exptime} {len(v)}\r\n".encode()
+                            + v + b"\r\n" for k, v in todo)
                         sock.sendall(payload)
-                        replies = _drain(sock, len(pend))
-                        if mode in RETRIED_MODES and attempt < retries - 1 \
-                                and any(r.startswith("SERVER_ERROR")
-                                        for r in replies):
-                            continue  # transient server error: retry batch
+                        replies = _drain(sock, len(todo))
+                        # retry ONLY the transient-errored commands: re-
+                        # offering keys that already STORED would return
+                        # NOT_STORED under add/replace and corrupt the
+                        # dirty tally (the reference's per-record retry has
+                        # the same only-failures-retry shape)
+                        errored = [i for i, r in enumerate(replies)
+                                   if r.startswith("SERVER_ERROR")]
+                        done = [r for i, r in enumerate(replies)
+                                if i not in set(errored)]
+                        stored += sum(r == "STORED" for r in done)
+                        if mode in RETRIED_MODES and errored \
+                                and attempt < retries - 1:
+                            todo = [todo[i] for i in errored]
+                            continue
+                        failed += sum(r != "STORED" for r in done)
+                        failed += len(errored)
                         break
-                    stored += sum(r == "STORED" for r in replies)
-                    failed += sum(r != "STORED" for r in replies)
                     pend.clear()
 
                 for r in rows:

@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from datax_spark.sources.store_swap import staged_swap, store_exists
+
 _ID = "_id"
 
 
@@ -256,18 +258,13 @@ def mongo_import_write(
     The replaced dump is staged to a sibling temp directory and swapped in
     with POSIX renames (on an object store the same two steps are a manifest
     pointer flip, as in lake/table.py)."""
-    import os
-    import shutil
-    import uuid
-
     lines = mongo_import_lines(df, columns)
     if partitions:
         lines = lines.coalesce(partitions)
     mode = write_mode or {}
     is_replace = bool(mode.get("is_replace"))
     key = mode.get("replace_key")
-    exists = os.path.isdir(path) and any(
-        not fn.startswith(("_", ".")) for fn in os.listdir(path))
+    exists = store_exists(path)
     if not is_replace or not key or not exists:
         lines.write.mode("append").text(path)
         return
@@ -283,9 +280,6 @@ def mongo_import_write(
         .alias("_k"), "value")
     kept = old.join(new.select("_k"), "_k", "left_anti")
     merged = kept.unionByName(new).select("value")
-    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
-    merged.write.text(tmp)  # materialize BEFORE touching the input dir
-    back = f"{path}.old-{uuid.uuid4().hex[:8]}"
-    os.rename(path, back)
-    os.rename(tmp, path)
-    shutil.rmtree(back)
+    # materialize to tmp BEFORE touching the input dir (plans are lazy —
+    # an in-place write would race its own scan)
+    staged_swap(path, lambda tmp: merged.write.text(tmp))

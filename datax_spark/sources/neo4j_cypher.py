@@ -78,11 +78,15 @@ def neo4j_value_expr(prop: dict) -> Column:
                         lambda s: s.try_cast(_ARRAY_ELEM[ptype])))
         return arr
     if ptype == "local_date":
+        # try_*: a malformed cell degrades to NULL like every numeric type
+        # above, instead of ANSI-crashing the whole job
         fmt = prop.get("dateFormat", "yyyy-MM-dd")
-        return F.to_date(raw, fmt)
+        return F.try_to_timestamp(raw, F.lit(fmt)).cast("date")
     if ptype in ("local_time", "local_date_time"):
-        fmt = prop.get("dateFormat", "yyyy-MM-dd HH:mm:ss")
-        return F.to_timestamp(raw, fmt)
+        fmt = prop.get("dateFormat",
+                       "HH:mm:ss" if ptype == "local_time"
+                       else "yyyy-MM-dd HH:mm:ss")
+        return F.try_to_timestamp(raw, F.lit(fmt))
     raise ValueError(f"neo4jwriter: unsupported property type {ptype!r} "
                      f"for {name!r}")
 

@@ -30,6 +30,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import MapType
 
+from datax_spark.sources.store_swap import staged_swap, store_exists
+
 MURMUR3_MIN = -(2**63)
 MURMUR3_MAX = 2**63 - 1
 RANDOM_MIN = -1
@@ -261,10 +263,6 @@ def cassandra_write(spark: SparkSession, df: DataFrame, p: dict) -> dict:
     max-by-writetime-then-arbitrary-max (deterministic under Spark's
     unordered shuffle). The analog table is staged and swapped like
     mongo_import_write."""
-    import os
-    import shutil
-    import uuid
-
     path = p["path"]
     pk = p["pk"] if isinstance(p["pk"], list) else [p["pk"]]
     ts_col = p.get("writeTimestampColumn")
@@ -274,8 +272,7 @@ def cassandra_write(spark: SparkSession, df: DataFrame, p: dict) -> dict:
             if ts_col else F.lit(float("inf")))
     # a NULL writetime on an incoming row means "now" — it wins
     new = new.withColumn("_w", F.coalesce(prio, F.lit(float("inf"))))
-    exists = os.path.isdir(path) and any(
-        not fn.startswith(("_", ".")) for fn in os.listdir(path))
+    exists = store_exists(path)
     if exists:
         old = spark.read.parquet(path).select(*cols)
         # stored rows compete with their own writetime when the table carries
@@ -292,17 +289,7 @@ def cassandra_write(spark: SparkSession, df: DataFrame, p: dict) -> dict:
                                       if c not in pk]))
     folded = ranked.groupBy(*pk).agg(F.max("_s").alias("_s")).select(
         *pk, *[F.col(f"_s.{c}").alias(c) for c in cols if c not in pk])
-    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
-    folded.write.parquet(tmp)
-    if exists:
-        back = f"{path}.old-{uuid.uuid4().hex[:8]}"
-        os.rename(path, back)
-        os.rename(tmp, path)
-        shutil.rmtree(back)
-    else:
-        if os.path.isdir(path):
-            shutil.rmtree(path)
-        os.rename(tmp, path)
+    staged_swap(path, lambda tmp: folded.write.parquet(tmp))
     return {"written": True}
 
 
@@ -493,7 +480,7 @@ def gdb_statements(df: DataFrame, p: dict) -> DataFrame:
     is_v = spec["kind"] != "EDGE"
     props = spec["props"]
 
-    rows: list[tuple[Column, Column]] = []
+    rows: list[Column] = []
     batches = [props[i:i + batch_n] for i in range(0, len(props), batch_n)] \
         or [[]]
     for bi, batch in enumerate(batches):
@@ -524,13 +511,13 @@ def gdb_statements(df: DataFrame, p: dict) -> DataFrame:
             entries.append(F.struct(
                 F.lit(f"{GDB_VAR}PV{i}").alias("key"),
                 F.col("properties").getItem(name).alias("value")))
-        rows.append((F.lit(script), F.map_from_entries(F.array(*entries))))
-    parts = [elems.select(s.alias("script"), m.alias("params"))
-             for s, m in rows]
-    out = parts[0]
-    for nxt in parts[1:]:
-        out = out.unionByName(nxt)
-    return out
+        rows.append(F.struct(
+            F.lit(script).alias("script"),
+            F.map_from_entries(F.array(*entries)).alias("params")))
+    # ONE projection + explode — a union of per-batch branches would
+    # re-evaluate gdb_elements (and re-scan the input) once per batch
+    return elems.select(F.explode(F.array(*rows)).alias("s")) \
+        .select("s.script", "s.params")
 
 
 def _merge_props(acc: Column, new: Column) -> Column:
@@ -548,10 +535,6 @@ def gdb_write(spark: SparkSession, df: DataFrame, p: dict) -> dict:
     SKIP → stored element kept, MERGE → properties re-applied onto the
     stored element. Batch-internal duplicates fold deterministically in
     ascending (properties-json) order before the store merge."""
-    import os
-    import shutil
-    import uuid
-
     mode = str(p.get("writeMode", "INSERT")).upper()
     if mode not in ("INSERT", "SKIP", "MERGE"):
         raise ValueError(f"gdbwriter: writeMode {mode!r} not in "
@@ -583,8 +566,7 @@ def gdb_write(spark: SparkSession, df: DataFrame, p: dict) -> dict:
                    *[F.max(c).alias(c) for c in extra],
                    (F.count(F.lit(1)) - 1).alias("_dups")))
 
-    exists = os.path.isdir(path) and any(
-        not fn.startswith(("_", ".")) for fn in os.listdir(path))
+    exists = store_exists(path)
     n_dirty = 0
     if mode == "INSERT":
         n_dirty = folded.agg(F.sum("_dups")).first()[0] or 0
@@ -616,16 +598,11 @@ def gdb_write(spark: SparkSession, df: DataFrame, p: dict) -> dict:
     else:
         merged = incoming
 
-    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
-    merged.write.parquet(tmp)
-    n_rows = spark.read.parquet(tmp).count()
-    if exists:
-        back = f"{path}.old-{uuid.uuid4().hex[:8]}"
-        os.rename(path, back)
-        os.rename(tmp, path)
-        shutil.rmtree(back)
-    else:
-        if os.path.isdir(path):
-            shutil.rmtree(path)
-        os.rename(tmp, path)
-    return {"written": True, "rows": n_rows, "dirty": int(n_dirty)}
+    counted = {}
+
+    def write_tmp(tmp: str) -> None:
+        merged.write.parquet(tmp)
+        counted["rows"] = spark.read.parquet(tmp).count()
+
+    staged_swap(path, write_tmp)
+    return {"written": True, "rows": counted["rows"], "dirty": int(n_dirty)}

@@ -508,12 +508,26 @@ def loghub_writer(df: DataFrame, p: dict) -> dict:
         existing = [int(d.split("=", 1)[1]) for d in os.listdir(path)
                     if d.startswith("epoch=")] if os.path.isdir(path) else []
         epoch = max(existing, default=-1) + 1
-    shard = F.when(F.col(key).isNull(), F.lit(None).cast("long"))         .otherwise(F.pmod(F.xxhash64(F.col(key)), F.lit(n)))
+    manifest = os.path.join(path, "_dsx_feed.json")
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            prev = _json.load(f)
+        if int(prev.get("shards_per_epoch", n)) != n:
+            raise ValueError(
+                f"loghubwriter: feed at {path} was sharded with "
+                f"shards_per_epoch={prev['shards_per_epoch']}; appending an "
+                f"epoch with shards={n} would break the aligned-apply "
+                "contract - pass the original shard count")
+    # cast-to-string BEFORE hashing: LakeTable buckets by
+    # pmod(xxhash64(cast(key as string)), n) (lake/table.py:1339) and
+    # xxhash64(5L) != xxhash64('5') - a raw-typed hash would silently route
+    # a non-string key's events to wrong buckets on the aligned apply path
+    shard = F.when(F.col(key).isNull(), F.lit(None).cast("long")) \
+        .otherwise(F.pmod(F.xxhash64(F.col(key).cast("string")), F.lit(n)))
     (df.withColumn("epoch", F.lit(epoch))
        .withColumn("shard", shard)
        .repartition(n, "shard")
        .write.mode("append").partitionBy("epoch", "shard").parquet(path))
-    manifest = os.path.join(path, "_dsx_feed.json")
     if not os.path.exists(manifest):
         with open(manifest, "w") as f:
             _json.dump({

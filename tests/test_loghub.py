@@ -107,3 +107,38 @@ def test_engine_consumes_loghubwriter_feed(spark, tmp_path):
     mode = json.load(open(os.path.join(str(tmp_path / "ckpt"), "commits",
                                        commits[0]))).get("mode")
     assert mode == "aligned"
+
+
+def test_long_shard_key_aligns_with_table_buckets(spark, tmp_path):
+    """xxhash64(5L) != xxhash64('5'): the writer must hash the STRING form
+    like LakeTable's bucket fn, or a non-string key silently routes events
+    to wrong buckets on the aligned path."""
+    from datax_spark.lake.table import LakeTable  # noqa: F401
+
+    feed = str(tmp_path / "feed")
+    ev = spark.range(64).select(
+        F.col("id").alias("seq"), F.lit("I").alias("op"),
+        F.col("id").alias("conv_id"),  # LONG key
+        F.lit(0).alias("turn_idx"), F.lit("u").alias("role"),
+        F.lit("t").alias("text"),
+        F.lit("2024-01-01").cast("timestamp").alias("ts"))
+    build_writer(ev, "loghubwriter", {"path": feed, "shards": 8})
+    got = spark.read.parquet(feed).select("conv_id", "shard")
+    want = got.select(
+        "conv_id",
+        F.pmod(F.xxhash64(F.col("conv_id").cast("string")),
+               F.lit(8)).alias("w"))
+    bad = got.join(want, "conv_id").filter("shard <> w").count()
+    assert bad == 0
+
+
+def test_shard_count_drift_refused(spark, tmp_path):
+    import pytest as _pytest
+
+    feed = str(tmp_path / "feed")
+    ev = _events(spark)
+    build_writer(ev.filter("op = 'I'"), "loghubwriter",
+                 {"path": feed, "shards": 8})
+    with _pytest.raises(ValueError, match="shards_per_epoch"):
+        build_writer(ev.filter("op <> 'I'"), "loghubwriter",
+                     {"path": feed, "shards": 16})

@@ -136,3 +136,60 @@ def test_values_containing_crlf_roundtrip(spark, mc):
                          delimiter="|", columns=["uid", "v"])
     got = {r.key: r.v for r in back.collect()}
     assert got == {"k1": "line1\r\nline2", "k2": "END\r\n"}
+
+
+def test_server_error_retry_is_selective(spark):
+    """Only the SERVER_ERROR'd commands are retried: re-offering keys that
+    already STORED would flip add-mode replies to NOT_STORED and corrupt
+    the dirty accounting."""
+    import socketserver
+    import threading
+
+    store = {}
+    failed_once = set()
+    lock = threading.Lock()
+
+    class Handler(socketserver.StreamRequestHandler):
+        def handle(self):
+            while True:
+                line = self.rfile.readline()
+                if not line:
+                    return
+                parts = line.strip().decode().split()
+                if not parts:
+                    continue
+                if parts[0] == "add":
+                    key, _f, _e, nbytes = parts[1:5]
+                    data = self.rfile.read(int(nbytes))
+                    self.rfile.read(2)
+                    with lock:
+                        # every key transiently fails its FIRST offer
+                        if key not in failed_once:
+                            failed_once.add(key)
+                            self.wfile.write(b"SERVER_ERROR busy\r\n")
+                            continue
+                        ok = key not in store
+                        if ok:
+                            store[key] = data
+                    self.wfile.write(b"STORED\r\n" if ok
+                                     else b"NOT_STORED\r\n")
+
+    class Server(socketserver.ThreadingTCPServer):
+        allow_reuse_address = True
+        daemon_threads = True
+
+    srv = Server(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        df = spark.range(20).coalesce(1).select(
+            F.format_string("k%d", "id").alias("k"),
+            F.lit("v").alias("v"))
+        r = memcached_write(df, {
+            "proxy": "127.0.0.1", "port": srv.server_address[1],
+            "writeMode": "add", "fieldDelimiter": "|", "batchSize": 20})
+        # all 20 keys land on the retry; none is miscounted as failed
+        assert r == {"stored": 20, "failed": 0, "dirty": 0}
+        assert len(store) == 20
+    finally:
+        srv.shutdown()
+        srv.server_close()

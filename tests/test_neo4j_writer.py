@@ -88,3 +88,15 @@ def test_registry_writer_emits_replayable_artifact(spark, tmp_path):
     assert set(back.columns) == {"cypher", "batch"}
     total = back.select(F.sum(F.size("batch"))).first()[0]
     assert total == 37
+
+
+def test_malformed_dates_degrade_to_null_not_crash(spark):
+    # ANSI mode: to_date would abort the job; try_* must yield NULL
+    df = spark.createDataFrame([("garbage", "12:30:45")],
+                               "d string, t string")
+    out = df.select(
+        neo4j_value_expr({"name": "d", "type": "LOCAL_DATE"}).alias("d"),
+        neo4j_value_expr({"name": "t", "type": "LOCAL_TIME"}).alias("t"),
+    ).first()
+    assert out.d is None
+    assert out.t is not None  # time-only default format parses

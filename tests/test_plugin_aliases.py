@@ -156,3 +156,12 @@ def test_cli_runs_reference_named_job_cross_process(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     with sqlite3.connect(db) as c:
         assert c.execute("SELECT count(*) FROM regions").fetchone()[0] == 5
+
+
+def test_phoenix_alias_refuses_sqlite_driver(spark, tmp_path):
+    """dialect=phoenix renders UPSERT SQL sqlite can't execute; failing
+    early beats a 'successful' job that quarantined 100% of its rows."""
+    df = spark.range(3).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="[Pp]hoenix"):
+        build_writer(df, "hbase20xsqlwriter", {
+            "database": str(tmp_path / "x.db"), "table": "t"})
