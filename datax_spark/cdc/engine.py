@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -316,6 +317,22 @@ class CdcEngine:
                 return self._apply_epoch_aligned(epoch, manifest_path)
         return self.apply_batch(self.read_epoch(epoch), epoch)
 
+    def _reset_quarantine(self, epoch: int) -> None:
+        """Drop epoch-``epoch``'s quarantine dir before (re-)applying it.
+
+        Quarantine content is a deterministic function of the epoch's
+        events, but both apply paths WRITE it append-style (task-side
+        ``q-*.parquet`` files in the fused merge, ``mode("append")`` in the
+        two-pass path). A driver crash between the quarantine write and the
+        checkpoint-manifest write therefore leaves rows a re-apply (or the
+        crashed-manifest rebuild) would duplicate — the exactly-once sweep
+        in tests/test_crash_sweep.py hits this at every such point. Only an
+        epoch WITHOUT a committed manifest can reach here, so the existing
+        dir always belongs to a crashed attempt of this same epoch."""
+        qdir = os.path.join(self.quarantine_dir, f"epoch={epoch}")
+        if os.path.isdir(qdir):
+            shutil.rmtree(qdir)
+
     def _applied_epoch(self, snap) -> int:
         """Table-side epoch high-water mark, scoped to THIS checkpoint.
 
@@ -373,6 +390,7 @@ class CdcEngine:
         directly (LakeTable.apply_cdc_files); validation/quarantine runs in
         Arrow inside the same tasks. One stage, no exchange."""
         t0 = time.time()
+        self._reset_quarantine(epoch)
         shard_files = self._epoch_shard_files(epoch)
         # evolution detection needs the epoch's union schema: read parquet
         # footers directly (driver-side, ~1 ms/file) — spinning up a Spark
@@ -435,6 +453,7 @@ class CdcEngine:
             with open(manifest_path) as f:
                 return json.load(f)
 
+        self._reset_quarantine(epoch)
         snap = self.table.snapshot()
         already = self._applied_epoch(snap)
         t0 = time.time()
