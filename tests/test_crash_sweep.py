@@ -92,7 +92,7 @@ def _feed(spark, tmp_path, shards: int) -> str:
 
 
 def _run_once(spark, feed, root, ckpt, fs, monkeypatch, *,
-              n_buckets: int, strategy: str):
+              n_buckets: int, strategy: str, cfg_extra: dict | None = None):
     """Create table + engine against ``fs`` (checkpoint manifest writes are
     ticked through the same counter) and replay the feed."""
     orig = engine_mod._atomic_write_json
@@ -108,7 +108,7 @@ def _run_once(spark, feed, root, ckpt, fs, monkeypatch, *,
         eng = CdcEngine(
             spark,
             EngineConfig(table_root=root, feed_dir=feed, checkpoint_dir=ckpt,
-                         merge_strategy=strategy),
+                         merge_strategy=strategy, **(cfg_extra or {})),
             fs=fs,
         )
         eng.run()
@@ -161,14 +161,14 @@ def _assert_recovered_exactly_once(spark, feed, root, ckpt):
 
 
 def _sweep(spark, tmp_path, monkeypatch, *, shards: int, n_buckets: int,
-           strategy: str, step: int = 1):
+           strategy: str, step: int = 1, cfg_extra: dict | None = None):
     feed = _feed(spark, tmp_path, shards)
 
     # dry run sizes the sweep and locks the mutation schedule
     dry = CrashFS(budget=None)
     root0, ckpt0 = str(tmp_path / "dry-table"), str(tmp_path / "dry-ckpt")
     _run_once(spark, feed, root0, ckpt0, dry, monkeypatch,
-              n_buckets=n_buckets, strategy=strategy)
+              n_buckets=n_buckets, strategy=strategy, cfg_extra=cfg_extra)
     total = dry.mutations
     assert total > 10, f"seam not exercised: only {total} mutations"
     _assert_recovered_exactly_once(spark, feed, root0, ckpt0)
@@ -180,7 +180,8 @@ def _sweep(spark, tmp_path, monkeypatch, *, shards: int, n_buckets: int,
         fs = CrashFS(budget=budget)
         try:
             _run_once(spark, feed, root, ckpt, fs, monkeypatch,
-                      n_buckets=n_buckets, strategy=strategy)
+                      n_buckets=n_buckets, strategy=strategy,
+                      cfg_extra=cfg_extra)
         except InjectedCrash:
             pass
         try:
@@ -211,3 +212,13 @@ def test_crash_sweep_shuffle_strategy(spark, tmp_path, monkeypatch):
     """Two-pass shuffle strategy (stats job, then apply)."""
     _sweep(spark, tmp_path, monkeypatch, shards=8, n_buckets=4,
            strategy="shuffle", step=2)
+
+
+def test_crash_sweep_with_maintenance(spark, tmp_path, monkeypatch):
+    """Maintenance mutations swept too: engine-scheduled clustering
+    (compact commits after every epoch) and snapshot vacuum (remove()s of
+    expired versions) extend the mutation schedule — a crash inside either
+    must never lose or duplicate applied state."""
+    _sweep(spark, tmp_path, monkeypatch, shards=8, n_buckets=8,
+           strategy="colocated", step=2,
+           cfg_extra={"cluster_every": 1, "vacuum_keep_last": 2})
