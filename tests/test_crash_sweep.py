@@ -33,6 +33,7 @@ from datax_spark.cdc.generator import ChangeFeedSpec, generate_change_feed
 from datax_spark.cdc.oracle import fold_feed
 from datax_spark.cdc.schema import TRANSCRIPTS_SCHEMA_V1
 from datax_spark.lake.fs import LocalFS
+from datax_spark.lake.objectstore import LocalEmulatedObjectStore, ObjectFS
 from datax_spark.lake.table import LakeTable
 
 
@@ -40,11 +41,12 @@ class InjectedCrash(Exception):
     pass
 
 
-class CrashFS(LocalFS):
-    """LocalFS that raises InjectedCrash once ``budget`` mutations have
-    happened. budget=None only counts (the dry run that sizes the sweep)."""
+class _CrashTick:
+    """Counting/injection mixin: raises InjectedCrash once ``budget``
+    mutations have happened. budget=None only counts (the dry run that
+    sizes the sweep)."""
 
-    def __init__(self, budget: int | None = None):
+    def _init_tick(self, budget: int | None) -> None:
         self.mutations = 0
         self.budget = budget
         self.ops: list[str] = []
@@ -72,6 +74,21 @@ class CrashFS(LocalFS):
         super().makedirs(path)
 
 
+class CrashFS(_CrashTick, LocalFS):
+    def __init__(self, budget: int | None = None):
+        self._init_tick(budget)
+
+
+class CrashObjectFS(_CrashTick, ObjectFS):
+    """Same sweep over the object-store backend: metadata publishes become
+    conditional PUTs against LocalEmulatedObjectStore (no mkdir/rename —
+    makedirs is a prefix no-op, so it never ticks)."""
+
+    def __init__(self, budget: int | None = None):
+        ObjectFS.__init__(self, LocalEmulatedObjectStore())
+        self._init_tick(budget)
+
+
 def _feed(spark, tmp_path, shards: int) -> str:
     feed = str(tmp_path / f"feed-{shards}")
     if not os.path.isdir(feed):
@@ -92,7 +109,8 @@ def _feed(spark, tmp_path, shards: int) -> str:
 
 
 def _run_once(spark, feed, root, ckpt, fs, monkeypatch, *,
-              n_buckets: int, strategy: str, cfg_extra: dict | None = None):
+              n_buckets: int, strategy: str, cfg_extra: dict | None = None,
+              clean_fs=LocalFS):
     """Create table + engine against ``fs`` (checkpoint manifest writes are
     ticked through the same counter) and replay the feed."""
     orig = engine_mod._atomic_write_json
@@ -104,7 +122,7 @@ def _run_once(spark, feed, root, ckpt, fs, monkeypatch, *,
     monkeypatch.setattr(engine_mod, "_atomic_write_json", ticked)
     try:
         LakeTable.create(spark, root, TRANSCRIPTS_SCHEMA_V1, "conv_id",
-                         n_buckets=n_buckets, fs=LocalFS())
+                         n_buckets=n_buckets, fs=clean_fs())
         eng = CdcEngine(
             spark,
             EngineConfig(table_root=root, feed_dir=feed, checkpoint_dir=ckpt,
@@ -116,11 +134,12 @@ def _run_once(spark, feed, root, ckpt, fs, monkeypatch, *,
         monkeypatch.setattr(engine_mod, "_atomic_write_json", orig)
 
 
-def _assert_recovered_exactly_once(spark, feed, root, ckpt):
+def _assert_recovered_exactly_once(spark, feed, root, ckpt, clean_fs=LocalFS):
     """Clean-engine recovery, then full-state oracle comparison."""
     eng = CdcEngine(
         spark,
         EngineConfig(table_root=root, feed_dir=feed, checkpoint_dir=ckpt),
+        fs=clean_fs(),
     )
     eng.run()
 
@@ -161,31 +180,35 @@ def _assert_recovered_exactly_once(spark, feed, root, ckpt):
 
 
 def _sweep(spark, tmp_path, monkeypatch, *, shards: int, n_buckets: int,
-           strategy: str, step: int = 1, cfg_extra: dict | None = None):
+           strategy: str, step: int = 1, cfg_extra: dict | None = None,
+           fs_cls=CrashFS, clean_fs=LocalFS):
     feed = _feed(spark, tmp_path, shards)
 
     # dry run sizes the sweep and locks the mutation schedule
-    dry = CrashFS(budget=None)
+    dry = fs_cls(budget=None)
     root0, ckpt0 = str(tmp_path / "dry-table"), str(tmp_path / "dry-ckpt")
     _run_once(spark, feed, root0, ckpt0, dry, monkeypatch,
-              n_buckets=n_buckets, strategy=strategy, cfg_extra=cfg_extra)
+              n_buckets=n_buckets, strategy=strategy, cfg_extra=cfg_extra,
+              clean_fs=clean_fs)
     total = dry.mutations
     assert total > 10, f"seam not exercised: only {total} mutations"
-    _assert_recovered_exactly_once(spark, feed, root0, ckpt0)
+    _assert_recovered_exactly_once(spark, feed, root0, ckpt0,
+                                   clean_fs=clean_fs)
 
     failures = []
     for budget in range(1, total + 1, step):
         root = str(tmp_path / f"t{budget}-table")
         ckpt = str(tmp_path / f"t{budget}-ckpt")
-        fs = CrashFS(budget=budget)
+        fs = fs_cls(budget=budget)
         try:
             _run_once(spark, feed, root, ckpt, fs, monkeypatch,
                       n_buckets=n_buckets, strategy=strategy,
-                      cfg_extra=cfg_extra)
+                      cfg_extra=cfg_extra, clean_fs=clean_fs)
         except InjectedCrash:
             pass
         try:
-            _assert_recovered_exactly_once(spark, feed, root, ckpt)
+            _assert_recovered_exactly_once(spark, feed, root, ckpt,
+                                           clean_fs=clean_fs)
         except AssertionError as e:
             failures.append(
                 f"crash@{budget} ({fs.ops[-1] if fs.ops else '?'}): {e}")
@@ -222,3 +245,17 @@ def test_crash_sweep_with_maintenance(spark, tmp_path, monkeypatch):
     _sweep(spark, tmp_path, monkeypatch, shards=8, n_buckets=8,
            strategy="colocated", step=2,
            cfg_extra={"cluster_every": 1, "vacuum_keep_last": 2})
+
+
+def test_crash_sweep_objectstore_backend(spark, tmp_path, monkeypatch):
+    """Same sweep with table metadata on the emulated OBJECT STORE: every
+    publish is a conditional PUT (If-None-Match), there are no directories
+    or renames, and recovery reads back through prefix LISTs — the commit
+    protocol a production S3/GCS deployment relies on."""
+
+    def clean_fs():
+        return ObjectFS(LocalEmulatedObjectStore())
+
+    _sweep(spark, tmp_path, monkeypatch, shards=8, n_buckets=8,
+           strategy="colocated", step=2,
+           fs_cls=CrashObjectFS, clean_fs=clean_fs)
