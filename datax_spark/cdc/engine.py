@@ -355,7 +355,14 @@ class CdcEngine:
                 meta = json.load(f)
             snap = self.table.snapshot()
             ok = (
-                meta.get("shard_fn", "").startswith("pmod(xxhash64(conv_id)")
+                # raw form = generator feeds (conv_id is string, cast is a
+                # no-op); cast form = loghubwriter feeds with a non-string
+                # key — both equal the table's bucket fn
+                # pmod(xxhash64(cast(conv_id as string)), n)
+                meta.get("shard_fn", "").startswith((
+                    "pmod(xxhash64(conv_id)",
+                    "pmod(xxhash64(cast(conv_id as string))",
+                ))
                 and int(meta.get("shards_per_epoch", -1)) == snap.n_buckets
                 and list(self.cfg.key_cols)[0] == "conv_id"
             )

@@ -299,15 +299,13 @@ def kudu_write(spark: SparkSession, df: DataFrame, p: dict) -> dict:
         else:
             merged = incoming
 
-        counted = {}
-
-        def write_tmp(tmp: str) -> None:
+        def write_tmp(tmp: str) -> int:
             merged.repartition(max(n_tablets, 1), "_tablet") \
                   .write.partitionBy("_tablet").parquet(tmp)
-            counted["rows"] = spark.read.parquet(tmp).count()
+            return spark.read.parquet(tmp).count()
 
-        staged_swap(path, write_tmp)
-        return {"written": True, "rows": counted["rows"],
+        n_rows = staged_swap(path, write_tmp)
+        return {"written": True, "rows": n_rows,
                 "dirty": n_dirty + n_uncovered
                 + (n_conflict if spec["insert_mode"] == "insert"
                    and spec["skip_fail"] else 0),

@@ -157,17 +157,21 @@ def memcached_write(df: DataFrame, p: dict) -> dict:
                         # offering keys that already STORED would return
                         # NOT_STORED under add/replace and corrupt the
                         # dirty tally (the reference's per-record retry has
-                        # the same only-failures-retry shape)
+                        # the same only-failures-retry shape). Settled
+                        # replies (STORED / NOT_STORED / CLIENT_ERROR) are
+                        # tallied on EVERY attempt — they never re-offer,
+                        # so deferring their count to the final attempt
+                        # would silently drop failures from retried batches
                         errored = [i for i, r in enumerate(replies)
                                    if r.startswith("SERVER_ERROR")]
-                        done = [r for i, r in enumerate(replies)
-                                if i not in set(errored)]
+                        done = [r for r in replies
+                                if not r.startswith("SERVER_ERROR")]
                         stored += sum(r == "STORED" for r in done)
+                        failed += sum(r != "STORED" for r in done)
                         if mode in RETRIED_MODES and errored \
                                 and attempt < retries - 1:
                             todo = [todo[i] for i in errored]
                             continue
-                        failed += sum(r != "STORED" for r in done)
                         failed += len(errored)
                         break
                     pend.clear()

@@ -598,11 +598,9 @@ def gdb_write(spark: SparkSession, df: DataFrame, p: dict) -> dict:
     else:
         merged = incoming
 
-    counted = {}
-
-    def write_tmp(tmp: str) -> None:
+    def write_tmp(tmp: str) -> int:
         merged.write.parquet(tmp)
-        counted["rows"] = spark.read.parquet(tmp).count()
+        return spark.read.parquet(tmp).count()
 
-    staged_swap(path, write_tmp)
-    return {"written": True, "rows": counted["rows"], "dirty": int(n_dirty)}
+    n_rows = staged_swap(path, write_tmp)
+    return {"written": True, "rows": n_rows, "dirty": int(n_dirty)}

@@ -26,20 +26,20 @@ def store_exists(path: str, data_prefixes: tuple[str, ...] = ()) -> bool:
     if not os.path.isdir(path):
         return False
     for fn in os.listdir(path):
-        if fn.startswith(data_prefixes) if data_prefixes else False:
-            return True
-        if not fn.startswith(("_", ".")):
+        # str.startswith(()) is False, so no data_prefixes guard needed
+        if fn.startswith(data_prefixes) or not fn.startswith(("_", ".")):
             return True
     return False
 
 
-def staged_swap(path: str, write_tmp: Callable[[str], None]) -> str:
+def staged_swap(path: str, write_tmp: Callable[[str], object]) -> object:
     """Run ``write_tmp(tmp_dir)`` to materialize the new store, then swap
-    it into ``path``. Returns the path. The old store (if any) is renamed
-    aside before the tmp moves in, so a reader never sees a half-written
-    directory at ``path``."""
+    it into ``path``. Returns ``write_tmp``'s return value (callers that
+    count rows off the materialized tmp return the count through here).
+    The old store (if any) is renamed aside before the tmp moves in, so a
+    reader never sees a half-written directory at ``path``."""
     tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
-    write_tmp(tmp)
+    result = write_tmp(tmp)
     if os.path.isdir(path):
         back = f"{path}.old-{uuid.uuid4().hex[:8]}"
         os.rename(path, back)
@@ -47,4 +47,4 @@ def staged_swap(path: str, write_tmp: Callable[[str], None]) -> str:
         shutil.rmtree(back)
     else:
         os.rename(tmp, path)
-    return path
+    return result

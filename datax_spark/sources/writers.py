@@ -508,6 +508,18 @@ def loghub_writer(df: DataFrame, p: dict) -> dict:
         existing = [int(d.split("=", 1)[1]) for d in os.listdir(path)
                     if d.startswith("epoch=")] if os.path.isdir(path) else []
         epoch = max(existing, default=-1) + 1
+    # cast-to-string BEFORE hashing: LakeTable buckets by
+    # pmod(xxhash64(cast(key as string)), n) (lake/table.py:1339) and
+    # xxhash64(5L) != xxhash64('5') - a raw-typed hash would silently route
+    # a non-string key's events to wrong buckets on the aligned apply path.
+    # The manifest's shard_fn string is LOAD-BEARING (the engine's aligned
+    # gate matches it), so it must describe the hash actually applied: for
+    # a string-typed key the cast is a no-op and the raw form is accurate
+    # (and matches feeds the CDC generator wrote); otherwise name the cast.
+    key_is_string = dict(df.dtypes).get(key) == "string"
+    shard_fn = (f"pmod(xxhash64({key}), shards_per_epoch)" if key_is_string
+                else f"pmod(xxhash64(cast({key} as string)), "
+                     "shards_per_epoch)")
     manifest = os.path.join(path, "_dsx_feed.json")
     if os.path.exists(manifest):
         with open(manifest) as f:
@@ -518,10 +530,12 @@ def loghub_writer(df: DataFrame, p: dict) -> dict:
                 f"shards_per_epoch={prev['shards_per_epoch']}; appending an "
                 f"epoch with shards={n} would break the aligned-apply "
                 "contract - pass the original shard count")
-    # cast-to-string BEFORE hashing: LakeTable buckets by
-    # pmod(xxhash64(cast(key as string)), n) (lake/table.py:1339) and
-    # xxhash64(5L) != xxhash64('5') - a raw-typed hash would silently route
-    # a non-string key's events to wrong buckets on the aligned apply path
+        if prev.get("shard_fn", shard_fn) != shard_fn:
+            raise ValueError(
+                f"loghubwriter: feed at {path} declares "
+                f"shard_fn={prev['shard_fn']!r} but this write would shard "
+                f"by {shard_fn!r}; mixed hash forms across epochs would "
+                "silently mis-route events on the aligned apply path")
     shard = F.when(F.col(key).isNull(), F.lit(None).cast("long")) \
         .otherwise(F.pmod(F.xxhash64(F.col(key).cast("string")), F.lit(n)))
     (df.withColumn("epoch", F.lit(epoch))
@@ -532,7 +546,7 @@ def loghub_writer(df: DataFrame, p: dict) -> dict:
         with open(manifest, "w") as f:
             _json.dump({
                 "shards_per_epoch": n,
-                "shard_fn": f"pmod(xxhash64({key}), shards_per_epoch)",
+                "shard_fn": shard_fn,
                 "key_cols": [key, "turn_idx"],
                 "seq_col": "seq",
             }, f)

@@ -142,3 +142,46 @@ def test_shard_count_drift_refused(spark, tmp_path):
     with _pytest.raises(ValueError, match="shards_per_epoch"):
         build_writer(ev.filter("op <> 'I'"), "loghubwriter",
                      {"path": feed, "shards": 16})
+
+
+def test_manifest_names_cast_hash_for_nonstring_key(spark, tmp_path):
+    """The shard_fn string is load-bearing (the engine's aligned gate
+    matches it) so it must name the hash actually applied: raw form for a
+    string key, explicit cast form otherwise."""
+    feed_s = str(tmp_path / "feed-str")
+    ev = _events(spark)
+    build_writer(ev, "loghubwriter", {"path": feed_s, "shards": 4})
+    meta = json.load(open(os.path.join(feed_s, "_dsx_feed.json")))
+    assert meta["shard_fn"] == "pmod(xxhash64(conv_id), shards_per_epoch)"
+
+    feed_l = str(tmp_path / "feed-long")
+    evl = spark.range(8).select(
+        F.col("id").alias("seq"), F.lit("I").alias("op"),
+        F.col("id").alias("conv_id"), F.lit(0).alias("turn_idx"),
+        F.lit("u").alias("role"), F.lit("t").alias("text"),
+        F.lit("2024-01-01").cast("timestamp").alias("ts"))
+    build_writer(evl, "loghubwriter", {"path": feed_l, "shards": 4})
+    meta = json.load(open(os.path.join(feed_l, "_dsx_feed.json")))
+    assert meta["shard_fn"] == \
+        "pmod(xxhash64(cast(conv_id as string)), shards_per_epoch)"
+
+
+def test_hash_form_drift_refused(spark, tmp_path):
+    """Appending epochs whose shard hash differs from the manifest's is
+    refused — mixed hash forms would silently mis-route on the aligned
+    path (e.g. a feed whose manifest predates the cast-to-string fix)."""
+    import pytest as _pytest
+
+    feed = str(tmp_path / "feed")
+    ev = _events(spark)
+    build_writer(ev.filter("op = 'I'"), "loghubwriter",
+                 {"path": feed, "shards": 4})
+    # simulate a stale manifest claiming a different hash form
+    mpath = os.path.join(feed, "_dsx_feed.json")
+    meta = json.load(open(mpath))
+    meta["shard_fn"] = "pmod(xxhash64(cast(conv_id as string)), shards_per_epoch)"
+    with open(mpath, "w") as f:
+        json.dump(meta, f)
+    with _pytest.raises(ValueError, match="hash forms"):
+        build_writer(ev.filter("op <> 'I'"), "loghubwriter",
+                     {"path": feed, "shards": 4})

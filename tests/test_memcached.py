@@ -193,3 +193,59 @@ def test_server_error_retry_is_selective(spark):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_mixed_batch_counts_settled_failures_across_retries(spark):
+    """A NOT_STORED settled on a NON-final attempt must still count as
+    failed: only the SERVER_ERROR'd command re-offers, so deferring the
+    settled tally to the breaking attempt drops failures silently."""
+    import socketserver
+    import threading
+
+    store = {"k_existing": b"old"}
+    failed_once = set()
+    lock = threading.Lock()
+
+    class Handler(socketserver.StreamRequestHandler):
+        def handle(self):
+            while True:
+                line = self.rfile.readline()
+                if not line:
+                    return
+                parts = line.strip().decode().split()
+                if not parts:
+                    continue
+                if parts[0] == "add":
+                    key, _f, _e, nbytes = parts[1:5]
+                    data = self.rfile.read(int(nbytes))
+                    self.rfile.read(2)
+                    with lock:
+                        if key == "k_transient" and key not in failed_once:
+                            failed_once.add(key)
+                            self.wfile.write(b"SERVER_ERROR busy\r\n")
+                            continue
+                        ok = key not in store
+                        if ok:
+                            store[key] = data
+                    self.wfile.write(b"STORED\r\n" if ok
+                                     else b"NOT_STORED\r\n")
+
+    class Server(socketserver.ThreadingTCPServer):
+        allow_reuse_address = True
+        daemon_threads = True
+
+    srv = Server(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        df = spark.createDataFrame(
+            [("k_existing", "v"), ("k_transient", "v")], "k string, v string"
+        ).coalesce(1)
+        r = memcached_write(df, {
+            "proxy": "127.0.0.1", "port": srv.server_address[1],
+            "writeMode": "add", "fieldDelimiter": "|", "batchSize": 2})
+        # k_existing settles NOT_STORED on attempt 0 (counted once, never
+        # re-offered); k_transient retries then STOREs
+        assert r == {"stored": 1, "failed": 1, "dirty": 0}
+    finally:
+        srv.shutdown()
+        srv.server_close()
