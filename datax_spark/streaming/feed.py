@@ -66,10 +66,13 @@ class StreamingCdcEngine:
         cfg: EngineConfig,
         max_files_per_trigger: int | None = None,
         max_bytes_per_trigger: str | None = None,
+        fs=None,
     ):
+        """``fs``: optional LakeFS for the table's metadata, forwarded to
+        the inner CdcEngine (same seam as the batch entry point)."""
         self.spark = spark
         self.cfg = cfg
-        self.engine = CdcEngine(spark, cfg)
+        self.engine = CdcEngine(spark, cfg, fs=fs)
         self.max_files_per_trigger = max_files_per_trigger
         self.max_bytes_per_trigger = max_bytes_per_trigger
         self.offsets_dir = os.path.join(cfg.checkpoint_dir, "stream-offsets")
