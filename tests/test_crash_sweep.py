@@ -121,8 +121,9 @@ def _run_once(spark, feed, root, ckpt, fs, monkeypatch, *,
 
     monkeypatch.setattr(engine_mod, "_atomic_write_json", ticked)
     try:
-        LakeTable.create(spark, root, TRANSCRIPTS_SCHEMA_V1, "conv_id",
-                         n_buckets=n_buckets, fs=clean_fs())
+        if not os.path.isdir(os.path.join(root, "_meta")):
+            LakeTable.create(spark, root, TRANSCRIPTS_SCHEMA_V1, "conv_id",
+                             n_buckets=n_buckets, fs=clean_fs())
         eng = CdcEngine(
             spark,
             EngineConfig(table_root=root, feed_dir=feed, checkpoint_dir=ckpt,
@@ -259,3 +260,43 @@ def test_crash_sweep_objectstore_backend(spark, tmp_path, monkeypatch):
     _sweep(spark, tmp_path, monkeypatch, shards=8, n_buckets=8,
            strategy="colocated", step=2,
            fs_cls=CrashObjectFS, clean_fs=clean_fs)
+
+
+def test_double_crash_recovery(spark, tmp_path, monkeypatch):
+    """Crash, then crash AGAIN during the recovery, then recover clean —
+    the recovery path must be as re-enterable as the first run (sampled
+    grid: first crash every 9th mutation x second crash at 3 depths)."""
+    feed = _feed(spark, tmp_path, shards=8)
+
+    dry = CrashFS(budget=None)
+    root0, ckpt0 = str(tmp_path / "dd-table"), str(tmp_path / "dd-ckpt")
+    _run_once(spark, feed, root0, ckpt0, dry, monkeypatch,
+              n_buckets=8, strategy="colocated")
+    total = dry.mutations
+
+    failures = []
+    for n1 in range(3, total, 9):
+        for n2 in (2, 6, 11):
+            tag = f"d{n1}-{n2}"
+            root = str(tmp_path / f"{tag}-table")
+            ckpt = str(tmp_path / f"{tag}-ckpt")
+            try:
+                _run_once(spark, feed, root, ckpt, CrashFS(budget=n1),
+                          monkeypatch, n_buckets=8, strategy="colocated")
+            except InjectedCrash:
+                pass
+            try:  # recovery attempt that itself crashes
+                _run_once(spark, feed, root, ckpt, CrashFS(budget=n2),
+                          monkeypatch, n_buckets=8, strategy="colocated")
+            except InjectedCrash:
+                pass
+            except FileExistsError:
+                failures.append(f"{tag}: recovery hit unhandled "
+                                "FileExistsError")
+            try:
+                _assert_recovered_exactly_once(spark, feed, root, ckpt)
+            except AssertionError as e:
+                failures.append(f"{tag}: {e}")
+            shutil.rmtree(root, ignore_errors=True)
+            shutil.rmtree(ckpt, ignore_errors=True)
+    assert not failures, "\n".join(failures[:10])
