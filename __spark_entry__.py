@@ -1861,6 +1861,62 @@ def q_cdc_changelog_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked event-time windowed aggregation over the changelog stream
+    (streaming/windowed.py): events land in 4 time-quartile commits
+    (ntile(4) over (ts, event_id)) with every ``event_id % 97 == 0`` row
+    bumped TWO commits later — a deterministic late-straggler population.
+    The stream consumes one commit per micro-batch (version-window offsets,
+    maxVersionsPerTrigger=1), applies withWatermark(ts, 1801s) + 1-hour
+    tumbling windows grouped by event_type in append mode, and a far-future
+    sentinel commit flushes every real window. The oracle replays Spark's
+    pinned two-watermark contract in SQL: per-batch max event time
+    (ms-floored), running max lagged TWO batches back = the late filter's
+    watermark, non-strict window-end comparison (see streaming/windowed.py
+    docstring; the reference has no event-time operator at all — its
+    streams are stateless record pipes)."""
+    import tempfile
+
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    from datax_spark.lake.table import LakeTable
+    from datax_spark.streaming.windowed import run_windowed_rollup
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value", "ts")
+    b = F.least(
+        F.ntile(4).over(Window.orderBy("ts", "event_id"))
+        + F.when(F.pmod(F.col("event_id"), F.lit(97)) == 0, F.lit(2)).otherwise(F.lit(0)),
+        F.lit(4),
+    )
+    staged = ev.withColumn("b", b).persist()
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    root = tempfile.mkdtemp(prefix="dsx-wndstream-")
+    t = LakeTable.create(spark, root, schema, bucket_key="event_id", n_buckets=4)
+    for i in (1, 2, 3, 4):
+        t.append(staged.filter(F.col("b") == i).drop("b"))
+    hi = staged.agg(F.max("ts")).collect()[0][0]
+    staged.unpersist()
+    sentinel = spark.createDataFrame(
+        [(-1, "sentinel", 0.0, hi + __import__("datetime").timedelta(days=90))], schema)
+    t.append(sentinel)
+    out = run_windowed_rollup(
+        spark, root, ts_col="ts", window="1 hour", delay="1801 seconds",
+        keys=["event_type"],
+        aggs={
+            "n": F.count(F.lit(1)),
+            "sum_cents": F.sum(F.round(F.col("value") * 100).cast("long")),
+        },
+        starting_version=0,
+    )
+    return out.select("window_start", "window_end", "event_type", "n", "sum_cents")
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload column -> Arrow-batched feature
     extraction (ops.multimodal, mapInPandas; decode stubbed by design).
@@ -2449,6 +2505,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lake_point_lookup": q_lake_point_lookup,
     "lake_pruned_read": q_lake_pruned_read,
     "cdc_changelog_stream": q_cdc_changelog_stream,
+    "cdc_stream_windowed": q_cdc_stream_windowed,
     "media_features": q_media_features,
     "media_resize": q_media_resize,
     "media_audio_energy": q_media_audio_energy,
@@ -2477,7 +2534,8 @@ FIXTURE_QUERIES: frozenset[str] = frozenset({
     "neo4j_batch_roundtrip",
     "lake_objectfs_roundtrip", "lake_partial_update", "lake_agg_merge",
     "lake_widen_fold", "lake_point_lookup", "lake_pruned_read",
-    "cdc_changelog_stream", "transcript_audit_incremental",
+    "cdc_changelog_stream", "cdc_stream_windowed",
+    "transcript_audit_incremental",
 })
 
 ORACLES: dict[str, str] = {
@@ -2719,6 +2777,36 @@ ORACLES: dict[str, str] = {
             SELECT *, row_number() OVER (PARTITION BY user_id, turn_idx ORDER BY seq DESC) AS rn
             FROM ({_CHANGES_ORACLE}) WHERE seq % 2 = 1
         ) WHERE rn = 1
+    """,
+    # Replays Spark's two-watermark contract in SQL (streaming/windowed.py):
+    # per-batch max event time floored to ms; the late filter's watermark =
+    # running max lagged TWO batches (filter uses the PREVIOUS batch's
+    # eviction watermark); non-strict window-end comparison; the far-future
+    # sentinel commit guarantees every real window finalizes, so no final
+    # eviction filter is needed.
+    "cdc_stream_windowed": """
+        WITH base AS (
+            SELECT event_type, value, ts, epoch_ms(ts) AS ms,
+                   LEAST(ntile(4) OVER (ORDER BY ts, event_id)
+                         + CASE WHEN event_id % 97 = 0 THEN 2 ELSE 0 END, 4) AS b
+            FROM events
+        ), bm AS (
+            SELECT b, max(ms) AS met FROM base GROUP BY b
+        ), wm AS (
+            SELECT b, max(met) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 2 PRECEDING) AS wml
+            FROM bm
+        ), kept AS (
+            SELECT base.ts, base.event_type, base.value
+            FROM base JOIN wm USING (b)
+            WHERE wml IS NULL
+               OR epoch_ms(date_trunc('hour', base.ts)) + 3600000 > wml - 1801000
+        )
+        SELECT date_trunc('hour', ts) AS window_start,
+               date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+               event_type, count(*) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        FROM kept GROUP BY 1, 2, 3
     """,
     "dbapi_roundtrip": """
         SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal
