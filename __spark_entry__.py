@@ -1790,6 +1790,42 @@ def q_lake_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "turn_idx", "event_type", "value", "ts")
 
 
+def q_lake_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel (LakeTable.read(version=N) — the Iceberg
+    `VERSION AS OF` shape): two CDC applies land as versions 1 and 2; the
+    query reads BOTH historical snapshots and unions them with a `version`
+    tag. The oracle folds the same change feed once over the first half and
+    once over the whole feed — proving each snapshot is an immutable,
+    reproducible past state (the audit/debugging read a 100-TB pipeline
+    leans on after a bad deploy)."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from datax_spark.lake.table import LakeTable
+
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("turn_idx", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    root = tempfile.mkdtemp(prefix="dsx-travel-")
+    t = LakeTable.create(spark, root, schema, bucket_key="user_id", n_buckets=8)
+    ch = _derived_changes(spark, sf_dir)
+    for parity in (0, 1):
+        t.apply_cdc_stats(
+            ch.filter(F.pmod(F.col("seq"), F.lit(2)) == parity),
+            key_cols=["user_id", "turn_idx"], op_col="op", seq_col="seq",
+            write_mode="mor", compact_threshold=1000,
+        )
+    cols = ["user_id", "turn_idx", "event_type", "value", "ts"]
+    v1 = t.read(version=1).select(*cols).withColumn("version", F.lit(1))
+    v2 = t.read(version=2).select(*cols).withColumn("version", F.lit(2))
+    return v1.unionByName(v2)
+
+
 def q_lake_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zone-map file pruning (manifest min/max stats): events land in three
     appends with disjoint event_id ranges, so the selective read opens only
@@ -2504,6 +2540,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lake_widen_fold": q_lake_widen_fold,
     "lake_point_lookup": q_lake_point_lookup,
     "lake_pruned_read": q_lake_pruned_read,
+    "lake_time_travel": q_lake_time_travel,
     "cdc_changelog_stream": q_cdc_changelog_stream,
     "cdc_stream_windowed": q_cdc_stream_windowed,
     "media_features": q_media_features,
@@ -2534,6 +2571,7 @@ FIXTURE_QUERIES: frozenset[str] = frozenset({
     "neo4j_batch_roundtrip",
     "lake_objectfs_roundtrip", "lake_partial_update", "lake_agg_merge",
     "lake_widen_fold", "lake_point_lookup", "lake_pruned_read",
+    "lake_time_travel",
     "cdc_changelog_stream", "cdc_stream_windowed",
     "transcript_audit_incremental",
 })
@@ -2767,6 +2805,19 @@ ORACLES: dict[str, str] = {
         FROM events
         WHERE event_id > (2 * (SELECT max(event_id) FROM events)) // 3
           AND value >= 0.0
+    """,
+    "lake_time_travel": f"""
+        SELECT user_id, turn_idx, event_type, value, ts, 1 AS version
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id, turn_idx ORDER BY seq DESC) AS rn
+            FROM ({_CHANGES_ORACLE}) WHERE seq % 2 = 0
+        ) WHERE rn = 1 AND op <> 'D'
+        UNION ALL
+        SELECT user_id, turn_idx, event_type, value, ts, 2 AS version
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id, turn_idx ORDER BY seq DESC) AS rn
+            FROM ({_CHANGES_ORACLE})
+        ) WHERE rn = 1 AND op <> 'D'
     """,
     "cdc_changelog_stream": f"""
         SELECT user_id, turn_idx, event_type, value, ts,
