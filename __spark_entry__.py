@@ -1953,6 +1953,58 @@ def q_cdc_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("window_start", "window_end", "event_type", "n", "sum_cents")
 
 
+def q_stream_session_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (streaming/stateful.py,
+    applyInPandasWithState): per-conversation running session state over the
+    changelog stream. Events land in 3 deterministic commits (seq % 3); the
+    stream consumes one commit per micro-batch, so the tracker emits one
+    cumulative update row per (conversation, batch it appears in). The
+    oracle replays that as SQL prefix aggregates: for each conv and each
+    batch b it has events in, aggregate its events over batches <= b.
+    Arrow-batched pandas state function, state = one fixed-width row per
+    conversation (O(live convs), keyed-shuffle partitioned)."""
+    import tempfile
+    import uuid as _uuid
+
+    from pyspark.sql import types as T
+
+    from datax_spark.lake.table import LakeTable
+    from datax_spark.streaming.changelog import read_changelog_stream
+    from datax_spark.streaming.stateful import conversation_sessions
+
+    ch = _derived_changes(spark, sf_dir).select(
+        F.concat(F.lit("c"), F.col("user_id").cast("string")).alias("conv_id"),
+        "turn_idx", "op", "ts",
+        F.pmod(F.col("seq"), F.lit(3)).alias("b"),
+    )
+    schema = T.StructType([
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.LongType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    root = tempfile.mkdtemp(prefix="dsx-sessions-")
+    t = LakeTable.create(spark, root, schema, bucket_key="conv_id", n_buckets=8)
+    for i in (0, 1, 2):
+        t.append(ch.filter(F.col("b") == i).drop("b"))
+    sdf = read_changelog_stream(spark, root, starting_version=0,
+                                max_versions_per_trigger=1)
+    name = f"dsx_sess_{_uuid.uuid4().hex[:10]}"
+    q = (
+        conversation_sessions(sdf).writeStream.format("memory").queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="dsx-sessck-"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+    return spark.table(name).select(
+        "conv_id", "n_events", "n_turns", "max_turn_idx", "n_deletes",
+        "n_tool_events", "first_ts", "last_ts", "closed",
+    )
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload column -> Arrow-batched feature
     extraction (ops.multimodal, mapInPandas; decode stubbed by design).
@@ -2543,6 +2595,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lake_time_travel": q_lake_time_travel,
     "cdc_changelog_stream": q_cdc_changelog_stream,
     "cdc_stream_windowed": q_cdc_stream_windowed,
+    "stream_session_state": q_stream_session_state,
     "media_features": q_media_features,
     "media_resize": q_media_resize,
     "media_audio_energy": q_media_audio_energy,
@@ -2572,7 +2625,7 @@ FIXTURE_QUERIES: frozenset[str] = frozenset({
     "lake_objectfs_roundtrip", "lake_partial_update", "lake_agg_merge",
     "lake_widen_fold", "lake_point_lookup", "lake_pruned_read",
     "lake_time_travel",
-    "cdc_changelog_stream", "cdc_stream_windowed",
+    "cdc_changelog_stream", "cdc_stream_windowed", "stream_session_state",
     "transcript_audit_incremental",
 })
 
@@ -2828,6 +2881,28 @@ ORACLES: dict[str, str] = {
             SELECT *, row_number() OVER (PARTITION BY user_id, turn_idx ORDER BY seq DESC) AS rn
             FROM ({_CHANGES_ORACLE}) WHERE seq % 2 = 1
         ) WHERE rn = 1
+    """,
+    # Prefix aggregates replaying applyInPandasWithState's cumulative
+    # update-mode emission: one row per (conv, batch it appears in), each the
+    # aggregate of that conv's events over batches <= b.
+    "stream_session_state": f"""
+        WITH ch AS (
+            SELECT 'c' || CAST(user_id AS VARCHAR) AS conv_id, turn_idx, op, ts,
+                   seq % 3 AS b
+            FROM ({_CHANGES_ORACLE})
+        ), pb AS (
+            SELECT conv_id, b FROM ch GROUP BY conv_id, b
+        )
+        SELECT p.conv_id,
+               count(*) AS n_events,
+               CAST(count(DISTINCT c.turn_idx) AS BIGINT) AS n_turns,
+               max(c.turn_idx) AS max_turn_idx,
+               CAST(sum(CASE WHEN c.op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
+               CAST(0 AS BIGINT) AS n_tool_events,
+               min(c.ts) AS first_ts, max(c.ts) AS last_ts,
+               FALSE AS closed
+        FROM pb p JOIN ch c ON c.conv_id = p.conv_id AND c.b <= p.b
+        GROUP BY p.conv_id, p.b
     """,
     # Replays Spark's two-watermark contract in SQL (streaming/windowed.py):
     # per-batch max event time floored to ms; the late filter's watermark =
