@@ -42,6 +42,30 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 # ---------------------------------------------------------------- CDC queries
 
+class _scoped_conf:
+    """Temporarily override session confs (restored on exit). Used by the
+    streaming fixture queries to run their micro-batch state stores at a
+    parallelism sized for the fixture, not the session's batch default —
+    a real deployment sizes state partitions at stream creation the same
+    way (the partitioning is frozen into the checkpoint)."""
+
+    def __init__(self, spark: SparkSession, **confs: str):
+        self.spark, self.confs, self.saved = spark, confs, {}
+
+    def __enter__(self):
+        for k, v in self.confs.items():
+            key = k.replace("__", ".")
+            self.saved[key] = self.spark.conf.get(key, None)
+            self.spark.conf.set(key, v)
+
+    def __exit__(self, *exc):
+        for key, v in self.saved.items():
+            if v is None:
+                self.spark.conf.unset(key)
+            else:
+                self.spark.conf.set(key, v)
+
+
 def _derived_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     op = (
@@ -1941,15 +1965,16 @@ def q_cdc_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     sentinel = spark.createDataFrame(
         [(-1, "sentinel", 0.0, hi + __import__("datetime").timedelta(days=90))], schema)
     t.append(sentinel)
-    out = run_windowed_rollup(
-        spark, root, ts_col="ts", window="1 hour", delay="1801 seconds",
-        keys=["event_type"],
-        aggs={
-            "n": F.count(F.lit(1)),
-            "sum_cents": F.sum(F.round(F.col("value") * 100).cast("long")),
-        },
-        starting_version=0,
-    )
+    with _scoped_conf(spark, spark__sql__shuffle__partitions="8"):
+        out = run_windowed_rollup(
+            spark, root, ts_col="ts", window="1 hour", delay="1801 seconds",
+            keys=["event_type"],
+            aggs={
+                "n": F.count(F.lit(1)),
+                "sum_cents": F.sum(F.round(F.col("value") * 100).cast("long")),
+            },
+            starting_version=0,
+        )
     return out.select("window_start", "window_end", "event_type", "n", "sum_cents")
 
 
@@ -1990,15 +2015,16 @@ def q_stream_session_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdf = read_changelog_stream(spark, root, starting_version=0,
                                 max_versions_per_trigger=1)
     name = f"dsx_sess_{_uuid.uuid4().hex[:10]}"
-    q = (
-        conversation_sessions(sdf).writeStream.format("memory").queryName(name)
-        .outputMode("update")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="dsx-sessck-"))
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
-    q.awaitTermination(60)
+    with _scoped_conf(spark, spark__sql__shuffle__partitions="8"):
+        q = (
+            conversation_sessions(sdf).writeStream.format("memory").queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="dsx-sessck-"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(60)
     return spark.table(name).select(
         "conv_id", "n_events", "n_turns", "max_turn_idx", "n_deletes",
         "n_tool_events", "first_ts", "last_ts", "closed",
