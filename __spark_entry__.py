@@ -2031,6 +2031,48 @@ def q_stream_session_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming feed dedup (streaming/dedup.py,
+    dropDuplicatesWithinWatermark): commit 1 delivers every event, commit 2
+    redelivers the ``event_id % 7 == 0`` subset — the at-least-once
+    transport's duplicate-delivery case. First-wins dedup on the delivery id
+    with watermark-bounded state must reconstruct the original feed exactly,
+    so the oracle is simply the events table itself."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from datax_spark.lake.table import LakeTable
+    from datax_spark.streaming.changelog import read_changelog_stream
+    from datax_spark.streaming.dedup import dedup_stream
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value", "ts")
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    root = tempfile.mkdtemp(prefix="dsx-streamdd-")
+    t = LakeTable.create(spark, root, schema, bucket_key="event_id", n_buckets=4)
+    t.append(ev)
+    t.append(ev.filter(F.pmod(F.col("event_id"), F.lit(7)) == 0))  # redelivery
+    sdf = read_changelog_stream(spark, root, starting_version=0,
+                                max_versions_per_trigger=1)
+    with _scoped_conf(spark, spark__sql__shuffle__partitions="8"):
+        out = dedup_stream(sdf, id_cols=("event_id",), ts_col="ts", delay="365 days")
+        import uuid as _uuid
+
+        name = f"dsx_dd_{_uuid.uuid4().hex[:10]}"
+        q = (out.writeStream.format("memory").queryName(name).outputMode("append")
+             .option("checkpointLocation", tempfile.mkdtemp(prefix="dsx-ddck-"))
+             .start())
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(60)
+    return spark.table(name).select("event_id", "event_type", "value", "ts")
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload column -> Arrow-batched feature
     extraction (ops.multimodal, mapInPandas; decode stubbed by design).
@@ -2622,6 +2664,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_changelog_stream": q_cdc_changelog_stream,
     "cdc_stream_windowed": q_cdc_stream_windowed,
     "stream_session_state": q_stream_session_state,
+    "cdc_stream_dedup": q_cdc_stream_dedup,
     "media_features": q_media_features,
     "media_resize": q_media_resize,
     "media_audio_energy": q_media_audio_energy,
@@ -2652,7 +2695,7 @@ FIXTURE_QUERIES: frozenset[str] = frozenset({
     "lake_widen_fold", "lake_point_lookup", "lake_pruned_read",
     "lake_time_travel",
     "cdc_changelog_stream", "cdc_stream_windowed", "stream_session_state",
-    "transcript_audit_incremental",
+    "cdc_stream_dedup", "transcript_audit_incremental",
 })
 
 ORACLES: dict[str, str] = {
@@ -2907,6 +2950,11 @@ ORACLES: dict[str, str] = {
             SELECT *, row_number() OVER (PARTITION BY user_id, turn_idx ORDER BY seq DESC) AS rn
             FROM ({_CHANGES_ORACLE}) WHERE seq % 2 = 1
         ) WHERE rn = 1
+    """,
+    # First-wins dedup of an at-least-once feed reconstructs the original
+    # events exactly (redelivered copies are byte-identical).
+    "cdc_stream_dedup": """
+        SELECT event_id, event_type, value, ts FROM events
     """,
     # Prefix aggregates replaying applyInPandasWithState's cumulative
     # update-mode emission: one row per (conv, batch it appears in), each the
