@@ -1818,8 +1818,8 @@ def q_lake_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot time travel (LakeTable.read(version=N) — the Iceberg
     `VERSION AS OF` shape): two CDC applies land as versions 1 and 2; the
     query reads BOTH historical snapshots and unions them with a `version`
-    tag. The oracle folds the same change feed once over the first half and
-    once over the whole feed — proving each snapshot is an immutable,
+    tag. The oracle folds the same change feed once over the even-seq half
+    (version 1's input) and once over the whole feed — proving each snapshot is an immutable,
     reproducible past state (the audit/debugging read a 100-TB pipeline
     leans on after a bad deploy)."""
     import tempfile
@@ -1882,12 +1882,12 @@ def q_cdc_changelog_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's offset log, per-file pyarrow reads in tasks — into a memory
     sink. Must match the same SQL oracle as the batch read_changes form."""
     import tempfile
-    import uuid as _uuid
 
     from pyspark.sql import types as T
 
     from datax_spark.lake.table import LakeTable
     from datax_spark.streaming.changelog import read_changelog_stream
+    from datax_spark.streaming.util import drain_to_memory
 
     ch = _derived_changes(spark, sf_dir)
     schema = T.StructType([
@@ -1905,16 +1905,8 @@ def q_cdc_changelog_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             key_cols=["user_id", "turn_idx"], op_col="op", seq_col="seq",
             write_mode="mor", compact_threshold=1000,
         )
-    name = f"dsx_chg_{_uuid.uuid4().hex[:10]}"
     sdf = read_changelog_stream(spark, root, starting_version=1)
-    q = (
-        sdf.writeStream.format("memory").queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="dsx-chck-"))
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
-    q.awaitTermination(60)
+    name = drain_to_memory(sdf)
     return spark.table(name).select(
         "user_id", "turn_idx", "event_type", "value", "ts",
         "_change_type", "_commit_version", "_seq",
@@ -1935,6 +1927,7 @@ def q_cdc_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark, non-strict window-end comparison (see streaming/windowed.py
     docstring; the reference has no event-time operator at all — its
     streams are stateless record pipes)."""
+    import datetime
     import tempfile
 
     from pyspark.sql import Window
@@ -1950,6 +1943,17 @@ def q_cdc_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(4),
     )
     staged = ev.withColumn("b", b).persist()
+    # The oracle's 2-row watermark lag assumes every commit is a non-empty
+    # micro-batch (an empty commit would advance the stream's batch index
+    # but not the oracle's bm row set). ntile(4) guarantees that for any
+    # events table with >= 4 rows; fail loudly rather than silently
+    # mismatch if a future fixture breaks the assumption.
+    stats = {r["b"]: (r["n"], r["hi"]) for r in
+             staged.groupBy("b").agg(F.count("*").alias("n"),
+                                     F.max("ts").alias("hi")).collect()}
+    missing = [i for i in (1, 2, 3, 4) if not stats.get(i, (0, None))[0]]
+    if missing:
+        raise ValueError(f"cdc_stream_windowed fixture: empty commit(s) {missing}")
     schema = T.StructType([
         T.StructField("event_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
@@ -1960,10 +1964,10 @@ def q_cdc_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = LakeTable.create(spark, root, schema, bucket_key="event_id", n_buckets=4)
     for i in (1, 2, 3, 4):
         t.append(staged.filter(F.col("b") == i).drop("b"))
-    hi = staged.agg(F.max("ts")).collect()[0][0]
+    hi = max(h for _, h in stats.values())
     staged.unpersist()
     sentinel = spark.createDataFrame(
-        [(-1, "sentinel", 0.0, hi + __import__("datetime").timedelta(days=90))], schema)
+        [(-1, "sentinel", 0.0, hi + datetime.timedelta(days=90))], schema)
     t.append(sentinel)
     with _scoped_conf(spark, spark__sql__shuffle__partitions="8"):
         out = run_windowed_rollup(
@@ -1989,7 +1993,6 @@ def q_stream_session_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-batched pandas state function, state = one fixed-width row per
     conversation (O(live convs), keyed-shuffle partitioned)."""
     import tempfile
-    import uuid as _uuid
 
     from pyspark.sql import types as T
 
@@ -2014,17 +2017,10 @@ def q_stream_session_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.append(ch.filter(F.col("b") == i).drop("b"))
     sdf = read_changelog_stream(spark, root, starting_version=0,
                                 max_versions_per_trigger=1)
-    name = f"dsx_sess_{_uuid.uuid4().hex[:10]}"
+    from datax_spark.streaming.util import drain_to_memory
+
     with _scoped_conf(spark, spark__sql__shuffle__partitions="8"):
-        q = (
-            conversation_sessions(sdf).writeStream.format("memory").queryName(name)
-            .outputMode("update")
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="dsx-sessck-"))
-            .start()
-        )
-        q.processAllAvailable()
-        q.stop()
-        q.awaitTermination(60)
+        name = drain_to_memory(conversation_sessions(sdf), output_mode="update")
     return spark.table(name).select(
         "conv_id", "n_events", "n_turns", "max_turn_idx", "n_deletes",
         "n_tool_events", "first_ts", "last_ts", "closed",
@@ -2059,17 +2055,11 @@ def q_cdc_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.append(ev.filter(F.pmod(F.col("event_id"), F.lit(7)) == 0))  # redelivery
     sdf = read_changelog_stream(spark, root, starting_version=0,
                                 max_versions_per_trigger=1)
+    from datax_spark.streaming.util import drain_to_memory
+
     with _scoped_conf(spark, spark__sql__shuffle__partitions="8"):
         out = dedup_stream(sdf, id_cols=("event_id",), ts_col="ts", delay="365 days")
-        import uuid as _uuid
-
-        name = f"dsx_dd_{_uuid.uuid4().hex[:10]}"
-        q = (out.writeStream.format("memory").queryName(name).outputMode("append")
-             .option("checkpointLocation", tempfile.mkdtemp(prefix="dsx-ddck-"))
-             .start())
-        q.processAllAvailable()
-        q.stop()
-        q.awaitTermination(60)
+        name = drain_to_memory(out)
     return spark.table(name).select("event_id", "event_type", "value", "ts")
 
 

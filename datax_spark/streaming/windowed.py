@@ -140,10 +140,8 @@ def run_windowed_rollup(spark: SparkSession, root: str, **kw) -> DataFrame:
     finalized windows as a batch DataFrame. Windows whose end is still above
     the final watermark remain open (unemitted) — commit a max-ts sentinel
     row first if the caller needs every real window flushed."""
+    from datax_spark.streaming.util import drain_query
+
     q, name = start_windowed_rollup(spark, root, **kw)
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-        q.awaitTermination(60)
+    drain_query(q)
     return spark.table(name)

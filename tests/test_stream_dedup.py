@@ -7,8 +7,6 @@ two-tier contract: the engine's keyed fold is the authoritative layer).
 from __future__ import annotations
 
 import datetime as dt
-import tempfile
-import uuid
 
 from pyspark.sql import types as T
 
@@ -26,16 +24,12 @@ D = dt.datetime
 
 
 def _drain(spark, root, delay):
+    from datax_spark.streaming.util import drain_to_memory
+
     sdf = read_changelog_stream(spark, root, starting_version=0,
                                 max_versions_per_trigger=1)
     out = dedup_stream(sdf, id_cols=("event_id",), ts_col="ts", delay=delay)
-    name = f"dd_{uuid.uuid4().hex[:8]}"
-    q = (out.writeStream.format("memory").queryName(name).outputMode("append")
-         .option("checkpointLocation", tempfile.mkdtemp(prefix="ddck-"))
-         .start())
-    q.processAllAvailable()
-    q.stop()
-    q.awaitTermination(60)
+    name = drain_to_memory(out)
     return sorted((r.event_id, r.payload) for r in
                   spark.table(name).select("event_id", "payload").collect())
 
