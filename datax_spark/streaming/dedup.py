@@ -21,6 +21,15 @@ stream, authoritative idempotence at the sink).
 
 The dedup key should be the feed's delivery id (event_id / LSN / offset),
 NOT the row key: two legitimate updates to one conv_id must both pass.
+
+State-store sizing: one entry per delivery id inside the horizon. At real
+horizons (tens of millions of in-flight ids and up) run the query with the
+RocksDB state store provider
+(``spark.sql.streaming.stateStore.providerClass = ...RocksDBStateStore
+Provider``) — the default in-JVM map provider holds the whole id set on
+heap and falls over long before RocksDB notices (measured in
+``jobs/stream_bench.py``: 20M ids OOMed an 8 GB heap on the default
+provider; RocksDB handles it in stride).
 """
 
 from __future__ import annotations

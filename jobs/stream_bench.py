@@ -148,6 +148,13 @@ def main() -> None:
     ap.add_argument("--commits", type=int, default=4)
     ap.add_argument("--mult", type=int, default=10)
     ap.add_argument("--legs", default="windowed,dedup,sessions")
+    ap.add_argument("--state-store", choices=("rocksdb", "hdfs"),
+                    default="rocksdb",
+                    help="rocksdb (default) is the at-scale choice: dedup "
+                         "state = one entry per delivery id in the horizon, "
+                         "which overflows an in-JVM map long before it "
+                         "troubles RocksDB (the 10x leg OOMed a 8g heap "
+                         "with the hdfs provider at 20M ids)")
     args = ap.parse_args()
 
     base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
@@ -157,7 +164,12 @@ def main() -> None:
     from bench import host_probe
     from datax_spark.session import get_spark
 
-    spark = get_spark(app_name="datax-stream-bench")
+    extra = {}
+    if args.state_store == "rocksdb":
+        extra["spark.sql.streaming.stateStore.providerClass"] = (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider")
+    spark = get_spark(app_name="datax-stream-bench", extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
     work = f"{base}/dsx-stream-{os.getpid()}"
     shutil.rmtree(work, ignore_errors=True)
