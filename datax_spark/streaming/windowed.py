@@ -87,6 +87,44 @@ def windowed_rollup(
     )
 
 
+def session_rollup(
+    sdf: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    delay: str = "30 minutes",
+    keys: Sequence[str] = (),
+    aggs: Mapping[str, Column] | None = None,
+) -> DataFrame:
+    """Watermarked SESSION windows (``F.session_window``): per-key activity
+    sessions that merge while events arrive within ``gap`` of each other,
+    closing once the event-time watermark passes ``last event + gap`` — the
+    declarative sibling of the imperative applyInPandasWithState tracker in
+    ``streaming/stateful.py`` (use this when "session" means an event-time
+    gap; use the tracker when closing needs custom logic or per-session
+    derived state). Returns a streaming DF with
+    ``session_start, session_end, *keys, *aggs`` for append-mode output:
+    each closed session is emitted exactly once, with
+    ``session_end = last event ts + gap``. A late event that lands inside
+    an already-closed session's span is watermark-dropped, so closed
+    sessions never reopen or overlap (pinned in
+    ``tests/test_windowed_stream.py::test_session_windows``)."""
+    if aggs is None:
+        aggs = {"n": F.count(F.lit(1))}
+    agg_cols = [c.alias(name) for name, c in aggs.items()]
+    return (
+        sdf.withWatermark(ts_col, delay)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"),
+                 *[F.col(k) for k in keys])
+        .agg(*agg_cols)
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            *[F.col(k) for k in keys],
+            *[F.col(name) for name in aggs],
+        )
+    )
+
+
 def start_windowed_rollup(
     spark: SparkSession,
     root: str,

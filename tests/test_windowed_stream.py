@@ -159,6 +159,62 @@ def test_restart_is_exactly_once(spark, tmp_path):
     assert len(starts) == len(set(starts))
 
 
+def test_session_windows(spark, tmp_path):
+    """Native session windows over the changelog stream (session_rollup):
+
+    - events within the gap merge into one session, across micro-batches
+      (k=a: 10:00 in v1 + 10:10 in v2 -> one session ending 10:25);
+    - a gap-exceeding event opens a new session (k=a at 11:10);
+    - a late event inside an already-CLOSED session's span is dropped, so
+      closed sessions never reopen or overlap. The two-watermark lag makes
+      the spacer commit necessary: eviction (close) uses the current
+      watermark but the late filter uses the previous batch's, so the drop
+      only happens one batch after the close.
+    """
+    from datax_spark.streaming.changelog import read_changelog_stream
+    from datax_spark.streaming.util import drain_to_memory
+    from datax_spark.streaming.windowed import session_rollup
+
+    kschema = T.StructType([
+        T.StructField("k", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    t = LakeTable.create(spark, str(tmp_path / "t"), kschema,
+                         bucket_key="k", n_buckets=2)
+
+    def commit(rows):
+        t.append(spark.createDataFrame(rows, kschema))
+
+    commit([("a", D(2024, 1, 1, 10, 0, 0)), ("b", D(2024, 1, 1, 10, 2, 0))])
+    commit([("a", D(2024, 1, 1, 10, 10, 0))])          # merges into a's session
+    commit([("a", D(2024, 1, 1, 11, 10, 0))])          # new session; raises wm
+    commit([("c", D(2024, 1, 1, 11, 12, 0))])          # spacer: closes the 10:xx
+    #                                                    sessions (wm_evict 10:40)
+    commit([("a", D(2024, 1, 1, 10, 5, 0)),            # late, inside closed span:
+            #                                            dropped (wm_late 10:40)
+            ("a", D(2024, 1, 1, 11, 20, 0))])          # extends the 11:10 session
+    commit([("z", D(2030, 1, 1, 0, 0, 0))])            # flush sentinel
+
+    sdf = read_changelog_stream(spark, t.root, starting_version=0,
+                                max_versions_per_trigger=1)
+    out = session_rollup(sdf, ts_col="ts", gap="15 minutes",
+                         delay="30 minutes", keys=["k"],
+                         aggs={"n": F.count(F.lit(1))})
+    got = sorted((r.k, r.session_start, r.session_end, r.n)
+                 for r in spark.table(drain_to_memory(out))
+                 .filter(F.col("k").isin("a", "b")).collect())
+    assert got == [
+        ("a", D(2024, 1, 1, 10, 0), D(2024, 1, 1, 10, 25), 2),
+        ("a", D(2024, 1, 1, 11, 10), D(2024, 1, 1, 11, 35), 2),
+        ("b", D(2024, 1, 1, 10, 2), D(2024, 1, 1, 10, 17), 1),
+    ]
+    # no overlapping sessions per key
+    for k in ("a", "b"):
+        spans = [(s, e) for kk, s, e, _ in got if kk == k]
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert e1 <= s2
+
+
 def _model(batches, delay_s, window_s=3600):
     """Pure-Python replica of the pinned semantics (the oracle model)."""
     kept = []
