@@ -1171,6 +1171,12 @@ class LakeTable:
         # metadata/staging-layout IO goes through the FS seam (lake/fs.py);
         # data-file bytes go through pyarrow, which handles object stores
         self.fs = fs or LocalFS()
+        # foreign-session entry point (external harness with its own
+        # SparkSession): make the package importable in Python workers —
+        # the Arrow merge kernels are module-referenced pickles
+        from datax_spark.session import ensure_workers_can_import
+
+        ensure_workers_can_import(spark)
 
     # ---------------------------------------------------------------- catalog
 

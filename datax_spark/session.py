@@ -60,7 +60,51 @@ def get_spark(
         builder = builder.config(k, v)
     if hive:
         builder = builder.enableHiveSupport()
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    ensure_workers_can_import(spark)
+    return spark
+
+
+def ensure_workers_can_import(spark: SparkSession) -> None:
+    """Make ``datax_spark`` importable in every Python worker regardless of
+    the driver's cwd/PYTHONPATH.
+
+    The package's Arrow kernels and the lake_changelog Data Source are
+    module-level functions, pickled BY REFERENCE — workers must import the
+    package. When the driver found it only via a ``sys.path`` entry (an
+    external harness running from a foreign cwd), workers don't inherit
+    that entry and fail with ModuleNotFoundError. Two seams close the gap:
+
+    - ``addFile(pkg, recursive=True)``: every worker variant prepends its
+      spark-files dir to ``sys.path``, so a package TREE under it imports
+      everywhere (an addPyFile zip would not — planner workers receive an
+      empty py-includes list and never put the zip on the path).
+    - the STREAMING source runner's files dir is the (nonexistent)
+      ``streaming_job`` SUBDIR of the driver's user-files root; since that
+      runner always executes on the driver node (it is the planning half of
+      a streaming source), a symlink to the locally imported package covers
+      it.
+
+    Idempotent per SparkContext; called from ``get_spark``, the changelog
+    source's ``register``, and ``LakeTable`` construction so any
+    foreign-session entry point passes through it."""
+    sc = spark.sparkContext
+    if getattr(sc, "_dsx_pyfiles_shipped", False):
+        return
+    import datax_spark
+    from pyspark import SparkFiles
+
+    pkg_dir = os.path.dirname(os.path.abspath(datax_spark.__file__))
+    sc.addFile(pkg_dir, recursive=True)
+    try:
+        sj = os.path.join(SparkFiles.getRootDirectory(), "streaming_job")
+        os.makedirs(sj, exist_ok=True)
+        link = os.path.join(sj, os.path.basename(pkg_dir))
+        if not os.path.exists(link):
+            os.symlink(pkg_dir, link)
+    except OSError:
+        pass  # non-local driver layouts: the addFile tree still covers tasks
+    sc._dsx_pyfiles_shipped = True
 
 
 def tuned_shuffle_partitions(spark: SparkSession, approx_input_bytes: int,

@@ -408,7 +408,12 @@ def _read_partition(p: dict) -> Iterator:
 
 
 def register(spark) -> None:
-    """Register the source for ``format("lake_changelog")``."""
+    """Register the source for ``format("lake_changelog")`` (and ship the
+    package to Python workers — see
+    :func:`datax_spark.session.ensure_workers_can_import`)."""
+    from datax_spark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
     spark.dataSource.register(LakeChangelogDataSource)
 
 
