@@ -3442,13 +3442,34 @@ ORACLES: dict[str, str] = {
 }
 
 
+def _with_worker_imports(fn: Callable) -> Callable:
+    """Harness sessions may run from a foreign cwd where Python workers
+    can't import this repo (module-referenced pickles: Arrow kernels, the
+    lake_changelog source). Ship the package into the session's spark-files
+    before any query body runs — idempotent per SparkContext (see
+    datax_spark.session.ensure_workers_can_import)."""
+    import functools
+
+    from datax_spark.session import ensure_workers_can_import
+
+    @functools.wraps(fn)
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ensure_workers_can_import(spark)
+        return fn(spark, sf_dir)
+
+    return run
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: latest-wins CDC fold on sf0.001 (the engine's MERGE source)."""
+    from datax_spark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
     return q_cdc_fold_latest(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
+    return {name: _with_worker_imports(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

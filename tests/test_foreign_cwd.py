@@ -27,9 +27,14 @@ spark = (SparkSession.builder.master("local[2]").appName("foreign-cwd")
          .config("spark.ui.enabled", "false")
          .getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
-n = e.queries()["cdc_changelog_stream"](spark, {sf!r}).count()
+qs = e.queries()
+n = qs["cdc_changelog_stream"](spark, {sf!r}).count()
 assert n > 0, n
-print("FOREIGN_CWD_OK", n)
+# a pure mapInPandas kernel path (no LakeTable touch): covered by the
+# queries() chokepoint, not the LakeTable/register seams
+m = qs["media_features"](spark, {sf!r}).count()
+assert m > 0, m
+print("FOREIGN_CWD_OK", n, m)
 spark.stop()
 """
 
