@@ -1943,29 +1943,33 @@ def q_cdc_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(4),
     )
     staged = ev.withColumn("b", b).persist()
-    # The oracle's 2-row watermark lag assumes every commit is a non-empty
-    # micro-batch (an empty commit would advance the stream's batch index
-    # but not the oracle's bm row set). ntile(4) guarantees that for any
-    # events table with >= 4 rows; fail loudly rather than silently
-    # mismatch if a future fixture breaks the assumption.
-    stats = {r["b"]: (r["n"], r["hi"]) for r in
-             staged.groupBy("b").agg(F.count("*").alias("n"),
-                                     F.max("ts").alias("hi")).collect()}
-    missing = [i for i in (1, 2, 3, 4) if not stats.get(i, (0, None))[0]]
-    if missing:
-        raise ValueError(f"cdc_stream_windowed fixture: empty commit(s) {missing}")
-    schema = T.StructType([
-        T.StructField("event_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("ts", T.TimestampType()),
-    ])
-    root = tempfile.mkdtemp(prefix="dsx-wndstream-")
-    t = LakeTable.create(spark, root, schema, bucket_key="event_id", n_buckets=4)
-    for i in (1, 2, 3, 4):
-        t.append(staged.filter(F.col("b") == i).drop("b"))
-    hi = max(h for _, h in stats.values())
-    staged.unpersist()
+    try:
+        # The oracle's 2-row watermark lag assumes every commit is a
+        # non-empty micro-batch (an empty commit would advance the stream's
+        # batch index but not the oracle's bm row set). ntile(4) guarantees
+        # that for any events table with >= 4 rows; fail loudly rather than
+        # silently mismatch if a future fixture breaks the assumption.
+        stats = {r["b"]: (r["n"], r["hi"]) for r in
+                 staged.groupBy("b").agg(F.count("*").alias("n"),
+                                         F.max("ts").alias("hi")).collect()}
+        missing = [i for i in (1, 2, 3, 4) if not stats.get(i, (0, None))[0]]
+        if missing:
+            raise ValueError(
+                f"cdc_stream_windowed fixture: empty commit(s) {missing}")
+        schema = T.StructType([
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ts", T.TimestampType()),
+        ])
+        root = tempfile.mkdtemp(prefix="dsx-wndstream-")
+        t = LakeTable.create(spark, root, schema, bucket_key="event_id",
+                             n_buckets=4)
+        for i in (1, 2, 3, 4):
+            t.append(staged.filter(F.col("b") == i).drop("b"))
+        hi = max(h for _, h in stats.values())
+    finally:
+        staged.unpersist()
     sentinel = spark.createDataFrame(
         [(-1, "sentinel", 0.0, hi + datetime.timedelta(days=90))], schema)
     t.append(sentinel)

@@ -47,7 +47,7 @@ def build_feed(spark, root: str, n_events: int, n_commits: int, n_convs: int):
 
     from datax_spark.lake.table import LakeTable
 
-    per = n_events // n_commits
+    per = n_events // n_commits  # actual feed size = per * n_commits
     schema = None
     t = None
     for c in range(n_commits):
@@ -81,15 +81,6 @@ def build_feed(spark, root: str, n_events: int, n_commits: int, n_convs: int):
                                  n_buckets=16)
         t.append(ev)
     return t
-
-
-def drain_parquet(df, sink: str, ckpt: str) -> None:
-    from datax_spark.streaming.util import drain_query
-
-    q = (df.writeStream.format("parquet").outputMode("append")
-         .option("path", sink).option("checkpointLocation", ckpt)
-         .start())
-    drain_query(q)
 
 
 def run_leg(spark, leg: str, root: str, work: str, n_events: int) -> dict:
@@ -188,9 +179,13 @@ def main() -> None:
             # conv count scales with the feed (state growth is the point)
             # but at 200 events/conv — the pandas state fn is invoked once
             # per (conv, batch), so this also bounds group-call overhead
-            build_feed(spark, root, n, args.commits, n_convs=max(n // 200, 1))
+            # actual feed size after integer division into equal commits —
+            # the throughput denominator must count events actually drained
+            actual = (n // args.commits) * args.commits
+            build_feed(spark, root, actual, args.commits,
+                       n_convs=max(actual // 200, 1))
             for leg in args.legs.split(","):
-                r = run_leg(spark, leg, root, work + f"/{scale}", n)
+                r = run_leg(spark, leg, root, work + f"/{scale}", actual)
                 result["legs"].setdefault(leg, {})[scale] = r
                 print(leg, scale, r, flush=True)
         for leg, pts in result["legs"].items():

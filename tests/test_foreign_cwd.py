@@ -2,9 +2,10 @@
 PYTHONPATH, not the repo root) must still be able to run the streaming
 queries: Python workers don't inherit the driver's sys.path entries, and the
 streaming source runner's files dir is a special-cased subdir — both are
-closed by ``streaming/changelog._ship_package_to_workers`` (addFile tree +
-streaming_job symlink). This is exactly the shape of an external
-correctness harness, so pin it cross-process.
+closed by ``datax_spark.session.ensure_workers_can_import`` (addFile tree
++ streaming_job symlink; called from get_spark, the changelog source's
+register, LakeTable init, and the ``queries()`` wrapper). This is exactly
+the shape of an external correctness harness, so pin it cross-process.
 """
 
 from __future__ import annotations

@@ -132,6 +132,8 @@ def test_restart_is_exactly_once(spark, tmp_path):
     sink = str(tmp_path / "sink")
 
     def leg():
+        from datax_spark.streaming.util import drain_query
+
         sdf = read_changelog_stream(spark, t2.root, starting_version=0,
                                     max_versions_per_trigger=1)
         out = windowed_rollup(sdf, ts_col="ts", window="1 hour",
@@ -139,9 +141,7 @@ def test_restart_is_exactly_once(spark, tmp_path):
         q = (out.writeStream.format("parquet").outputMode("append")
              .option("path", sink).option("checkpointLocation", ckpt)
              .start())
-        q.processAllAvailable()
-        q.stop()
-        q.awaitTermination(60)
+        drain_query(q)
 
     _commit(spark, t2, rows_a)
     leg()                      # leg 1 sees only rows_a
