@@ -91,20 +91,28 @@ def ensure_workers_can_import(spark: SparkSession) -> None:
     sc = spark.sparkContext
     if getattr(sc, "_dsx_pyfiles_shipped", False):
         return
+    sc._dsx_pyfiles_shipped = True  # one attempt per context, even on failure
     import datax_spark
     from pyspark import SparkFiles
 
     pkg_dir = os.path.dirname(os.path.abspath(datax_spark.__file__))
-    sc.addFile(pkg_dir, recursive=True)
+    if not os.path.isdir(pkg_dir):
+        # zipimport (spark-submit --py-files): whatever mechanism delivered
+        # the zip to the driver delivers it to the workers too — nothing to
+        # ship, and addFile on a zip-internal path would fail
+        return
     try:
+        sc.addFile(pkg_dir, recursive=True)
         sj = os.path.join(SparkFiles.getRootDirectory(), "streaming_job")
         os.makedirs(sj, exist_ok=True)
         link = os.path.join(sj, os.path.basename(pkg_dir))
         if not os.path.exists(link):
             os.symlink(pkg_dir, link)
-    except OSError:
-        pass  # non-local driver layouts: the addFile tree still covers tasks
-    sc._dsx_pyfiles_shipped = True
+    except Exception:
+        # strictly best-effort: a session whose workers can already import
+        # the package (repo-root cwd, PYTHONPATH, py-files) must never be
+        # broken by the shipping attempt
+        pass
 
 
 def tuned_shuffle_partitions(spark: SparkSession, approx_input_bytes: int,
